@@ -1,0 +1,160 @@
+"""Core relational band: scan → filter → project → sort/limit
+(SURVEY.md §2B rows Projection / Filter / Global sort / Limit-top-k).
+
+Determinism notes (these patterns repeat across the inventory):
+- Double sums are made bit-stable by summing DECIMAL: cast each addend
+  to DECIMAL(18,s) (nearest-value rounding — identical in Spark and
+  DuckDB on non-tie doubles), sum exactly, cast the total back to
+  DOUBLE. Never hash a float whose value depends on reduction order.
+- Averages are derived as sum_decimal/count in DOUBLE division, not
+  the engines' native AVG (order-dependent double accumulation).
+- Timestamps in outputs are projected as DATE strings where the query
+  doesn't need time-of-day, sidestepping ns/µs/ms rendering drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.registry import register
+
+
+@register(
+    "filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+  AND l_quantity < 25
+""",
+    doc=(
+        "Predicate + projection; both reach the parquet scan "
+        "(PushedFilters / ReadSchema — asserted in tests/test_plans.py). "
+        "Reference form: conditional emit inside mapf (SURVEY.md §2B)."
+    ),
+    tags=("scan", "filter", "project"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_returnflag",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc=(
+        "TPC-H Q1-shaped pricing summary: multi-aggregate groupBy with derived "
+        "measures. Catalyst plans partial+final HashAggregate (map-side combine "
+        "the reference never does — SURVEY.md §4.2)."
+    ),
+    tags=("agg",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp")
+    )
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(dec2("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+    doc=(
+        "Top-k by value with a deterministic tiebreak; Catalyst plans "
+        "TakeOrderedAndProject (per-partition heap + single merge — no global "
+        "sort/shuffle of the full table; reference idiom would be per-mapper "
+        "top-k + single reducer, SURVEY.md §2B)."
+    ),
+    tags=("sort", "limit"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "global_sort_sample",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+""",
+    doc=(
+        "Global ORDER BY (range partitioner + reservoir sample boundaries). The "
+        "oracle hash is order-insensitive, so correctness here is the row set; "
+        "ordering itself is asserted in tests/test_relational.py."
+    ),
+    tags=("sort",),
+)
+def global_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.load(spark, sf_dir, "customer")
+    return (
+        cust.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+One session shape for tests, bench, and the driver contract. Design
+notes for scale (SURVEY.md §4.2): AQE enabled so shuffle partition
+counts / join strategies / skew handling re-plan at runtime; UTC
+session timezone so timestamp semantics line up with the DuckDB
+oracle; Arrow enabled so the Pandas-UDF slow path is batch-vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tda596-lab02mapreduce-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    On a real cluster the caller passes its own master URL; nothing in
+    the engine assumes local mode.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # Runtime re-planning: coalesce small shuffle partitions, switch
+        # sort-merge→broadcast when a side turns out small, split skewed
+        # partitions. All three matter at 100 TB; all free to enable.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # DuckDB-comparison hygiene: one wall-clock everywhere.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas_udf / applyInPandas / createDataFrame.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,93 @@
+"""Local mirror of the driver's correctness gate: run the Spark query
+and its DuckDB oracle over the same parquet fixtures, compare
+row-count + column names + order-insensitive canonical value hash
+(the moral equivalent of the reference's `sort | cmp` differential
+check, main/test-mr.sh:103-104)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _dec
+import hashlib
+import math
+
+import duckdb
+
+from tda596_lab02mapreduce_spark.io import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr() round-trips doubles exactly; bit-identical floats agree.
+        return repr(v)
+    if isinstance(v, _dec.Decimal):
+        return repr(float(v))
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def canonical_rows(rows, colnames) -> list[tuple[str, ...]]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def value_hash(rows, colnames) -> str:
+    h = hashlib.sha256()
+    for row in canonical_rows(rows, colnames):
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def compare(spark, sf_dir: str, spark_fn, oracle: str) -> None:
+    """Assert the Spark query and DuckDB oracle agree. Raises
+    AssertionError with a diff sample on mismatch."""
+    sdf = spark_fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_connect(sf_dir)
+    cur = con.execute(oracle)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+    con.close()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    s_canon = canonical_rows(s_rows, s_cols)
+    d_canon = canonical_rows(d_rows, d_cols)
+    if s_canon != d_canon:
+        diff_s = [r for r in s_canon if r not in set(d_canon)][:5]
+        diff_d = [r for r in d_canon if r not in set(s_canon)][:5]
+        cols_sorted = sorted(s_cols)
+        raise AssertionError(
+            f"value mismatch (cols {cols_sorted}):\n"
+            f"  spark-only rows (≤5): {diff_s}\n"
+            f"  duckdb-only rows (≤5): {diff_d}"
+        )
