@@ -1,0 +1,104 @@
+"""As-of (backward-looking temporal) join — an operator the reference
+cannot express in one MR pass (SURVEY.md §2B "Range / interval /
+as-of join": hash partitioning is equality-only, mr/worker.go:82).
+
+Implementation: the union + window ``last(ignorenulls)`` pattern.
+Both inputs are tagged and unioned, then a single window partitioned
+by the join keys and ordered by (ts, side-priority) carries the most
+recent right-side payload forward onto each left row.
+
+Scale: ONE shuffle on the join keys (the window partition), zero
+range-explosion — the naive alternative (non-equi join ``l.ts >=
+r.ts`` + argmax) is O(|L|·|R|) per key. Skewed keys are still one
+partition each; for pathological key skew, pre-bucket ts into coarse
+ranges first (documented tradeoff, not needed for fixture scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    *,
+    tolerance: Column | None = None,
+    how: str = "inner",
+    right_order: Sequence[str] = (),
+) -> DataFrame:
+    """For each ``left`` row, attach the payload of the latest
+    ``right`` row with ``right.ts <= left.ts`` sharing the join keys.
+
+    right_payload columns appear on the output prefixed ``asof_``.
+    ``right_order`` breaks ties among right rows at the same ts
+    (pass a unique column for determinism). ``how`` is "inner"
+    (drop unmatched) or "left" (keep with null payload).
+    ``tolerance``: optional max age (Column interval or duration
+    expression) — matches older than ``left.ts - tolerance`` drop.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    on = list(on)
+
+    payload = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
+    # Right rows sort before left rows at equal ts (__prio 0 < 1) so an
+    # exactly-simultaneous right row is a valid match. Extra right_order
+    # columns make the "latest" pick deterministic under ts ties.
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).cast("timestamp").alias("__event_ts"),
+        F.lit(0).alias("__prio"),
+        payload.alias("__payload"),
+        *[F.col(c).alias(f"__ord_{i}") for i, c in enumerate(right_order)],
+    )
+    l = left.select(  # noqa: E741
+        "*",
+        F.col(left_ts).cast("timestamp").alias("__event_ts"),
+        F.lit(1).alias("__prio"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[
+            F.lit(None).cast(r.schema[f"__ord_{i}"].dataType).alias(f"__ord_{i}")
+            for i in range(len(right_order))
+        ],
+    )
+    left_cols = [c for c in left.columns]
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col("__event_ts").asc(),
+            F.col("__prio").asc(),
+            *[F.col(f"__ord_{i}").asc_nulls_first() for i in range(len(right_order))],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+
+    out = matched.filter(F.col("__prio") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__ts") >= F.col("__event_ts") - tolerance,
+                F.col("__match"),
+            ),
+        )
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    sel = [F.col(c) for c in left_cols]
+    sel.append(F.col("__match.__ts").alias(f"asof_{right_ts}"))
+    sel.extend(F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_payload)
+    return out.select(*sel)

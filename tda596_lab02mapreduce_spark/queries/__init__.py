@@ -5,6 +5,11 @@ band of the §2B capability matrix / §2C extensions.
 """
 
 from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
-    wordcount,
+    aggregates,
+    joins,
     relational,
+    scalars,
+    setops,
+    windows,
+    wordcount,
 )

@@ -1,0 +1,209 @@
+"""Aggregation band of SURVEY.md §2B: distinct, exact/approx count
+distinct, grouping sets / rollup / cube, pivot.
+
+The reference's only aggregation is the sort-based full-list
+``reducef`` with no partial aggregation (SURVEY.md §4.2); every query
+here rides Catalyst's partial+final HashAggregate instead, so shuffle
+volume is O(groups), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.registry import register
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    doc="DISTINCT = groupBy on all projected columns (reference idiom: emit key, reduce once per key).",
+    tags=("agg", "distinct"),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="Exact multi count-distinct (Catalyst expands to partial aggregates, no full materialization).",
+    tags=("agg", "distinct"),
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines; bounds asserted in tests/test_aggregates.py
+    doc=(
+        "HyperLogLog++ approximate distinct (rsd=2%): the 100 TB path for "
+        "cardinality — fixed-size sketch per partition, mergeable, no exact "
+        "distinct shuffle. Driver check: rows-only; accuracy-vs-exact is "
+        "pytest-asserted."
+    ),
+    tags=("agg", "approx"),
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        )
+    )
+
+
+@register(
+    "grouping_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP hierarchy (flag, flag+status, grand total) in one pass — reference idiom would re-emit one KV per grouping set.",
+    tags=("agg", "grouping"),
+)
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "grouping_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE: all 2^k grouping sets.",
+    tags=("agg", "grouping"),
+)
+def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+    doc="Explicit GROUPING SETS via the SQL surface (spark.sql over registered fixture views).",
+    tags=("agg", "grouping", "sql"),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "pivot_segment",
+    oracle="""
+SELECT c_nationkey,
+       CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS AUTOMOBILE,
+       CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS BUILDING,
+       CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS FURNITURE,
+       CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS HOUSEHOLD,
+       CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS MACHINERY
+FROM customer
+GROUP BY c_nationkey
+""",
+    doc=(
+        "Pivot with an explicit value list (never let Spark scan for distinct "
+        "pivot values at 100 TB); oracle is the equivalent conditional "
+        "aggregation."
+    ),
+    tags=("agg", "pivot"),
+)
+def pivot_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    df = (
+        io.load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", segments)
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")))
+    )
+    return df.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("double").alias(s) for s in segments],
+    )
+
+
+@register(
+    "min_max_stats",
+    oracle="""
+SELECT l_linestatus,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship,
+       min(l_returnflag) AS min_flag,
+       max(l_returnflag) AS max_flag
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    doc="min/max over numeric, timestamp, and string columns (exact, order-insensitive — no float accumulation).",
+    tags=("agg",),
+)
+def min_max_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.min("l_returnflag").alias("min_flag"),
+            F.max("l_returnflag").alias("max_flag"),
+        )
+    )

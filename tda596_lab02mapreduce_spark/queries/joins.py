@@ -1,0 +1,306 @@
+"""Join band of SURVEY.md §2B: broadcast, shuffle (sort-merge), all
+outer variants, semi/anti, theta, range, and as-of.
+
+The reference expresses only the repartition equi-join (tag records
+in mapf, cross tag-groups in reducef — SURVEY.md §2B); everything
+here is a named Catalyst join strategy instead. Strategy choices that
+matter at 100 TB:
+- dimension tables (region 5 rows, nation 25) are broadcast
+  explicitly — no shuffle of the fact side at all;
+- fact⋈fact (orders⋈lineitem) shuffles both sides on the key once —
+  sort-merge with AQE skew splitting;
+- the as-of join is the union+window form: one shuffle, no range
+  explosion (operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.operators.asof import asof_join
+from tda596_lab02mapreduce_spark.registry import register
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="Star-schema rollup; both dims broadcast (asserted in tests/test_plans.py).",
+    tags=("join", "broadcast"),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = io.load(spark, sf_dir, "customer")
+    nation = io.load(spark, sf_dir, "nation")
+    region = io.load(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_sortmerge_revenue",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+    doc="Fact⋈fact equi-join: both sides shuffle on the key once, sort-merge; AQE skew-join handles hot keys.",
+    tags=("join",),
+)
+def join_sortmerge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders")
+    li = io.load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    doc="Left outer: customers kept at zero orders (reduce-side join emitting nulls, in reference terms).",
+    tags=("join", "outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = io.load(spark, sf_dir, "customer")
+    orders = io.load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("sum_spend"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+  ON c.nk = s.nk
+""",
+    doc="Full outer over two pre-aggregates (nations having only customers or only suppliers survive).",
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        io.load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        io.load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, "nk", "full").select(
+        F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+""",
+    doc="Left-semi (EXISTS): probe side never duplicates, only the key travels.",
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = io.load(spark, sf_dir, "customer")
+    big_orders = io.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    doc="Left-anti (NOT EXISTS): customers who never ordered.",
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = io.load(spark, sf_dir, "customer")
+    orders = io.load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_theta_pairs",
+    oracle="""
+SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, r_name
+FROM nation n1
+JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+JOIN region ON n1.n_regionkey = r_regionkey
+""",
+    doc=(
+        "Theta join (equi on region + inequality on name): Catalyst evaluates the "
+        "non-equi conjunct as a post-join residual; with a broadcast side this is "
+        "BroadcastHashJoin + filter, never a full cross product."
+    ),
+    tags=("join", "theta"),
+)
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = io.load(spark, sf_dir, "nation").alias("n1")
+    n2 = io.load(spark, sf_dir, "nation").alias("n2")
+    region = io.load(spark, sf_dir, "region")
+    return (
+        n1.join(
+            F.broadcast(n2),
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_name") < F.col("n2.n_name")),
+        )
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n1.n_name").alias("nation_a"),
+            F.col("n2.n_name").alias("nation_b"),
+            "r_name",
+        )
+    )
+
+
+@register(
+    "join_range_band",
+    oracle="""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_in_band,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS band_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+         AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+GROUP BY p_brand
+""",
+    doc=(
+        "Range/band join: equi key carries the shuffle, the band predicate is a "
+        "residual — no interval explosion. (A keyless band join would need "
+        "bucketized interval replication; not required by the fixture workload.)"
+    ),
+    tags=("join", "range"),
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    part = io.load(spark, sf_dir, "part")
+    return (
+        li.join(
+            part,
+            (li.l_partkey == part.p_partkey)
+            & (li.l_quantity >= part.p_size - 5)
+            & (li.l_quantity <= part.p_size + 5),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_band"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("band_qty"),
+        )
+    )
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+SELECT r1.r_name AS region_a, r2.r_name AS region_b
+FROM region r1 CROSS JOIN region r2
+""",
+    doc="Explicit cross join (BroadcastNestedLoopJoin) — only ever legal on bounded-small relations.",
+    tags=("join", "cross"),
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = io.load(spark, sf_dir, "region").select(F.col("r_name").alias("region_a"))
+    r2 = io.load(spark, sf_dir, "region").select(F.col("r_name").alias("region_b"))
+    return r1.crossJoin(F.broadcast(r2))
+
+
+@register(
+    "join_asof_purchase_click",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc=(
+        "As-of join: each purchase matched to the user's latest prior click. "
+        "Spark side is operators/asof.py (union + window, one shuffle); DuckDB "
+        "side is its native ASOF JOIN. Timestamps projected as epoch "
+        "microseconds (bigint) — representation-stable across engines."
+    ),
+    tags=("join", "asof"),
+)
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = io.load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=[],
+        how="inner",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("asof_ts").alias("click_us"),
+    )

@@ -1,0 +1,227 @@
+"""Scalar-function band of SURVEY.md §2B: string, date/time, math,
+array, and JSON functions — the reference only ever had these inside
+plugin Go code (tokenizer mrapps/wc.go:21-24, strconv at wc.go:39).
+
+All expressions are built-in pyspark.sql.functions: JVM-side, inside
+whole-stage codegen. Cross-engine determinism rules:
+- only IEEE-exact math in oracle-checked outputs (+ - * / sqrt abs
+  floor ceil mod); libm-dependent funcs (log/exp/trig) differ in the
+  last ulp between JVM and C++ and live in rows-only queries;
+- array folds use F.aggregate (left-to-right, bit-stable) mirrored by
+  DuckDB list_reduce;
+- timestamps project as dates, epoch micros, or extracted ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.registry import register
+
+
+@register(
+    "scalar_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       substring(p_type, 1, 5) AS type_prefix,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       regexp_replace(p_type, ' ', '_') AS type_snake,
+       trim(p_name) AS name_trim,
+       reverse(p_brand) AS brand_rev
+FROM part
+""",
+    doc="String scalar functions over part.",
+    tags=("scalar", "string"),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = io.load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@register(
+    "scalar_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INTEGER) AS days_to_2026,
+       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus_30,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+""",
+    doc="Date/time scalar functions over orders (ms-precision timestamps projected as dates/ints).",
+    tags=("scalar", "date"),
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(od).alias("order_year"),
+        F.month(od).alias("order_month"),
+        F.dayofmonth(od).alias("order_day"),
+        F.quarter(od).alias("order_quarter"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.datediff(F.lit("2026-01-01").cast("date"), od.cast("date")).alias("days_to_2026"),
+        F.date_add(od.cast("date"), 30).cast("timestamp").alias("plus_30"),
+        F.last_day(od.cast("date")).alias("month_end"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000.0) AS abs_dev,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
+       sqrt(l_quantity) AS qty_sqrt,
+       mod(CAST(l_orderkey AS BIGINT), 7) AS key_mod7,
+       l_extendedprice / l_quantity AS unit_price,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate
+FROM lineitem
+WHERE l_quantity > 0
+""",
+    doc="IEEE-exact math scalars (abs/floor/ceil/sqrt/mod/div/greatest/least).",
+    tags=("scalar", "math"),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+FROM events
+""",
+    doc=(
+        "JSON extraction from events.props: Spark from_json with an explicit "
+        "schema (never schema inference over 100 TB); oracle uses DuckDB's JSON "
+        "extension."
+    ),
+    tags=("scalar", "json"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_val"),
+        (F.col("p.k") % 10).alias("k_bucket"),
+    )
+
+
+@register(
+    "scalar_array",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS e0,
+       list_reduce(list_prepend(0.0, CAST(embedding[1:8] AS DOUBLE[])), (acc, x) -> acc + x) AS sum8,
+       CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS vec_max,
+       CAST(list_contains(CAST(embedding AS DOUBLE[]), 0.0) AS BOOLEAN) AS has_zero
+FROM embeddings
+""",
+    doc=(
+        "Array functions over embedding: array<float>: size, element access, "
+        "left-to-right fold (F.aggregate ≡ list_reduce with 0.0 seed — "
+        "bit-stable), max, membership."
+    ),
+    tags=("scalar", "array"),
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at(vec, 1).alias("e0"),
+        F.aggregate(F.slice(vec, 1, 8), F.lit(0.0), lambda a, x: a + x).alias("sum8"),
+        F.array_max(vec).alias("vec_max"),
+        F.array_contains(vec, 0.0).alias("has_zero"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 150000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       CAST(o_totalprice > 200000 AS BOOLEAN) AS is_big
+FROM orders
+""",
+    doc="Conditional scalars: CASE WHEN, COALESCE/NULLIF, boolean projection.",
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        (F.col("o_totalprice") > 200000).alias("is_big"),
+    )
+
+
+@register(
+    "scalar_math_libm",
+    oracle=None,  # JVM StrictMath vs C++ libm differ in the last ulp — pytest bounds-check instead
+    doc="Transcendental math (ln/exp/pow/sin): rows-only driver check; tolerance-tested in pytest.",
+    tags=("scalar", "math"),
+)
+def scalar_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.log(F.col("l_extendedprice")).alias("ln_price"),
+        F.exp(F.col("l_discount")).alias("exp_disc"),
+        F.pow(F.col("l_quantity"), 2.0).alias("qty_sq"),
+        F.sin(F.col("l_tax")).alias("sin_tax"),
+    )

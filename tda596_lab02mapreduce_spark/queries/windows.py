@@ -1,0 +1,192 @@
+"""Window-function band of SURVEY.md §2B: ranking, analytic
+(lag/lead), aggregate frames (rows + range), distribution functions.
+
+The reference's closest capability is per-key sorted iteration inside
+reducef (mr/worker.go:139-148) with no frame semantics. Windows here
+shuffle once on the partition key; ordering inside the partition is a
+local sort. Determinism: every ORDER BY carries a unique tiebreak
+column, and running double sums use the decimal-sum pattern
+(queries/relational.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.registry import register
+
+
+@register(
+    "window_rank",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS BIGINT) AS rn,
+       CAST(rank()       OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS BIGINT) AS drnk
+FROM lineitem
+WHERE l_orderkey <= 1000
+""",
+    doc="row_number (unique tiebreak) vs rank/dense_rank (tie-stable) per order.",
+    tags=("window", "rank"),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    w_unique = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(), F.col("l_linenumber")
+    )
+    w_ties = Window.partitionBy("l_orderkey").orderBy(F.col("l_quantity").desc())
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.row_number().over(w_unique).cast("long").alias("rn"),
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+       CAST(lag(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS prev2_event
+FROM events
+""",
+    doc="lag/lead with offsets over per-user event time.",
+    tags=("window", "analytic"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("event_id", 2).over(w).alias("prev2_event"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nth_order
+FROM orders
+""",
+    doc="Cumulative ROWS frame per customer (decimal accumulation → bit-stable).",
+    tags=("window", "frame"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("nth_order"),
+    )
+
+
+@register(
+    "window_sliding_frame",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS qty_3line
+FROM lineitem
+WHERE l_orderkey <= 1000
+""",
+    doc="Bounded sliding ROWS frame (1 preceding .. 1 following).",
+    tags=("window", "frame"),
+)
+def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(-1, 1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("qty_3line"),
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+SELECT c_custkey,
+       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
+       percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank,
+       cume_dist()    OVER (ORDER BY c_acctbal, c_custkey) AS cum_dist
+FROM customer
+""",
+    doc=(
+        "Distribution funcs over a global ordering. NOTE: a single unpartitioned "
+        "window is a one-partition sort — fine for a bounded dimension table, "
+        "never for a fact table at scale (partition or pre-bucket instead)."
+    ),
+    tags=("window", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+       last_value(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+""",
+    doc="first_value/last_value with explicit full-partition frame (the classic last_value footgun made explicit).",
+    tags=("window", "analytic"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+        )
+        .distinct()
+    )

@@ -48,6 +48,10 @@ def get_spark(
         # Arrow for every pandas_udf / applyInPandas / createDataFrame.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as raw int64 nanos and convert in io.load
+        # (floor to µs — matches DuckDB's ns→µs conversion).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if extra_conf:
