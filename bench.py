@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured to a noop sink (full compute + shuffle, no
+driver collect) — the number reflects engine throughput, not py4j
+transfer. BENCH_REPS (default 2) runs per query; min is reported
+(cold JVM/JIT noise lands in rep 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tda596_lab02mapreduce_spark import registry
+from tda596_lab02mapreduce_spark.session import get_spark
+
+HEADLINE = [
+    "wordcount",
+    "inverted_index",
+    "pricing_summary",
+    "filter_project",
+    "topk_orders",
+    "join_broadcast_dim",
+    "join_sortmerge_revenue",
+    "join_asof_purchase_click",
+    "window_running_sum",
+    "grouping_rollup",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "stream_tumbling_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    spark = get_spark(app_name="tda596-bench")
+
+    # warm the session (JVM, parquet footers) outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    qs = registry.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Deduplication operators for LLM-corpus pipelines (SURVEY.md §2C).
+
+All candidate generation is strictly sub-quadratic: banding/bucketing
+turns pair discovery into an equi-join on bucket keys, so cost is
+O(candidates), never O(n²). Payload text never rides a shuffle —
+only ids + hashes/signatures do; verification joins the payload back
+by id afterwards.
+
+Everything is built-in Column expressions (codegen'd, no Python in
+the hot path). Signature construction is row-local (zero shuffle);
+the only wide ops are the bucket join and the final dedup decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: keep the lowest-id row per distinct text.
+
+    Shuffles only (sha256, id) — not the payload (reference analogue:
+    emit hash as key; SURVEY.md §2C 'shuffle on hash only')."""
+    h = F.sha2(F.col(text_col), 256).alias("__h")
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col)
+        .join(df, id_col)
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings (row-local)."""
+    toks = tokens_nonempty(text)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_perm: int) -> Column:
+    """num_perm-wide MinHash signature: one xxhash64 family member per
+    permutation (seed folded in as an extra hashed column). Row-local."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    signature (row-local) → explode into `bands` band-hashes →
+    self-equi-join on (band, band_hash) with id_a < id_b → distinct
+    pairs. Returns (id_a, id_b). A pair surfaces iff the docs collide
+    in ≥1 band — the classic S-curve; guaranteed to contain all exact
+    duplicates (tested property)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_perm)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("__id", "bh.band", "bh.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs; keeps pairs ≥ threshold.
+    Joins shingle sets back by id (two broadcast-or-shuffle hash joins
+    on ids — O(candidates), not O(n²))."""
+    sets = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__set"),
+    )
+    j = (
+        pairs.join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "set_a"), "id_a")
+        .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "set_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.size(F.array_union("set_a", "set_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(text: Column, *, bits: int = 64) -> Column:
+    """64-bit SimHash of the token multiset — entirely row-local
+    (one aggregate fold over the token array, no explode/shuffle).
+
+    Each token's xxhash64 votes ±1 per bit position; the signature
+    packs the sign of each counter. Near-dup pairs then differ in few
+    bits (hamming), discoverable by chunk-banding."""
+    toks = tokens_nonempty(text)
+    # Bit positions are Python ints (shiftright/shiftleft take literal
+    # shift amounts), so the ±1 vote vector is a 64-element array expr.
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        weight = -(1 << (bits - 1)) if b == bits - 1 else (1 << b)  # sign bit
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(counters, b + 1) > 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 8,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    `chunks` 16-bit pieces (pigeonhole: hamming ≤ chunks-1 guarantees
+    one identical chunk; practical recall for ≤ max_hamming), join on
+    identical chunks, verify with popcount of XOR."""
+    sh = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh"))
+    width = 64 // chunks
+    banded = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("__sh"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("__id", "__sh", "cv.chunk", "cv.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,137 @@
+"""Multimodal column handling (SURVEY.md §2C): media as opaque
+``binary`` columns with typed metadata structs, processed by
+Arrow-batched ``mapInPandas`` operators.
+
+The Spark-side plumbing — schema, partition sizing, UDF signatures,
+batch shapes — is real and tested. The actual codec step is stubbed
+(this container ships no image/audio libraries): ``decode=\"fake\"``
+derives deterministic pseudo-features from the bytes (md5-seeded), and
+``decode=\"strict\"`` raises NotImplementedError where a real
+Pillow/ffmpeg call would go. Swapping in a real decoder changes ONE
+function, no plan changes.
+
+Scale notes: media bytes are the dominant payload — the operators
+never shuffle them (feature extraction is map-only; metadata-only
+projections drop the binary column before any wide op). Batch size is
+bounded by Arrow batch limits (`spark.sql.execution.arrow.
+maxRecordsPerBatch`) rather than row counts, since rows are megabytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a synthetic media table: each document's text bytes stand
+    in for an encoded image blob (deterministic; real pipelines read
+    ``spark.read.format(\"binaryFile\")``)."""
+    is_video = F.col("doc_id") % 5 == 0
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("blob"),
+        F.struct(
+            F.when(is_video, "video").otherwise("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            (F.length("text") % 640).cast("int").alias("width"),
+            (F.length("text") % 480).cast("int").alias("height"),
+            F.when(is_video, (F.col("n_chars") % 7) * 1000 + 500)
+            .cast("long")
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(blob: bytes, n_features: int) -> list[float]:
+    """Deterministic stand-in for image decode + embed: md5-seeded
+    pseudo-features. Replace with a real decoder (Pillow + model) at
+    the SAME signature — nothing else changes."""
+    h = hashlib.md5(blob).digest()
+    return [
+        ((int.from_bytes(h[(4 * i) % 16 : (4 * i) % 16 + 4], "big") + i) % 10007)
+        / 10007.0
+        for i in range(n_features)
+    ]
+
+
+def extract_features(
+    media: DataFrame, *, n_features: int = 8, decode: str = "fake"
+) -> DataFrame:
+    """mapInPandas feature extraction over binary media columns.
+
+    Arrow-batched: each batch arrives as a pandas DataFrame whose
+    ``blob`` column holds raw bytes. Map-only — no shuffle touches
+    the blobs."""
+    if decode not in ("fake", "strict"):
+        raise ValueError("decode must be 'fake' or 'strict'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real media decode requires Pillow/ffmpeg — not present "
+                    "in this container; use decode='fake'"
+                )
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "content_md5": blobs.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "feature": blobs.map(lambda b: _fake_decode(bytes(b), n_features)),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: expands each video row into
+    (media_id, frame_ts_ms) rows from metadata alone — the binary
+    column is dropped BEFORE the explode so bytes never multiply."""
+    return (
+        media.filter(F.col("meta.media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                    F.lit(every_ms).cast("long"),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

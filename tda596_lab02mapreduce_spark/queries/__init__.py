@@ -7,9 +7,12 @@ band of the §2B capability matrix / §2C extensions.
 from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
     aggregates,
     joins,
+    llm_pipeline,
+    multimodal,
     relational,
     scalars,
     setops,
+    streaming_batch,
     windows,
     wordcount,
 )

@@ -1,0 +1,360 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §2C): dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
+similarity search (brute-force + LSH), and text analysis (lang-id,
+quality scoring, token counting, fingerprinting).
+
+The documents corpus is the Spark-era analogue of the reference's
+pg-*.txt Gutenberg inputs (FIXTURES.md §1.1); tokenization keeps the
+exact wc.go letter-run semantics throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+from tda596_lab02mapreduce_spark.functions.vector import cosine_sim  # noqa: F401 (re-export for docs)
+from tda596_lab02mapreduce_spark.operators import dedup as dd
+from tda596_lab02mapreduce_spark.operators import similarity as sim
+from tda596_lab02mapreduce_spark.registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) keep USING (doc_id)
+""",
+    doc=(
+        "Exact content dedup: survivors = lowest doc_id per distinct text. "
+        "Only (sha256, id) shuffles — payload text stays columnar at the scan "
+        "(operators/dedup.py:exact_dedup)."
+    ),
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         array_to_string(tk[1:3], ' ') AS prefix,
+         list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+       / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
+FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+""",
+    doc=(
+        "Exact 3-shingle Jaccard over blocked candidate pairs (blocking key = "
+        "first-3-token prefix). Blocking keeps the pair space linear-ish; the "
+        "MinHash variant below is the scale path when no natural block exists."
+    ),
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    tk = tokens_nonempty(F.col("text"))
+    sh = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tk, 1, 3)).alias("prefix"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 2),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
+            )
+        ).alias("s"),
+    ).filter(F.size(tk) >= 3)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    return (
+        a.join(
+            b,
+            (F.col("a.prefix") == F.col("b.prefix"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                inter.cast("double")
+                / (F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter)
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 family not reproducible in DuckDB; invariants pytest-checked
+    doc=(
+        "MinHash(16 perms) + LSH(4 bands) candidate pairs verified by exact "
+        "shingle Jaccard ≥ 0.5. Sub-quadratic by construction: pair discovery "
+        "is an equi-join on band hashes. Property test: candidates ⊇ all "
+        "exact-duplicate pairs (tests/test_dedup.py)."
+    ),
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id", num_perm=16, bands=4)
+    return dd.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based signature; invariants pytest-checked
+    doc=(
+        "SimHash(64-bit, row-local fold — zero shuffle to build signatures) "
+        "with 16-bit chunk banding; pairs kept at hamming ≤ 12."
+    ),
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, "text", "doc_id", max_hamming=12, chunks=4)
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cosine
+  FROM q, c
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(nbr_rank AS BIGINT) AS nbr_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nbr_rank
+      FROM scored)
+WHERE nbr_rank <= 5
+""",
+    doc=(
+        "Brute-force cosine top-5 for 10 query vectors: query set broadcast, "
+        "corpus never self-joined; double-precision left-fold dot product is "
+        "bit-identical to DuckDB's list_cosine_similarity."
+    ),
+    tags=("similarity",),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "similarity_lsh_topk",
+    oracle=None,  # approximate by design; recall@k vs brute force pytest-checked
+    doc=(
+        "LSH (8 random-hyperplane sign bits) bucketed cosine top-5: only "
+        "same-bucket rows scored — the 100 TB path (bucket join instead of "
+        "full scan per query)."
+    ),
+    tags=("similarity",),
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.lsh_topk(emb, queries, k=5, dim=64, n_planes=8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v,
+             CAST(v[1] > 0 AS INT) * 8 + CAST(v[17] > 0 AS INT) * 4
+             + CAST(v[33] > 0 AS INT) * 2 + CAST(v[49] > 0 AS INT) AS bucket
+      FROM e)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       list_cosine_similarity(a.v, b2.v) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.v, b2.v) >= 0.3
+""",
+    doc=(
+        "Embedding-cosine near-dup pairs: axis-aligned sign-bit LSH blocking "
+        "(4 fixed components → 16 buckets, deterministic in any engine) cuts "
+        "the pair space ~16×; exact cosine ≥ 0.3 verifies within buckets. "
+        "The xxhash64 random-hyperplane variant (similarity_lsh_topk) is the "
+        "higher-recall production path; this one is oracle-checkable."
+    ),
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    bucket = (
+        (F.element_at(v, 1) > 0).cast("int") * 8
+        + (F.element_at(v, 17) > 0).cast("int") * 4
+        + (F.element_at(v, 33) > 0).cast("int") * 2
+        + (F.element_at(v, 49) > 0).cast("int")
+    )
+    b = emb.select(F.col("vec_id"), v.alias("v"), bucket.alias("bucket"))
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=r"""
+SELECT doc_id,
+       CAST(list_contains(tk, 'the') AS INTEGER)
+       + CAST(list_contains(tk, 'and') AS INTEGER)
+       + CAST(list_contains(tk, 'of') AS INTEGER)
+       + CAST(list_contains(tk, 'a') AS INTEGER)
+       + CAST(list_contains(tk, 'to') AS INTEGER) AS en_score,
+       CASE WHEN CAST(list_contains(tk, 'the') AS INTEGER)
+               + CAST(list_contains(tk, 'and') AS INTEGER)
+               + CAST(list_contains(tk, 'of') AS INTEGER)
+               + CAST(list_contains(tk, 'a') AS INTEGER)
+               + CAST(list_contains(tk, 'to') AS INTEGER) >= 2
+            THEN 'en' ELSE 'und' END AS lang_pred
+FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+      FROM documents)
+""",
+    doc=(
+        "Language-ID heuristic: stopword-profile scoring (the real-world "
+        "n-gram-profile method reduced to a deterministic fixture-checkable "
+        "rule). Row-local, zero shuffle."
+    ),
+    tags=("textan",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    tk = tokens_nonempty(F.col("text"))
+    score = sum(
+        F.array_contains(tk, w).cast("int") for w in ["the", "and", "of", "a", "to"]
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("en_score"),
+        F.when(score >= 2, "en").otherwise("und").alias("lang_pred"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+       CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tk, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) AS DOUBLE) / len(tk) AS avg_token_len,
+       (len(tk) BETWEEN 10 AND 10000 AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.25) AS is_quality
+FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+      FROM documents)
+WHERE len(tk) > 0
+""",
+    doc=(
+        "Quality scoring: token counts, type-token ratio, mean token length, "
+        "pass/fail flag — all row-local array folds (exact integer arithmetic "
+        "until the final double division)."
+    ),
+    tags=("textan",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", tokens_nonempty(F.col("text")).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    n = F.size("tk").cast("long")
+    nd = F.size(F.array_distinct("tk")).cast("long")
+    total_len = F.aggregate(
+        F.col("tk"), F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+    )
+    ttr = nd.cast("double") / n
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        ttr.alias("ttr"),
+        (total_len.cast("double") / n).alias("avg_token_len"),
+        ((n >= 10) & (n <= 10000) & (ttr >= 0.25)).alias("is_quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '')) AS BIGINT) AS letter_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+""",
+    doc=(
+        "Token counting three ways: whitespace split, letter-run (wc.go "
+        "semantics), and a BPE-ish regex segmentation (lowercase runs / "
+        "capitalized fragments / digit runs / single symbols)."
+    ),
+    tags=("textan",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("ws_tokens"),
+        F.size(tokens_nonempty(F.col("text"))).cast("long").alias("letter_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM documents
+""",
+    doc=(
+        "Document fingerprint: polynomial rolling hash (base 31 mod 1e9+7) "
+        "folded left-to-right over characters — row-local, exact int64 "
+        "arithmetic, engine-independent."
+    ),
+    tags=("textan",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c).cast("long")) % 1000000007,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

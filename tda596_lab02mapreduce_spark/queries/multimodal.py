@@ -1,0 +1,64 @@
+"""Multimodal-column queries (SURVEY.md §2C multimodal row): the
+binary-blob plumbing surfaced as oracle-checked inventory entries.
+
+The media table derives deterministically from ``documents`` (text
+bytes stand in for encoded blobs; every 5th doc is a "video" with a
+metadata-derived duration), so DuckDB can reproduce the byte-level
+results — md5/byte-length on the blob, frame sampling from metadata —
+while the Spark side exercises the real plumbing: binary columns,
+struct metadata, Arrow-batched mapInPandas, explode-after-drop so
+blobs never ride a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.operators import multimodal as mm
+from tda596_lab02mapreduce_spark.registry import register
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""",
+    doc=(
+        "Arrow-batched mapInPandas feature extraction over binary media "
+        "blobs (operators/multimodal.py:extract_features); the byte-level "
+        "outputs (size, md5) are oracle-checked, the embedded fake-decode "
+        "feature vector is shape/determinism-checked in pytest. Map-only: "
+        "blobs never shuffle."
+    ),
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.media_table_from_documents(io.load(spark, sf_dir, "documents"))
+    return mm.extract_features(media, n_features=8).select(
+        "media_id", "n_bytes", "content_md5"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id AS media_id, CAST(unnest(range(0, (n_chars % 7) * 1000 + 501, 1000)) AS BIGINT) AS frame_ts_ms
+FROM documents
+WHERE doc_id % 5 = 0
+""",
+    doc=(
+        "Video frame-sampling plumbing: one (media_id, frame_ts_ms) row per "
+        "sample instant, expanded from metadata ALONE — the binary column is "
+        "dropped before the explode so bytes never multiply "
+        "(operators/multimodal.py:frame_sample)."
+    ),
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.media_table_from_documents(io.load(spark, sf_dir, "documents"))
+    return mm.frame_sample(media, every_ms=1000)

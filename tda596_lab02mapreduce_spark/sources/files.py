@@ -1,0 +1,90 @@
+"""Source / sink surface (SURVEY.md §2B rows Scans + Sinks).
+
+The reference reads whole local text files through the coordinator
+(mr/coordinator.go:86-97 — an O(total-data) single-node bottleneck)
+and writes partitioned `key value` text (mr/worker.go:136-157).
+Here every format is a distributed scan with pushdown/pruning, and
+every sink is committer-protected (≙ the reference's tmp+rename,
+built in).
+
+``read_whole_files`` preserves the reference's exact input
+granularity — (filename, contents), one row per file — for the
+MapReduce façade. Line-granularity ``read_text_lines`` is the
+scalable default (a 10 GB file splits across executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_whole_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(filename, contents), one row per whole file — the reference's
+    map-input contract (mapf's two arguments, mr/worker.go:36)."""
+    return (
+        spark.read.option("wholetext", True)
+        .text(path_glob)
+        .select(
+            F.input_file_name().alias("filename"),
+            F.col("value").alias("contents"),
+        )
+    )
+
+
+def read_text_lines(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(filename, line) at line granularity — splittable, the 100 TB
+    default for text."""
+    return spark.read.text(path_glob).select(
+        F.input_file_name().alias("filename"), F.col("value").alias("line")
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """CSV scan. Always pass a schema in production — inference is a
+    full extra pass over the data."""
+    reader = spark.read.options(header="true", **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", sep: str = ",") -> None:
+    df.write.mode(mode).option("header", "true").option("sep", sep).csv(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

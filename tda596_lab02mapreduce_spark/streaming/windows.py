@@ -1,0 +1,145 @@
+"""Structured Streaming operators over the events table
+(SURVEY.md §2B streaming row — an *extension*: the reference is
+batch-only by construction, hard stage barrier at
+mr/coordinator.go:120-140).
+
+Each windowed aggregation is defined ONCE as a function of a
+DataFrame and applied identically to a batch frame or a stream
+(``readStream`` + ``Trigger.AvailableNow``) — the batch-vs-stream
+invariance tests in tests/test_streaming.py are the correctness
+check, mirroring the driver's oracle strategy for batch queries.
+
+Watermarks bound state: group state for windows older than
+(max event time - watermark) is evicted, which is what makes these
+runnable on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # int64 nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _as_stream_dir(sf_dir: str, table: str) -> str:
+    """FileStreamSource requires a directory; the fixtures are single
+    read-only parquet files. Stage a symlink-holding directory once per
+    (sf_dir, table) — zero data copy, works on any POSIX fs."""
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"tda596-stream-{key}", table)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+        except FileExistsError:
+            pass
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file stream (one-file directory;
+    AvailableNow trigger drains it in one run)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_as_stream_dir(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, *, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Per-type event counts + decimal-sum of value in tumbling windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    *,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_agg(
+    events: DataFrame, *, gap: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user: a session closes after `gap` of
+    inactivity. State size is O(open sessions), bounded by the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-event-id within the watermark horizon
+    (dropDuplicatesWithinWatermark keeps state bounded — plain
+    dropDuplicates on a stream retains ALL history)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a stream into an in-memory sink with AvailableNow and
+    return the materialized result as a batch DataFrame.
+
+    output_mode: "complete" for aggregations (append would hold back
+    windows the final watermark never closes); "append" for
+    row-level streams (dedup, projections)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,84 @@
+"""Property tests for the non-SQL-expressible dedup/similarity
+operators — the invariants the DuckDB oracle can't check
+(SURVEY.md §5: 'candidate set ⊇ exact-duplicate pairs')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.operators import dedup as dd
+from tda596_lab02mapreduce_spark.operators import similarity as sim
+
+
+def _docs_with_dups(spark, sf_dir):
+    """Fixture corpus + injected exact and near duplicates."""
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    # near-dup: append one token
+    near = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_keeps_min_id(spark, sf_smoke):
+    df = _docs_with_dups(spark, sf_smoke)
+    out = dd.exact_dedup(df, "text", "doc_id")
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # injected exact dups (>=100000, <200000) must all be gone
+    assert not any(100000 <= i < 200000 for i in ids)
+    # count = distinct texts
+    assert out.count() == df.select("text").distinct().count()
+
+
+def test_minhash_catches_exact_dups(spark, sf_smoke):
+    df = _docs_with_dups(spark, sf_smoke)
+    pairs = dd.minhash_lsh_pairs(df, "text", "doc_id", num_perm=16, bands=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # identical text ⇒ identical signature ⇒ must collide in every band
+    for i in range(5):
+        assert (i, i + 100000) in got, f"exact dup pair ({i},{i+100000}) missed"
+
+
+def test_minhash_jaccard_verify_scores_exact_dups_1(spark, sf_smoke):
+    df = _docs_with_dups(spark, sf_smoke)
+    pairs = dd.minhash_lsh_pairs(df, "text", "doc_id", num_perm=16, bands=4)
+    verified = dd.jaccard_verify(df, pairs, "text", "doc_id", threshold=0.99)
+    got = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    for i in range(5):
+        assert got.get((i, i + 100000)) == 1.0
+
+
+def test_simhash_exact_dups_hamming_zero(spark, sf_smoke):
+    df = _docs_with_dups(spark, sf_smoke)
+    pairs = dd.simhash_pairs(df, "text", "doc_id", max_hamming=0, chunks=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, i + 100000) in got
+
+
+def test_simhash_near_dups_low_hamming(spark, sf_smoke):
+    df = _docs_with_dups(spark, sf_smoke)
+    pairs = dd.simhash_pairs(df, "text", "doc_id", max_hamming=16, chunks=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    hits = sum((i, i + 200000) in got for i in range(5))
+    assert hits >= 3, f"only {hits}/5 near-dups within hamming 16"
+
+
+def test_lsh_topk_recall(spark, sf_smoke):
+    emb = io.load(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    approx = sim.lsh_topk(emb, queries, k=5, dim=64, n_planes=5, n_tables=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # the fixture vectors are near-random gaussians (neighbors are weak),
+    # so recall is modest by nature; it must still be well above the
+    # candidate-sampling floor and rise with OR-construction
+    assert recall >= 0.25, f"recall@5 {recall:.2f} too low"
+    assert all(q != n for q, n in a)

@@ -1,0 +1,79 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, determinism,
+and the strict-decode stub surface (SURVEY.md §2C multimodal row —
+codec stubbed, Spark plumbing real)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.operators import multimodal as mm
+
+
+def _media(spark, sf_dir):
+    return mm.media_table_from_documents(io.load(spark, sf_dir, "documents"))
+
+
+def test_media_schema(spark, sf_smoke):
+    media = _media(spark, sf_smoke)
+    assert [f.name for f in media.schema.fields] == ["media_id", "blob", "meta"]
+    assert media.schema["blob"].dataType.typeName() == "binary"
+    assert media.schema["meta"].dataType.typeName() == "struct"
+
+
+def test_feature_extraction_shape_and_determinism(spark, sf_smoke):
+    media = _media(spark, sf_smoke)
+    feats = mm.extract_features(media, n_features=8)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    for r in rows[:10]:
+        assert len(r.feature) == 8
+        assert all(0.0 <= x < 1.0 for x in r.feature)
+        assert len(r.content_md5) == 32
+    # deterministic across runs and partitionings
+    again = {
+        r.media_id: (r.content_md5, tuple(r.feature))
+        for r in mm.extract_features(media.repartition(7), n_features=8).collect()
+    }
+    first = {r.media_id: (r.content_md5, tuple(r.feature)) for r in rows}
+    assert first == again
+
+
+def test_feature_md5_matches_sql_md5(spark, sf_smoke):
+    """The pandas-side md5 must agree with Spark's JVM md5 over the
+    same bytes (cross-checks the Arrow binary transport)."""
+    media = _media(spark, sf_smoke)
+    jvm = media.select("media_id", F.md5("blob").alias("m"))
+    py = mm.extract_features(media).select(
+        "media_id", F.col("content_md5").alias("m")
+    )
+    assert {(r.media_id, r.m) for r in jvm.collect()} == {
+        (r.media_id, r.m) for r in py.collect()
+    }
+
+
+def test_strict_decode_raises(spark, sf_smoke):
+    media = _media(spark, sf_smoke).limit(1)
+    with pytest.raises(Exception) as ei:
+        mm.extract_features(media, decode="strict").collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+
+
+def test_frame_sample_counts(spark, sf_smoke):
+    media = _media(spark, sf_smoke).limit(20)
+    video = media.withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.lit(3500).cast("long").alias("duration_ms"),
+        ),
+    )
+    frames = mm.frame_sample(video, every_ms=1000)
+    # 0,1000,2000,3000 → 4 frames per video
+    assert frames.count() == 20 * 4
+    assert frames.columns == ["media_id", "frame_ts_ms"]

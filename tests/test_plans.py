@@ -1,0 +1,71 @@
+"""Plan-shape assertions: the scale contract. Correct results with
+the wrong plan (no pushdown, accidental cartesian, missed broadcast,
+no partial aggregation) is a failure at 100 TB even when sf0.01
+values match — so the plan IS part of the spec here."""
+
+from __future__ import annotations
+
+import re
+
+from tda596_lab02mapreduce_spark import plans
+from tda596_lab02mapreduce_spark.registry import get
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_correctness):
+    df = get("filter_project").spark_fn(spark, sf_correctness)
+    pushed = plans.pushed_filters(df)
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, (
+        f"filters did not reach the parquet scan:\n{pushed}"
+    )
+
+
+def test_column_pruning_reaches_scan(spark, sf_correctness):
+    df = get("filter_project").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schema, "no ReadSchema in plan"
+    # the scan must not read payload columns the query never touches
+    assert "l_extendedprice" in scan_schema[0]
+    assert "l_tax" not in scan_schema[0] and "l_discount" not in scan_schema[0]
+
+
+def test_dim_join_broadcasts(spark, sf_correctness):
+    df = get("join_broadcast_dim").spark_fn(spark, sf_correctness)
+    assert plans.has_broadcast_join(df), "dimension join should broadcast"
+    assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_theta_join_is_not_cartesian(spark, sf_correctness):
+    df = get("join_theta_pairs").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_wordcount_has_partial_aggregation(spark, sf_correctness):
+    """The map-side combine the reference lacks (SURVEY.md §4.2): the
+    plan must show a partial_count before the shuffle."""
+    df = get("wordcount").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_topk_uses_take_ordered(spark, sf_correctness):
+    df = get("topk_orders").spark_fn(spark, sf_correctness)
+    assert plans.has_operator(df, "TakeOrderedAndProject"), (
+        "limit+orderBy should plan TakeOrderedAndProject, not a global sort"
+    )
+
+
+def test_asof_join_single_shuffle(spark, sf_correctness):
+    """The as-of join must not plan a range-explosion join — one
+    Exchange for the window, no nested-loop join."""
+    df = get("join_asof_purchase_click").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "BroadcastNestedLoopJoin|CartesianProduct")
+
+
+def test_wholestage_codegen_everywhere_hot(spark, sf_correctness):
+    df = get("pricing_summary").spark_fn(spark, sf_correctness)
+    # AQE hides codegen annotations until the plan is finalized by a run
+    plan = plans.executed_plan(df)
+    assert re.search(r"(?i)codegen id", plan), (
+        "agg pipeline fell out of whole-stage codegen:\n" + plan[:2000]
+    )

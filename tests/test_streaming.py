@@ -1,0 +1,141 @@
+"""Batch-vs-stream invariance (SURVEY.md §7 phase 5): the same
+windowed aggregation over the same events must produce identical
+results whether executed as a batch frame or drained through
+Structured Streaming with Trigger.AvailableNow — our translation of
+the reference's 'output must equal the sequential oracle' property."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.streaming.stateful import running_user_stats
+from tda596_lab02mapreduce_spark.streaming.windows import (
+    events_stream,
+    run_available_now,
+    session_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_batch_vs_stream(spark, sf_smoke):
+    batch = tumbling_agg(io.load(spark, sf_smoke, "events"))
+    stream = run_available_now(
+        tumbling_agg(events_stream(spark, sf_smoke)), "t_tumbling"
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_session_batch_vs_stream(spark, sf_smoke):
+    batch = session_agg(io.load(spark, sf_smoke, "events"))
+    stream = run_available_now(
+        session_agg(events_stream(spark, sf_smoke)), "t_session"
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_stream_dedup_within_watermark(spark, sf_smoke):
+    stream = run_available_now(
+        stream_dedup(events_stream(spark, sf_smoke)),
+        "t_dedup",
+        output_mode="append",
+    )
+    n_distinct = (
+        io.load(spark, sf_smoke, "events").select("event_id").distinct().count()
+    )
+    assert stream.count() == n_distinct
+
+
+def test_stateful_running_stats(spark, sf_smoke):
+    stream = run_available_now(
+        running_user_stats(events_stream(spark, sf_smoke)),
+        "t_stateful",
+        output_mode="update",
+    )
+    # last update per user must equal the batch totals
+    batch = (
+        io.load(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r.user_id, r.n_events) for r in batch.collect()}
+    got = {(r.user_id, r.n_events) for r in stream.collect()}
+    # update-mode memory sink may hold multiple updates per key across
+    # micro-batches; AvailableNow over one file yields one batch, so
+    # they should match exactly
+    assert got == want
+
+
+def test_late_data_dropped_by_watermark(spark, sf_smoke, tmp_path):
+    """Two micro-batches: the second replays old (late) events beyond
+    the watermark — they must NOT change closed windows (append mode
+    emits each finalized window once)."""
+    events = io.load(spark, sf_smoke, "events")
+    early = events.filter(F.col("event_id") % 2 == 0)
+    late = events.filter(F.col("event_id") % 2 == 1).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 30 DAYS")
+    )
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    (tmp_path / "src").mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(i, df):
+        staging = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/b{i}.parquet")
+
+    out = str(tmp_path / "out")
+
+    def run_once(qname):
+        # file sink (not memory): the memory sink cannot recover from a
+        # checkpoint, and watermark persistence across restarts is the
+        # point of this test
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .queryName(qname)
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    # run 1: only the early file exists → watermark advances to
+    # max(early ts) - 1h and persists in the checkpoint
+    add_file(0, early)
+    run_once("t_late_r1")
+    # run 2: replay 30-days-old events — all below the persisted
+    # watermark, so they must be dropped, not aggregated
+    add_file(1, late)
+    out2 = run_once("t_late_r2")
+    late_windows = {
+        r["w"]["start"]
+        for r in late.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    emitted2 = {r["w"]["start"] for r in out2}
+    assert not (emitted2 & late_windows), (
+        f"late windows leaked past the watermark: {sorted(emitted2 & late_windows)[:5]}"
+    )
