@@ -49,13 +49,29 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_perm: int) -> Column:
-    """num_perm-wide MinHash signature: one xxhash64 family member per
-    permutation (seed folded in as an extra hashed column). Row-local."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+    """num_perm-wide MinHash signature as ONE fold over the shingle
+    array: the accumulator is the running element-wise min of the
+    num_perm hash family (seed = permutation index folded into
+    xxhash64). Row-local.
+
+    Single-pass matters: the naive per-permutation form
+    ``array(array_min(transform(shingles, h_i)) for i in ...)`` embeds
+    the shingle-construction subtree num_perm times, and Catalyst's
+    projection collapse multiplies that again at every consumer —
+    measured 100×+ slowdown at sf0.1. Here the shingle subtree occurs
+    exactly once."""
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_perm)
+    return F.aggregate(
+        shingle_col,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                lambda i: F.xxhash64(s, i),
+            ),
+            lambda a, h: F.least(a, h),
+        ),
     )
 
 
@@ -67,6 +83,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -74,28 +91,39 @@ def minhash_lsh_pairs(
     self-equi-join on (band, band_hash) with id_a < id_b → distinct
     pairs. Returns (id_a, id_b). A pair surfaces iff the docs collide
     in ≥1 band — the classic S-curve; guaranteed to contain all exact
-    duplicates (tested property)."""
+    duplicates (tested property).
+
+    ``n_partitions``: optionally repartition before the (compute-bound)
+    signature projection. On a real cluster the scan already yields
+    enough splits; on few-split inputs this decouples CPU parallelism
+    from file layout.
+
+    The banding generator is likewise a SINGLE expression (explode of
+    transform over band indices) so the signature subtree — and the
+    shingle subtree inside it — is evaluated once per row, not once
+    per band."""
     rows_per_band = num_perm // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_perm)
-    banded = df.select(
-        F.col(id_col).alias("__id"),
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    if n_partitions:
+        src = src.repartition(n_partitions, "__id")
+    sig = minhash_signature(shingles(F.col("__text"), shingle_k), num_perm)
+    banded = src.select(
+        "__id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(sig, b * rows_per_band + 1, F.lit(rows_per_band)),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
             )
         ).alias("bh"),
     ).select("__id", "bh.band", "bh.band_hash")
@@ -121,13 +149,17 @@ def jaccard_verify(
     *,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs; keeps pairs ≥ threshold.
     Joins shingle sets back by id (two broadcast-or-shuffle hash joins
     on ids — O(candidates), not O(n²))."""
-    sets = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__set"),
+    src = df.select(F.col(id_col).alias("__id0"), F.col(text_col).alias("__text"))
+    if n_partitions:
+        src = src.repartition(n_partitions, "__id0")
+    sets = src.select(
+        F.col("__id0").alias("__id"),
+        F.array_distinct(shingles(F.col("__text"), shingle_k)).alias("__set"),
     )
     j = (
         pairs.join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "set_a"), "id_a")
@@ -152,36 +184,43 @@ def simhash(text: Column, *, bits: int = 64) -> Column:
     packs the sign of each counter. Near-dup pairs then differ in few
     bits (hamming), discoverable by chunk-banding."""
     toks = tokens_nonempty(text)
-    # Bit positions are Python ints (shiftright/shiftleft take literal
-    # shift amounts), so the ±1 vote vector is a 64-element array expr.
+    # Single-pass construction. Two expression-blowup traps avoided
+    # (each measured 10-100× at sf0.1, see minhash_signature note):
+    #  - per-token votes come from ONE xxhash64 call rendered to a
+    #    64-char two's-complement string by bin(), not 64 shiftright
+    #    probes of 64 separate hash calls;
+    #  - packing multiplies the counter vector by a LITERAL weight
+    #    array (zip_with references `counters` once), not 64 chained
+    #    when(element_at(counters, b)...) each inlining the whole fold.
+    # bin() is MSB-first, so weight[i] = bit (bits-1-i); index 0 is the
+    # sign bit of the packed long.
     counters = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, t: F.zip_with(
             acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1),
-                    )
-                    .otherwise(F.lit(-1))
-                    .cast("long")
-                    for b in range(bits)
-                ]
+            F.transform(
+                F.split(F.lpad(F.bin(F.xxhash64(t)), bits, "0"), ""),
+                lambda c: F.when(c == "1", F.lit(1)).otherwise(F.lit(-1)).cast("long"),
             ),
             lambda a, v: a + v,
         ),
     )
-    packed = F.lit(0).cast("long")
-    for b in range(bits):
-        weight = -(1 << (bits - 1)) if b == bits - 1 else (1 << b)  # sign bit
-        packed = packed.bitwiseOR(
-            F.when(F.element_at(counters, b + 1) > 0, F.lit(weight).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return packed
+    weights = F.array(
+        *[
+            F.lit(-(1 << (bits - 1)) if i == 0 else (1 << (bits - 1 - i))).cast("long")
+            for i in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            weights,
+            lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_pairs(
@@ -191,12 +230,22 @@ def simhash_pairs(
     *,
     max_hamming: int = 8,
     chunks: int = 4,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     `chunks` 16-bit pieces (pigeonhole: hamming ≤ chunks-1 guarantees
     one identical chunk; practical recall for ≤ max_hamming), join on
-    identical chunks, verify with popcount of XOR."""
-    sh = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh"))
+    identical chunks, verify with popcount of XOR.
+
+    With ``n_partitions`` the signature projection runs after a
+    repartition — parallel on few-split inputs, and the Exchange is a
+    projection-collapse barrier so the fold isn't re-inlined per chunk."""
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    if n_partitions:
+        src = src.repartition(n_partitions, "__id")
+    sh = src.select("__id", simhash(F.col("__text")).alias("__sh"))
+    if n_partitions:
+        sh = sh.repartition(n_partitions, "__id")
     width = 64 // chunks
     banded = sh.select(
         "__id",

@@ -15,6 +15,8 @@ any state.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -58,39 +60,194 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int) -> F.Column:
-    """Deterministic pseudo-random hyperplane as an array<double> column
-    expression: component j = centered xxhash64(plane_idx, j)."""
-    return F.array(
-        *[
-            (
-                (F.xxhash64(F.lit(plane_idx), F.lit(j)) % 10007).cast("double") / 10007.0
+def kmeans_centroids(
+    points: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """DataFrame-native Lloyd's k-means for IVF coarse quantization.
+
+    Deterministic: seeds are the k lowest-id vectors. Each iteration is
+    assign (crossJoin with the broadcast k-row centroid table → argmin
+    distance) then update (posexplode → per-(cell,dim) mean → re-pack).
+    Shuffle is O(n·dim) per iteration on (cell, pos) — never n×n.
+    Returns (cell: int, centroid: array<double>).
+    """
+    pts = points.select(
+        F.col(id_col).alias("__pid"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    cents = (
+        pts.orderBy("__pid")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("__pid")) - 1).alias("cell"),
+            F.col("__v").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(pts, cents, "__v")
+        cents = (
+            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("centroid")
             )
-            for j in range(dim)
-        ]
+        )
+    return cents
+
+
+def _assign_cells(pts: DataFrame, cents: DataFrame, vec_field: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    squared-L2 per pair, argmin with deterministic (dist, cell) tiebreak."""
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_field), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pts.crossJoin(F.broadcast(cents)).withColumn("__d2", d2)
+    return (
+        scored.groupBy("__pid")
+        .agg(
+            F.min_by("cell", F.struct("__d2", "cell")).alias("cell"),
+            F.first(vec_field).alias(vec_field),
+        )
     )
 
 
-def lsh_bucket(vec_col: F.Column, dim: int, n_planes: int, *, table: int = 0) -> F.Column:
-    """Random-hyperplane signature: n_planes sign bits packed into a
-    long. Row-local; one pass over the vector per plane. ``table``
-    selects an independent hyperplane family."""
-    v = vec_col.cast("array<double>")
-    bits = []
-    for p in range(n_planes):
-        h = _hyperplane(dim, table * 1009 + p)
-        d = F.aggregate(
-            F.zip_with(v, h, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the classic ANN scale path
+    (Faiss IVF-Flat shape). Corpus is partitioned once into n_cells by a
+    k-means coarse quantizer; each query scores only its n_probe nearest
+    cells, so scan cost drops to ~n_probe/n_cells of brute force while
+    the cell assignment reuses one equi-join on cell id.
+
+    Same output shape as brute_force_topk; recall is pytest-asserted
+    (tests/test_similarity.py), driver check is rows-only."""
+    cents = kmeans_centroids(
+        corpus, vec_col=vec_col, id_col=id_col, k=n_cells, iters=kmeans_iters
+    )
+    c_assigned = _assign_cells(
+        corpus.select(
+            F.col(id_col).alias("__pid"),
+            F.col(vec_col).cast("array<double>").alias("__cvec"),
+        ),
+        cents,
+        "__cvec",
+    ).select(F.col("__pid").alias("neighbor_id"), "cell", "__cvec")
+
+    # each query probes its n_probe nearest cells
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qvec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("__d2"), F.col("cell"))
+    q_cells = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qvec"),
         )
-        bits.append(
-            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qvec", "cell")
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("nbr_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nbr_rank") <= k)
+    )
+
+
+def _plane_component(table: int, plane: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component in (-0.5, 0.5):
+    sha256(table:plane:j) → uniform [0,1) → centered. Computed in
+    Python at plan-build time, so the hyperplane tensor enters the plan
+    as plain literals — no per-query hash expressions to constant-fold."""
+    h = int.from_bytes(
+        hashlib.sha256(f"{table}:{plane}:{j}".encode()).digest()[:8], "big"
+    )
+    return (h % 100003) / 100003.0 - 0.5
+
+
+def lsh_buckets(
+    vec_col: F.Column, dim: int, n_planes: int, n_tables: int
+) -> F.Column:
+    """Per-table random-hyperplane signatures: returns array<long> of
+    length n_tables; element t packs n_planes sign bits for hyperplane
+    family t.
+
+    Built as ONE nested higher-order expression over a literal
+    [tables][planes][dim] tensor — the input vector subtree occurs
+    exactly once, so projection collapse cannot multiply the fold
+    (the per-plane/per-table inline form measured 10×+ slower)."""
+    tensor = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(_plane_component(t, p, j))
+                            for j in range(dim)
+                        ]
+                    )
+                    for p in range(n_planes)
+                ]
             )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+            for t in range(n_tables)
+        ]
+    )
+    weights = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+    v = vec_col.cast("array<double>")
+    return F.transform(
+        tensor,
+        lambda planes: F.aggregate(
+            F.zip_with(
+                F.transform(
+                    planes,
+                    lambda h: F.aggregate(
+                        F.zip_with(v, h, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ),
+                ),
+                weights,
+                lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
 
 
 def lsh_topk(
@@ -115,20 +272,10 @@ def lsh_topk(
         return df.select(
             F.col(idc),
             F.col(vecc),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_bucket(
-                                F.col(vecc), dim, n_planes, table=t
-                            ).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(F.col(idc), F.col(vecc), "tb.tbl", "tb.bucket")
+            F.posexplode(lsh_buckets(F.col(vecc), dim, n_planes, n_tables)).alias(
+                "tbl", "bucket"
+            ),
+        )
 
     q = with_buckets(
         queries.select(

@@ -1,0 +1,354 @@
+"""Advanced relational band (SURVEY.md §2B widening): statistical
+aggregates, arg-extremes, ordered string aggregation, exact
+percentiles, HAVING, subqueries (EXISTS / NOT IN / scalar), and the
+TPC-H-shaped multi-join queries that exercise Catalyst join ordering
++ AQE at scale.
+
+Subqueries matter for the scale story: Catalyst rewrites EXISTS/IN
+into left-semi/anti hash joins (never per-row probes), and the scalar
+subquery becomes a one-row broadcast — all visible in .explain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.registry import register
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+SELECT l_returnflag,
+       CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+       CAST(round(stddev_samp(l_quantity), 4) AS DOUBLE) AS sd_qty,
+       CAST(round(var_samp(l_quantity), 4) AS DOUBLE) AS var_qty,
+       CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS corr_qty_price,
+       CAST(round(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc=(
+        "Second-moment statistics (stddev/variance/corr/covar) — all "
+        "algebraic, partial+final HashAggregate, O(groups) shuffle. Rounded "
+        "on both sides: accumulation order is engine-defined for doubles."
+    ),
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_arg_extremes",
+    oracle="""
+SELECT o_orderstatus,
+       arg_min(o_orderpriority, o_orderkey) AS first_priority,
+       arg_max(o_custkey, o_orderkey) AS last_custkey,
+       CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+       CAST(max(o_orderkey) AS BIGINT) AS max_okey
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc=(
+        "min_by/max_by (argmin/argmax) — single-pass, no self-join-back or "
+        "window needed to fetch the extremal row's payload. Ordering column "
+        "is the unique o_orderkey so ties cannot make the result "
+        "engine-dependent."
+    ),
+    tags=("agg",),
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+            F.max_by("o_custkey", "o_orderkey").alias("last_custkey"),
+            F.min("o_orderkey").alias("min_okey"),
+            F.max("o_orderkey").alias("max_okey"),
+        )
+    )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+""",
+    doc=(
+        "Ordered string aggregation (listagg/string_agg): collect_list + "
+        "array_sort + array_join — sort is per-group, deterministic on both "
+        "engines."
+    ),
+    tags=("agg", "string"),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@register(
+    "percentile_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       CAST(round(median(l_quantity), 4) AS DOUBLE) AS median_qty,
+       CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DOUBLE) AS p25_price,
+       CAST(round(quantile_cont(l_extendedprice, 0.75), 4) AS DOUBLE) AS p75_price,
+       CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc=(
+        "Exact interpolated percentiles (SQL PERCENTILE_CONT semantics on "
+        "both engines). At 100 TB the exact sort-based form gives way to "
+        "approx_percentile (KLL/GK sketch) — same API shape, bounded error; "
+        "the exact form here is the correctness anchor."
+    ),
+    tags=("agg", "stats"),
+)
+def percentile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    )
+
+
+@register(
+    "having_hot_parts",
+    oracle="""
+SELECT l_partkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(*) >= 40
+""",
+    doc="GROUP BY + HAVING: the post-aggregation filter stays above the partial/final agg, never blocks map-side combine.",
+    tags=("agg", "filter"),
+)
+def having_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .filter(F.col("n_lines") >= 40)
+    )
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+)
+""",
+    doc=(
+        "Correlated EXISTS — Catalyst rewrites to a left-semi hash join "
+        "(one shuffle, no per-row probing). SQL surface over registered "
+        "fixture views."
+    ),
+    tags=("subquery", "sql"),
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+        )
+        """
+    )
+
+
+@register(
+    "subquery_not_in",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+""",
+    doc=(
+        "NOT IN (uncorrelated, null-free key) — planned as a left-anti "
+        "join. The inner filter prunes before the shuffle."
+    ),
+    tags=("subquery", "sql"),
+)
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+        )
+        """
+    )
+
+
+@register(
+    "subquery_scalar_avg",
+    oracle="""
+SELECT p_partkey, p_brand,
+       CAST(p_retailprice AS DOUBLE) AS p_retailprice
+FROM part
+WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+""",
+    doc=(
+        "Scalar subquery: the aggregate runs once and is broadcast into "
+        "the filter — a two-job plan, not a join."
+    ),
+    tags=("subquery", "sql"),
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part
+        WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        """
+    )
+
+
+@register(
+    "multi_join_topk",
+    oracle="""
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    doc=(
+        "TPC-H Q3 shape: selective dim filter → fact⋈fact join → agg → "
+        "top-k. Catalyst pushes both date filters to the scans, AQE turns "
+        "the post-filter customer side into a broadcast, and the top-k is "
+        "TakeOrderedAndProject (no global sort). Deterministic tiebreak on "
+        "o_orderkey."
+    ),
+    tags=("join", "topk"),
+)
+def multi_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = io.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = io.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+""",
+    doc=(
+        "TPC-H Q5 shape: 6-way join with a local-supplier predicate "
+        "(c_nationkey = s_nationkey). region/nation broadcast; the two "
+        "fact joins shuffle on their keys; join *order* is Catalyst's "
+        "choice — the declared plan has no imposed ordering."
+    ),
+    tags=("join",),
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.load(spark, sf_dir, "customer")
+    orders = io.load(spark, sf_dir, "orders")
+    li = io.load(spark, sf_dir, "lineitem")
+    supp = io.load(spark, sf_dir, "supplier")
+    nation = io.load(spark, sf_dir, "nation")
+    region = io.load(spark, sf_dir, "region")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

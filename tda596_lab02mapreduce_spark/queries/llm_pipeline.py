@@ -110,8 +110,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id", num_perm=16, bands=4)
-    return dd.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.5)
+    # few-split local input: spread the compute-bound signature stage
+    # across all cores (a cluster scan would already have enough splits)
+    n_part = spark.sparkContext.defaultParallelism
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=16, bands=4, n_partitions=n_part
+    )
+    return dd.jaccard_verify(
+        docs, pairs, "text", "doc_id", threshold=0.5, n_partitions=n_part
+    )
 
 
 @register(
@@ -125,7 +132,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, "text", "doc_id", max_hamming=12, chunks=4)
+    return dd.simhash_pairs(
+        docs,
+        "text",
+        "doc_id",
+        max_hamming=12,
+        chunks=4,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -172,6 +186,25 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = io.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.lsh_topk(emb, queries, k=5, dim=64, n_planes=8)
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=None,  # approximate by design; recall@k vs brute force pytest-checked
+    doc=(
+        "IVF-Flat approximate cosine top-5: k-means coarse quantizer "
+        "(DataFrame-native Lloyd, operators/similarity.py:kmeans_centroids) "
+        "partitions the corpus into cells; each query scans only its 3 "
+        "nearest cells. The Faiss-IVF shape re-expressed as two broadcast "
+        "joins + one equi-join on cell id — at 100 TB the cell column "
+        "doubles as the physical partition key."
+    ),
+    tags=("similarity",),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
 
 
 @register(

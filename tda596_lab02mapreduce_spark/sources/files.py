@@ -24,8 +24,7 @@ def read_whole_files(spark: SparkSession, path_glob: str) -> DataFrame:
     """(filename, contents), one row per whole file — the reference's
     map-input contract (mapf's two arguments, mr/worker.go:36)."""
     return (
-        spark.read.option("wholetext", True)
-        .text(path_glob)
+        spark.read.text(path_glob, wholetext=True)
         .select(
             F.input_file_name().alias("filename"),
             F.col("value").alias("contents"),

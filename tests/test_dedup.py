@@ -82,3 +82,31 @@ def test_lsh_topk_recall(spark, sf_smoke):
     # candidate-sampling floor and rise with OR-construction
     assert recall >= 0.25, f"recall@5 {recall:.2f} too low"
     assert all(q != n for q, n in a)
+
+
+def test_ivf_topk_recall_and_shape(spark, sf_smoke):
+    emb = io.load(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    approx = sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # probing 3/8 cells: recall must beat the 3/8 random-scan floor
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF recall@5 {recall:.2f} too low"
+    assert all(q != n for q, n in a)
+    # every query emits exactly k ranked neighbors
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in a)
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_kmeans_centroids_deterministic(spark, sf_smoke):
+    emb = io.load(spark, sf_smoke, "embeddings")
+    c1 = sim.kmeans_centroids(emb, k=4, iters=2).collect()
+    c2 = sim.kmeans_centroids(emb, k=4, iters=2).collect()
+    assert sorted(r.cell for r in c1) == [0, 1, 2, 3]
+    m1 = {r.cell: r.centroid for r in c1}
+    m2 = {r.cell: r.centroid for r in c2}
+    assert m1 == m2

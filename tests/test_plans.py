@@ -69,3 +69,27 @@ def test_wholestage_codegen_everywhere_hot(spark, sf_correctness):
     assert re.search(r"(?i)codegen id", plan), (
         "agg pipeline fell out of whole-stage codegen:\n" + plan[:2000]
     )
+
+
+def test_exists_subquery_plans_semi_join(spark, sf_correctness):
+    df = get("subquery_exists").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan, "EXISTS should rewrite to a left-semi join:\n" + plan[:1500]
+
+
+def test_not_in_subquery_plans_anti_join(spark, sf_correctness):
+    df = get("subquery_not_in").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert "LeftAnti" in plan, "NOT IN should rewrite to a left-anti join:\n" + plan[:1500]
+
+
+def test_multi_join_topk_no_cartesian_and_takeordered(spark, sf_correctness):
+    df = get("multi_join_topk").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "CartesianProduct")
+    assert plans.has_operator(df, "TakeOrderedAndProject")
+
+
+def test_regional_revenue_broadcasts_dims(spark, sf_correctness):
+    df = get("regional_revenue").spark_fn(spark, sf_correctness)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_operator(df, "CartesianProduct")

@@ -1,0 +1,141 @@
+"""Source/sink surface (SURVEY.md §2B rows Scans + Sinks) and the
+bucketing scale path.
+
+The reference's sink guarantees — partitioned output files, atomic
+tmp+rename commit (mr/coordinator.go:37-53) — map to Spark's
+FileOutputCommitter; asserted here via the _SUCCESS marker and
+absence of _temporary debris. Bucketing is the piece the reference
+cannot express at all: pre-shuffled storage so repeated joins on the
+bucket key need no Exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io, plans, sources
+
+
+def test_parquet_roundtrip_partitioned_and_pruned(spark, sf_smoke, tmp_path):
+    orders = io.load(spark, sf_smoke, "orders")
+    path = str(tmp_path / "orders_by_status")
+    sources.write_parquet(orders, path, partition_by=["o_orderstatus"])
+
+    # committer finished atomically: marker present, no _temporary debris
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "_temporary"))
+    # hive-style partition dirs
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
+
+    back = sources.read_parquet(spark, path)
+    assert back.count() == orders.count()
+
+    # partition pruning: filtering on the partition column must prune at
+    # the scan, not post-filter
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = plans.formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    want = pruned.count()
+    oracle = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert want == oracle
+
+
+def test_csv_roundtrip_with_schema(spark, sf_smoke, tmp_path):
+    nation = io.load(spark, sf_smoke, "nation")
+    path = str(tmp_path / "nation_csv")
+    sources.write_csv(nation, path)
+    back = sources.read_csv(
+        spark, path, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert sorted(back.columns) == sorted(nation.columns)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
+def test_json_roundtrip(spark, sf_smoke, tmp_path):
+    region = io.load(spark, sf_smoke, "region")
+    path = str(tmp_path / "region_json")
+    sources.write_json(region, path)
+    back = sources.read_json(spark, path, schema="r_regionkey int, r_name string")
+    assert {tuple(r) for r in back.select("r_regionkey", "r_name").collect()} == {
+        tuple(r) for r in region.collect()
+    }
+
+
+def test_whole_file_scan_contract(spark, tmp_path):
+    """read_whole_files must reproduce the reference's exact map-input
+    granularity: one (filename, contents) row per file
+    (mr/coordinator.go:86-97, one map task per whole file)."""
+    for i, body in enumerate(["alpha beta\ngamma", "delta epsilon"]):
+        (tmp_path / f"pg-{i}.txt").write_text(body)
+    df = sources.read_whole_files(spark, str(tmp_path / "pg-*.txt"))
+    rows = {
+        (os.path.basename(r.filename.replace("file://", "")), r.contents)
+        for r in df.collect()
+    }
+    assert rows == {("pg-0.txt", "alpha beta\ngamma"), ("pg-1.txt", "delta epsilon")}
+
+
+def test_text_lines_splittable(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("l1\nl2\nl3")
+    df = sources.read_text_lines(spark, str(tmp_path / "a.txt"))
+    assert [r.line for r in df.orderBy("line").collect()] == ["l1", "l2", "l3"]
+
+
+@pytest.fixture()
+def bucketed_tables(spark, sf_smoke, tmp_path):
+    names = ["t_orders_b", "t_lineitem_b"]
+    orders = io.load(spark, sf_smoke, "orders")
+    li = io.load(spark, sf_smoke, "lineitem")
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "ob"))
+        .saveAsTable(names[0])
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "lb"))
+        .saveAsTable(names[1])
+    )
+    yield names
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_bucketed_join_needs_no_shuffle(spark, bucketed_tables):
+    """Both sides bucketed+sorted on the join key into the same bucket
+    count: the sort-merge join consumes storage layout directly — zero
+    Exchange in the plan. At 100 TB this is THE repeated-join strategy
+    (pay the shuffle once at write time, never again)."""
+    ob, lb = bucketed_tables
+    # at sf0.001 both sides fit the broadcast threshold, which would
+    # sidestep the layout under test; at real scale neither side
+    # broadcasts and the bucketed sort-merge path is what runs
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(ob)
+            .join(spark.table(lb), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plans.executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, (
+        f"expected a sort-merge join over bucketed tables:\n{plan[:1500]}"
+    )
+    # the join inputs must come straight from storage: no Exchange may
+    # hash-partition on the join keys (the later groupBy legitimately
+    # shuffles on o_orderpriority)
+    for key in ("o_orderkey", "l_orderkey"):
+        assert f"Exchange hashpartitioning({key}" not in plan, (
+            "bucketed join still shuffled:\n" + plan[:2000]
+        )
+    # correctness unchanged
+    assert joined.count() > 0
