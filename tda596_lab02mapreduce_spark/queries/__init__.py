@@ -14,6 +14,7 @@ from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
     scalars,
     setops,
     streaming_batch,
+    udfs,
     windows,
     wordcount,
 )

@@ -1,0 +1,102 @@
+"""User-defined-function surface (SURVEY.md §2B last rows).
+
+The reference's entire engine is two UDF slots: ``mapf`` (generalized
+UDTF, mr/worker.go:36) and ``reducef`` (full-list UDAF,
+mr/worker.go:37), shipped as Go plugins. Our equivalents, fastest
+first:
+
+- built-in Column expressions (JVM codegen — everything else in this
+  package);
+- Arrow-vectorized ``pandas_udf`` scalar / GROUPED_AGG (this module);
+- ``mapInPandas`` / ``applyInPandas`` (the MapReduce façade,
+  engine/mapreduce.py — exact mapf/reducef semantics);
+- row-at-a-time ``F.udf`` — deliberately absent from the inventory:
+  10-100× slower than the Arrow path, never the right choice in a
+  hot loop.
+
+Both queries here are oracle-checked: the UDF bodies are pure IEEE
+double arithmetic, bit-identical between pandas and DuckDB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.registry import register
+
+
+def _disc_price_udf():
+    # built lazily: pandas_udf parses its DDL return type against the
+    # active session, so decorating at import time would require one
+    @pandas_udf("double")
+    def _disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        # Arrow batch in, Arrow batch out: one Python call per ~10k
+        # rows, vectorized numpy multiply inside.
+        return price * (1.0 - discount)
+
+    return _disc_price
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price
+FROM lineitem
+WHERE l_quantity >= 45
+""",
+    doc=(
+        "Vectorized scalar pandas_udf (Arrow transport). The predicate "
+        "still pushes to the scan — only surviving rows cross into Python."
+    ),
+    tags=("udf",),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    disc_price = _disc_price_udf()
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price(F.col("l_extendedprice"), F.col("l_discount")).alias("disc_price"),
+    )
+
+
+def _harmonic_mean_udf():
+    @pandas_udf("double")
+    def _harmonic_mean(x: pd.Series) -> float:
+        # GROUPED_AGG shape: Series in, scalar out, one call per group.
+        return float(len(x) / (1.0 / x).sum())
+
+    return _harmonic_mean
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(round(count(*) / SUM(1.0 / l_quantity), 4) AS DOUBLE) AS harmonic_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc=(
+        "Custom aggregate as a GROUPED_AGG pandas_udf (harmonic mean). "
+        "Unlike the reference's reducef this is NOT handed a materialized "
+        "value list per key by the engine contract — but like reducef it is "
+        "not partial-aggregatable, so Spark shuffles rows, not partial "
+        "states; prefer algebraic built-ins when the math allows "
+        "(SURVEY.md §4.2). Rounded: summation order is engine-defined."
+    ),
+    tags=("udf", "agg"),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    harmonic_mean = _harmonic_mean_udf()
+    return (
+        li.groupBy("l_returnflag")
+        .agg(harmonic_mean(F.col("l_quantity")).alias("__h"))
+        .select("l_returnflag", F.round(F.col("__h"), 4).alias("harmonic_qty"))
+    )

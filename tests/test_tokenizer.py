@@ -1,0 +1,71 @@
+"""Tokenizer fidelity (SURVEY.md §7 risk (c)): Java regex ``\\p{L}``
+(Spark), Go ``unicode.IsLetter`` (the reference, modeled by Python's
+``str.isalpha`` per rune), and Python ``re`` must agree on what a
+"word" is — the flagship wordcount's correctness rests on it
+(mrapps/wc.go:21-24).
+
+Property-based: hypothesis generates adversarial mixed-script text
+(letters of many scripts, digits, punctuation, whitespace, emoji);
+each example batch becomes one single-column DataFrame so one Spark
+job checks ~everything hypothesis found interesting.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+
+
+def _go_is_letter_runs(text: str) -> list[str]:
+    """Reference semantics, modeled directly: maximal runs of runes r
+    with unicode.IsLetter(r). Python's str.isalpha() is the same
+    Unicode category-L test."""
+    runs: list[str] = []
+    cur: list[str] = []
+    for ch in text:
+        if ch.isalpha():
+            cur.append(ch)
+        elif cur:
+            runs.append("".join(cur))
+            cur = []
+    if cur:
+        runs.append("".join(cur))
+    return runs
+
+
+# mixed-script alphabet: Latin/accents/Greek/Cyrillic/CJK/Arabic letters,
+# digits (incl. non-ASCII digits — NOT letters), punctuation, whitespace,
+# symbols/emoji, combining marks (category M — not letters)
+_ALPHABET = st.sampled_from(
+    list("abcXYZéüßñΩλжщ漢字かな한글عربى0123456789٣٤  \t\n.,;:!?-_'\"()[]@#$%^&*+=/\\|~`€£¥©®™…—–‘’“”§¶•°±×÷")
+    + ["😀", "🚀", "́", "‍", "­"]
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.text(alphabet=_ALPHABET, max_size=60), min_size=1, max_size=25))
+def test_spark_tokenizer_matches_go_semantics(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.text, list(r.toks))
+        for r in df.select("text", tokens_nonempty("text").alias("toks")).collect()
+    ]
+    for text, toks in got:
+        assert toks == _go_is_letter_runs(text), (
+            f"tokenizer drift on {text!r}: spark={toks} go-model={_go_is_letter_runs(text)}"
+        )
+
+
+def test_wordcount_corpus_matches_python_model(spark, sf_smoke):
+    """Whole-fixture-corpus agreement: Spark's per-doc token multiset
+    equals the Python Go-model's on every document."""
+    from tda596_lab02mapreduce_spark import io
+
+    docs = io.load(spark, sf_smoke, "documents")
+    rows = docs.select(
+        "doc_id", "text", tokens_nonempty("text").alias("toks")
+    ).collect()
+    for r in rows:
+        assert list(r.toks) == _go_is_letter_runs(r.text), f"doc {r.doc_id} drifted"
