@@ -34,8 +34,13 @@ HEADLINE = [
     "window_running_sum",
     "grouping_rollup",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk",
+    "similarity_ivf_topk",
     "stream_tumbling_hourly",
+    "multi_join_topk",
+    "regional_revenue",
+    "udf_pandas_scalar",
 ]
 
 

@@ -118,6 +118,51 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, *, target_w: int = 64, target_h: int = 64, decode: str = "fake"
+) -> DataFrame:
+    """Image-resize plumbing: mapInPandas over (blob, meta), returning
+    the same MEDIA_SCHEMA with updated dims and a re-encoded blob.
+
+    ``decode=\"fake\"``: deterministic byte resample (truncate/cycle the
+    source bytes to the target pixel budget) standing in for a real
+    Pillow ``Image.resize``; ``decode=\"strict\"`` raises where the real
+    codec call would go. Map-only; output blob size is bounded by
+    target dims, so a resize-then-shuffle pipeline shuffles the SMALL
+    blobs, never the originals."""
+    if decode not in ("fake", "strict"):
+        raise ValueError("decode must be 'fake' or 'strict'")
+    budget = target_w * target_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real image resize requires Pillow — not present in "
+                    "this container; use decode='fake'"
+                )
+
+            def resample(b: bytes) -> bytes:
+                raw = bytes(b)
+                if not raw:
+                    return b"\x00" * budget
+                reps = (budget // len(raw)) + 1
+                return (raw * reps)[:budget]
+
+            meta = pd.DataFrame(list(pdf["meta"]))
+            meta["width"] = target_w
+            meta["height"] = target_h
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "blob": pdf["blob"].map(resample),
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: expands each video row into
     (media_id, frame_ts_ms) rows from metadata alone — the binary

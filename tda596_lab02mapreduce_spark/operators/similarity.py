@@ -60,6 +60,47 @@ def brute_force_topk(
     )
 
 
+def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> F.Column:
+    """The (tiny: k×dim) centroid set as a literal array<struct<cell,
+    centroid>> — assignment then needs NO join and NO shuffle, just a
+    map-side fold per row."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in v]).alias("centroid"),
+            )
+            for c, v in cent_rows
+        ]
+    )
+
+
+def _cell_scores(vec_field: str, cent_lit: F.Column) -> F.Column:
+    """array<struct<d2, cell>> of squared-L2 to every centroid. One
+    expression; the vector subtree occurs once (see lsh_buckets note)."""
+    return F.transform(
+        cent_lit,
+        lambda cen: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_field),
+                    cen.getField("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            cen.getField("cell").alias("cell"),
+        ),
+    )
+
+
+def _nearest_cell(vec_field: str, cent_lit: F.Column) -> F.Column:
+    # array_min on struct<d2,cell> = lexicographic min = deterministic
+    # (distance, cell) argmin tiebreak
+    return F.array_min(_cell_scores(vec_field, cent_lit)).getField("cell")
+
+
 def kmeans_centroids(
     points: DataFrame,
     *,
@@ -68,58 +109,48 @@ def kmeans_centroids(
     k: int = 8,
     iters: int = 3,
 ) -> DataFrame:
-    """DataFrame-native Lloyd's k-means for IVF coarse quantization.
+    """Lloyd's k-means for IVF coarse quantization, Spark-iterative
+    style: the model (k×dim doubles) lives driver-side as literals;
+    the data never leaves executors.
 
-    Deterministic: seeds are the k lowest-id vectors. Each iteration is
-    assign (crossJoin with the broadcast k-row centroid table → argmin
-    distance) then update (posexplode → per-(cell,dim) mean → re-pack).
-    Shuffle is O(n·dim) per iteration on (cell, pos) — never n×n.
-    Returns (cell: int, centroid: array<double>).
+    Deterministic: seeds are the k lowest-id vectors. Each iteration:
+    assign = map-only argmin against the literal centroid array (zero
+    shuffle, embarrassingly parallel at any scale), update =
+    posexplode → per-(cell,dim) mean (ONE O(n·dim) shuffle) →
+    collect k rows. Materializing per iteration keeps every
+    iteration's plan flat — a lazy chained lineage re-executes all
+    prior iterations and grows superlinearly.
+    Returns a k-row DataFrame (cell: int, centroid: array<double>).
     """
+    spark = points.sparkSession
     pts = points.select(
         F.col(id_col).alias("__pid"), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    cents = (
-        pts.orderBy("__pid")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("__pid")) - 1).alias("cell"),
-            F.col("__v").alias("centroid"),
-        )
-    )
+    seed_rows = pts.orderBy("__pid").limit(k).collect()
+    cent_rows: list[tuple[int, list[float]]] = [
+        (i, list(r["__v"])) for i, r in enumerate(seed_rows)
+    ]
+    dim = len(cent_rows[0][1]) if cent_rows else 0
     for _ in range(iters):
-        assigned = _assign_cells(pts, cents, "__v")
-        cents = (
-            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
+        assigned = pts.withColumn(
+            "cell", _nearest_cell("__v", _centroid_literal(cent_rows))
+        )
+        # update = one shuffle of k×dim partial states: per-dimension avg
+        # aggregates get map-side partial aggregation (a posexplode →
+        # groupBy(cell,pos) form would shuffle n·dim rows instead)
+        new_rows = (
+            assigned.groupBy("cell")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.getField("m"),
+                F.array(
+                    *[F.avg(F.element_at("__v", i + 1)) for i in range(dim)]
                 ).alias("centroid")
             )
+            .collect()
         )
-    return cents
-
-
-def _assign_cells(pts: DataFrame, cents: DataFrame, vec_field: str) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k-row centroid table,
-    squared-L2 per pair, argmin with deterministic (dist, cell) tiebreak."""
-    d2 = F.aggregate(
-        F.zip_with(F.col(vec_field), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = pts.crossJoin(F.broadcast(cents)).withColumn("__d2", d2)
-    return (
-        scored.groupBy("__pid")
-        .agg(
-            F.min_by("cell", F.struct("__d2", "cell")).alias("cell"),
-            F.first(vec_field).alias(vec_field),
-        )
-    )
+        updated = {int(r["cell"]): list(r["centroid"]) for r in new_rows}
+        # a cell that captured no points keeps its previous centroid
+        cent_rows = [(c, updated.get(c, v)) for c, v in cent_rows]
+    return spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
 
 
 def ivf_topk(
@@ -144,31 +175,33 @@ def ivf_topk(
     cents = kmeans_centroids(
         corpus, vec_col=vec_col, id_col=id_col, k=n_cells, iters=kmeans_iters
     )
-    c_assigned = _assign_cells(
-        corpus.select(
-            F.col(id_col).alias("__pid"),
-            F.col(vec_col).cast("array<double>").alias("__cvec"),
-        ),
-        cents,
-        "__cvec",
-    ).select(F.col("__pid").alias("neighbor_id"), "cell", "__cvec")
+    cent_rows = [(int(r["cell"]), list(r["centroid"])) for r in cents.collect()]
+    cent_lit = _centroid_literal(cent_rows)
 
-    # each query probes its n_probe nearest cells
-    d2 = F.aggregate(
-        F.zip_with(F.col("__qvec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("__d2"), F.col("cell"))
+    # corpus assignment: map-only argmin against the literal centroids
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    ).withColumn("cell", _nearest_cell("__cvec", cent_lit))
+
+    # each query probes its n_probe nearest cells — row-local: sort the
+    # k (d2, cell) scores in-row and explode the first n_probe
     q_cells = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("__qvec"),
         )
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__d2", d2)
-        .withColumn("__pr", F.row_number().over(probe_w))
-        .filter(F.col("__pr") <= n_probe)
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(_cell_scores("__qvec", cent_lit)), 1, n_probe
+                    ),
+                    lambda s: s.getField("cell"),
+                )
+            ),
+        )
         .select("query_id", "__qvec", "cell")
     )
     scored = (

@@ -77,3 +77,24 @@ def test_frame_sample_counts(spark, sf_smoke):
     # 0,1000,2000,3000 → 4 frames per video
     assert frames.count() == 20 * 4
     assert frames.columns == ["media_id", "frame_ts_ms"]
+
+
+def test_resize_plumbing_shapes_and_determinism(spark, sf_smoke):
+    media = mm.media_table_from_documents(io.load(spark, sf_smoke, "documents"))
+    out = mm.resize_images(media, target_w=16, target_h=8)
+    rows = out.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert len(r.blob) == 16 * 8
+        assert r.meta.width == 16 and r.meta.height == 8
+        # media_type/format/duration metadata rides through unchanged
+        assert r.meta.media_type in ("image", "video")
+    # deterministic across runs
+    a = {(r.media_id, bytes(r.blob)) for r in out.limit(20).collect()}
+    assert {(r.media_id, bytes(r.blob)) for r in rows} == a
+
+
+def test_resize_strict_raises(spark, sf_smoke):
+    media = mm.media_table_from_documents(io.load(spark, sf_smoke, "documents"))
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        mm.resize_images(media, decode="strict").limit(1).collect()

@@ -1,0 +1,55 @@
+"""Salted-join equivalence: salting must be invisible in the result —
+row-for-row identical to the plain shuffle join, for inner and left,
+including unmatched left rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.operators.skew import salted_join
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_salted_inner_join_equals_plain(spark, sf_smoke):
+    li = io.load(spark, sf_smoke, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    supp = io.load(spark, sf_smoke, "supplier")
+    plain = li.join(supp, "s_suppkey")
+    salted = salted_join(li, supp, "s_suppkey", salt_buckets=8)
+    cols = ["s_suppkey", "l_orderkey", "l_linenumber", "s_name"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_salted_left_join_keeps_unmatched(spark, sf_smoke):
+    # make some probe keys unmatched by filtering the build side
+    li = io.load(spark, sf_smoke, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    supp = io.load(spark, sf_smoke, "supplier").filter(F.col("s_suppkey") <= 3)
+    plain = li.join(supp, "s_suppkey", "left")
+    salted = salted_join(li, supp, "s_suppkey", salt_buckets=8, how="left")
+    cols = ["s_suppkey", "l_orderkey", "l_linenumber", "s_name"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_salt_spreads_hot_key(spark, sf_smoke):
+    """The point of the exercise: one hot key's rows must land in many
+    salt sub-keys, not one."""
+    li = io.load(spark, sf_smoke, "lineitem")
+    hot = li.filter(F.col("l_suppkey") == li.select(F.min("l_suppkey")).first()[0])
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in hot.columns])), F.lit(8)
+    ).cast("int")
+    n_salts = hot.select(salt.alias("s")).distinct().count()
+    assert n_salts >= 6, f"hot key only spread across {n_salts}/8 salts"
+
+
+def test_unsupported_how_raises(spark):
+    with pytest.raises(ValueError):
+        salted_join(None, None, "k", how="full")  # type: ignore[arg-type]
