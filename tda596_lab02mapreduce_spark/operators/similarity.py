@@ -123,33 +123,38 @@ def kmeans_centroids(
     Returns a k-row DataFrame (cell: int, centroid: array<double>).
     """
     spark = points.sparkSession
+    # cache the projected working set: every iteration re-reads it, and
+    # without persist each pass re-scans + re-decodes the parquet source
     pts = points.select(
         F.col(id_col).alias("__pid"), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    seed_rows = pts.orderBy("__pid").limit(k).collect()
-    cent_rows: list[tuple[int, list[float]]] = [
-        (i, list(r["__v"])) for i, r in enumerate(seed_rows)
-    ]
-    dim = len(cent_rows[0][1]) if cent_rows else 0
-    for _ in range(iters):
-        assigned = pts.withColumn(
-            "cell", _nearest_cell("__v", _centroid_literal(cent_rows))
-        )
-        # update = one shuffle of k×dim partial states: per-dimension avg
-        # aggregates get map-side partial aggregation (a posexplode →
-        # groupBy(cell,pos) form would shuffle n·dim rows instead)
-        new_rows = (
-            assigned.groupBy("cell")
-            .agg(
-                F.array(
-                    *[F.avg(F.element_at("__v", i + 1)) for i in range(dim)]
-                ).alias("centroid")
+    ).persist()
+    try:
+        seed_rows = pts.orderBy("__pid").limit(k).collect()
+        cent_rows: list[tuple[int, list[float]]] = [
+            (i, list(r["__v"])) for i, r in enumerate(seed_rows)
+        ]
+        dim = len(cent_rows[0][1]) if cent_rows else 0
+        for _ in range(iters):
+            assigned = pts.withColumn(
+                "cell", _nearest_cell("__v", _centroid_literal(cent_rows))
             )
-            .collect()
-        )
-        updated = {int(r["cell"]): list(r["centroid"]) for r in new_rows}
-        # a cell that captured no points keeps its previous centroid
-        cent_rows = [(c, updated.get(c, v)) for c, v in cent_rows]
+            # update = one shuffle of k×dim partial states: per-dimension avg
+            # aggregates get map-side partial aggregation (a posexplode →
+            # groupBy(cell,pos) form would shuffle n·dim rows instead)
+            new_rows = (
+                assigned.groupBy("cell")
+                .agg(
+                    F.array(
+                        *[F.avg(F.element_at("__v", i + 1)) for i in range(dim)]
+                    ).alias("centroid")
+                )
+                .collect()
+            )
+            updated = {int(r["cell"]): list(r["centroid"]) for r in new_rows}
+            # a cell that captured no points keeps its previous centroid
+            cent_rows = [(c, updated.get(c, v)) for c, v in cent_rows]
+    finally:
+        pts.unpersist()
     return spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from tda596_lab02mapreduce_spark import io
 from tda596_lab02mapreduce_spark.operators.asof import asof_join
+from tda596_lab02mapreduce_spark.operators.skew import salted_join
 from tda596_lab02mapreduce_spark.registry import register
 
 
@@ -303,4 +304,38 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("purchase_us"),
         F.unix_micros("asof_ts").alias("click_us"),
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT s_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+    doc=(
+        "Skew-proof equi-join via explicit salting (operators/skew.py): the "
+        "probe side spreads each hot key across salt_buckets sub-keys, the "
+        "build side replicates once per salt. Result must be row-identical "
+        "to the plain join — which is exactly what the oracle checks."
+    ),
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    supplier = io.load(spark, sf_dir, "supplier")
+    return (
+        salted_join(li, supplier, "s_suppkey", salt_buckets=8)
+        .groupBy("s_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
