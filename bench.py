@@ -31,6 +31,7 @@ HEADLINE = [
     "join_broadcast_dim",
     "join_sortmerge_revenue",
     "join_asof_purchase_click",
+    "join_salted_skew",
     "window_running_sum",
     "grouping_rollup",
     "dedup_minhash_lsh",

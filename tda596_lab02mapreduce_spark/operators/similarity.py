@@ -108,10 +108,17 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 3,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Lloyd's k-means for IVF coarse quantization, Spark-iterative
     style: the model (k×dim doubles) lives driver-side as literals;
     the data never leaves executors.
+
+    ``train_fraction`` trains the quantizer on a deterministic
+    (seeded) Bernoulli sample — the standard IVF practice at scale: a
+    coarse quantizer needs only enough points per cell to place
+    centroids, so at 100 TB you train on ~1e6 sampled vectors, never
+    the full corpus. Assignment (in ivf_topk) still covers every row.
 
     Deterministic: seeds are the k lowest-id vectors. Each iteration:
     assign = map-only argmin against the literal centroid array (zero
@@ -123,6 +130,8 @@ def kmeans_centroids(
     Returns a k-row DataFrame (cell: int, centroid: array<double>).
     """
     spark = points.sparkSession
+    if train_fraction is not None and train_fraction < 1.0:
+        points = points.sample(fraction=train_fraction, seed=7)
     # cache the projected working set: every iteration re-reads it, and
     # without persist each pass re-scans + re-decodes the parquet source
     pts = points.select(
@@ -168,6 +177,7 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe: int = 2,
     kmeans_iters: int = 3,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the classic ANN scale path
     (Faiss IVF-Flat shape). Corpus is partitioned once into n_cells by a
@@ -178,7 +188,12 @@ def ivf_topk(
     Same output shape as brute_force_topk; recall is pytest-asserted
     (tests/test_similarity.py), driver check is rows-only."""
     cents = kmeans_centroids(
-        corpus, vec_col=vec_col, id_col=id_col, k=n_cells, iters=kmeans_iters
+        corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=n_cells,
+        iters=kmeans_iters,
+        train_fraction=train_fraction,
     )
     cent_rows = [(int(r["cell"]), list(r["centroid"])) for r in cents.collect()]
     cent_lit = _centroid_literal(cent_rows)

@@ -204,7 +204,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = io.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+    return sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3, train_fraction=0.2)
 
 
 @register(

@@ -110,3 +110,27 @@ def test_kmeans_centroids_deterministic(spark, sf_smoke):
     m1 = {r.cell: r.centroid for r in c1}
     m2 = {r.cell: r.centroid for r in c2}
     assert m1 == m2
+
+
+def test_ivf_sampled_training_recall(spark, sf_smoke):
+    """Training the coarse quantizer on a 30% sample (the 100 TB
+    posture) must not collapse recall — assignment still covers every
+    corpus row, only centroid placement is approximate."""
+    emb = io.load(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    approx = sim.ivf_topk(
+        emb, queries, k=5, n_cells=8, n_probe=3, train_fraction=0.3
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"sampled-training IVF recall@5 {recall:.2f} too low"
+    # deterministic: seeded sample → same centroids → same result set
+    b = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(
+            emb, queries, k=5, n_cells=8, n_probe=3, train_fraction=0.3
+        ).collect()
+    }
+    assert a == b
