@@ -62,3 +62,32 @@ WHERE doc_id % 5 = 0
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.media_table_from_documents(io.load(spark, sf_dir, "documents"))
     return mm.frame_sample(media, every_ms=1000)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(128 AS BIGINT) AS out_bytes,
+       md5(substring(repeat(text, CAST(128 // length(text) AS INT) + 1), 1, 128)) AS resized_md5
+FROM documents
+""",
+    doc=(
+        "Image-resize plumbing (operators/multimodal.py:resize_images): "
+        "mapInPandas re-encodes each blob to the 16x8 target budget via the "
+        "deterministic fake resample (cycle source bytes to the pixel "
+        "budget). Byte-accurate oracle: fixture text is pure ASCII, so "
+        "DuckDB's VARCHAR repeat/substring reproduces the byte cycling and "
+        "md5 matches bit-for-bit. Map-only; resized (small) blobs are what "
+        "any downstream shuffle would carry."
+    ),
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.media_table_from_documents(io.load(spark, sf_dir, "documents"))
+    resized = mm.resize_images(media, target_w=16, target_h=8)
+    return resized.select(
+        "media_id",
+        F.length("blob").cast("bigint").alias("out_bytes"),
+        F.md5("blob").alias("resized_md5"),
+    )
