@@ -176,36 +176,23 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def simhash(text: Column, *, bits: int = 64) -> Column:
-    """64-bit SimHash of the token multiset — entirely row-local
-    (one aggregate fold over the token array, no explode/shuffle).
-
-    Each token's xxhash64 votes ±1 per bit position; the signature
-    packs the sign of each counter. Near-dup pairs then differ in few
-    bits (hamming), discoverable by chunk-banding."""
-    toks = tokens_nonempty(text)
-    # Single-pass construction. Two expression-blowup traps avoided
-    # (each measured 10-100× at sf0.1, see minhash_signature note):
-    #  - per-token votes come from ONE xxhash64 call rendered to a
-    #    64-char two's-complement string by bin(), not 64 shiftright
-    #    probes of 64 separate hash calls;
-    #  - packing multiplies the counter vector by a LITERAL weight
-    #    array (zip_with references `counters` once), not 64 chained
-    #    when(element_at(counters, b)...) each inlining the whole fold.
-    # bin() is MSB-first, so weight[i] = bit (bits-1-i); index 0 is the
-    # sign bit of the packed long.
-    counters = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.split(F.lpad(F.bin(F.xxhash64(t)), bits, "0"), ""),
-                lambda c: F.when(c == "1", F.lit(1)).otherwise(F.lit(-1)).cast("long"),
-            ),
-            lambda a, v: a + v,
-        ),
+def _token_votes(t: Column, bits: int) -> Column:
+    """±1 vote vector for one token. ONE xxhash64 call rendered to a
+    two's-complement bit string by bin(), not 64 shiftright probes of
+    64 separate hash calls (expression-blowup trap, measured 10-100×
+    at sf0.1 — see minhash_signature note)."""
+    return F.transform(
+        F.split(F.lpad(F.bin(F.xxhash64(t)), bits, "0"), ""),
+        lambda c: F.when(c == "1", F.lit(1)).otherwise(F.lit(-1)).cast("long"),
     )
+
+
+def _pack_counters(counters: Column, bits: int) -> Column:
+    """Sign of each counter → packed long. Multiplies by a LITERAL
+    weight array (zip_with references `counters` once), not 64 chained
+    when(element_at(counters, b)...) each inlining the whole fold.
+    bin() is MSB-first, so weight[i] = bit (bits-1-i); index 0 is the
+    sign bit of the packed long."""
     weights = F.array(
         *[
             F.lit(-(1 << (bits - 1)) if i == 0 else (1 << (bits - 1 - i))).cast("long")
@@ -221,6 +208,74 @@ def simhash(text: Column, *, bits: int = 64) -> Column:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
+
+
+def _simhash_occurrence_fold(text: Column, *, bits: int = 64) -> Column:
+    """Reference SimHash fold: one vote fold per token OCCURRENCE.
+    Kept as the semantic baseline for the parity test of the
+    run-length-optimized simhash() below."""
+    toks = tokens_nonempty(text)
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(acc, _token_votes(t, bits), lambda a, v: a + v),
+    )
+    return _pack_counters(counters, bits)
+
+
+def simhash(text: Column, *, bits: int = 64) -> Column:
+    """64-bit SimHash of the token multiset — entirely row-local
+    (one aggregate fold over the token array, no explode/shuffle).
+
+    Each token's xxhash64 votes ±1 per bit position; the signature
+    packs the sign of each counter. Near-dup pairs then differ in few
+    bits (hamming), discoverable by chunk-banding.
+
+    Run-length optimization: sum of votes over a multiset equals
+    count × vote summed over DISTINCT tokens, so the fold walks the
+    SORTED token array carrying (prev, run_count, counters) state and
+    pays the heavy per-token vote expansion once per distinct run,
+    not once per occurrence — bit-identical signatures (parity-tested
+    against _simhash_occurrence_fold), ~repetition-factor fewer hash
+    expansions per document, still O(n log n) row-local with no
+    quadratic distinct×occurrence scan."""
+    toks = F.array_sort(tokens_nonempty(text))
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def flush(st: Column) -> Column:
+        # fold the finished run into the counters: counters += cnt × votes(prev)
+        # (st is a lambda VARIABLE — referencing it repeatedly does not
+        # re-inline the accumulated subtree, unlike a computed Column)
+        return F.zip_with(
+            st.getField("acc"),
+            _token_votes(st.getField("prev"), bits),
+            lambda a, v: a + v * st.getField("cnt"),
+        )
+
+    def merge(st: Column, t: Column) -> Column:
+        same = t == st.getField("prev")
+        return F.when(
+            same,
+            F.struct(
+                st.getField("prev").alias("prev"),
+                (st.getField("cnt") + F.lit(1).cast("long")).alias("cnt"),
+                st.getField("acc").alias("acc"),
+            ),
+        ).otherwise(
+            F.struct(
+                t.alias("prev"),
+                F.lit(1).cast("long").alias("cnt"),
+                flush(st).alias("acc"),
+            )
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        zeros.alias("acc"),
+    )
+    counters = F.aggregate(toks, init, merge, flush)
+    return _pack_counters(counters, bits)
 
 
 def simhash_pairs(

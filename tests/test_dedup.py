@@ -134,3 +134,24 @@ def test_ivf_sampled_training_recall(spark, sf_smoke):
         ).collect()
     }
     assert a == b
+
+
+def test_simhash_runlength_equals_occurrence_fold(spark, sf_smoke):
+    """The run-length simhash must be BIT-IDENTICAL to the plain
+    per-occurrence fold on every fixture document (sum over multiset
+    == count x vote over distinct runs)."""
+    from tda596_lab02mapreduce_spark.operators.dedup import (
+        _simhash_occurrence_fold,
+        simhash,
+    )
+
+    docs = io.load(spark, sf_smoke, "documents")
+    mismatch = (
+        docs.select(
+            simhash(F.col("text")).alias("fast"),
+            _simhash_occurrence_fold(F.col("text")).alias("ref"),
+        )
+        .filter(F.col("fast") != F.col("ref"))
+        .count()
+    )
+    assert mismatch == 0
