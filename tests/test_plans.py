@@ -93,3 +93,29 @@ def test_regional_revenue_broadcasts_dims(spark, sf_correctness):
     df = get("regional_revenue").spark_fn(spark, sf_correctness)
     assert plans.has_broadcast_join(df)
     assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_resize_is_map_only(spark, sf_correctness):
+    """Blob resize must not shuffle: scan → mapInPandas → project,
+    zero Exchange — the whole point of resizing BEFORE any wide op is
+    that only small blobs ever ride a shuffle."""
+    df = get("multimodal_resize").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_salted_join_joins_on_salt(spark, sf_correctness):
+    """The salted join's physical join keys must include the salt
+    column — otherwise salting silently degraded to a plain key join
+    and a hot key still lands whole on one task."""
+    df = get("join_salted_skew").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert "__salt" in plan, plan
+    assert not plans.has_operator(df, r"CartesianProduct")
+
+
+def test_ivf_plan_no_cartesian(spark, sf_correctness):
+    """IVF's probe must stay an equi-join on cell id; a cartesian here
+    means the ANN index degenerated to brute force over all pairs."""
+    df = get("similarity_ivf_topk").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, r"CartesianProduct")
