@@ -83,3 +83,42 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_set("doc_id")), ",").alias("doc_list"),
         )
     )
+
+
+_MR_ORACLE = r"""
+SELECT word AS key, CAST(CAST(count(*) AS BIGINT) AS VARCHAR) AS value
+FROM (
+  SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
+  FROM documents
+) t
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+@register(
+    "mapreduce_wordcount",
+    oracle=_MR_ORACLE,
+    doc=(
+        "Word count through the generic MapReduce façade (mapreduce.py): the "
+        "reference's EXACT mapf/reducef plugin contract (mr/worker.go:36-37, "
+        "mrapps/wc.go) run as mapInPandas → repartition(key) → applyInPandas "
+        "with full-list reduce semantics, untyped string KV output and all. "
+        "Oracle-checked equal to the tokenizer SQL — proving the façade, the "
+        "Python tokenizer (apps.py), and the Catalyst-native wordcount query "
+        "all agree. Semantic-fidelity mode: real queries use the algebraic "
+        "wordcount; this entry exists for capability parity with the engine "
+        "being replaced."
+    ),
+    tags=("flagship", "mapreduce", "udf"),
+)
+def mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark import apps, mapreduce
+
+    docs = io.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("filename"),
+        F.col("text").alias("contents"),
+    )
+    return mapreduce.run_mapreduce_df(
+        spark, docs, apps.wc_map, apps.wc_reduce, n_reduce=16
+    )
