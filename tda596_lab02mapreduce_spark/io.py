@@ -37,11 +37,17 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet, which vanilla Spark
+        # rejects (PARQUET_TYPE_ILLEGAL). nanosAsLong is a *runtime* SQL
+        # conf, so set it here — at read time — rather than relying on
+        # the session builder having done it: any caller-provided
+        # session (e.g. the correctness harness's default one) works.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, surfaced as int64 nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; floor-divide to µs —
-        # identical to DuckDB's ns→TIMESTAMP truncation.
+        # ts surfaces as int64 nanos via nanosAsLong; floor-divide to
+        # µs — identical to DuckDB's ns→TIMESTAMP truncation.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -54,9 +60,14 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (same names DuckDB
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register fixture tables as temp views (same names DuckDB
     pre-registers), so ``spark.sql`` queries and oracle SQL read the
-    same relations."""
-    for name in TABLES:
+    same relations. Pass ``tables`` to register only what the query
+    actually touches — a broken or unreadable unrelated table must not
+    take down the query (it did in round 1: grouping_sets never reads
+    events yet crashed loading it)."""
+    for name in tables:
         load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -182,7 +182,7 @@ WHERE EXISTS (
     tags=("subquery", "sql"),
 )
 def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    io.register_views(spark, sf_dir)
+    io.register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(
         """
         SELECT c_custkey, c_name
@@ -209,7 +209,7 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000
     tags=("subquery", "sql"),
 )
 def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    io.register_views(spark, sf_dir)
+    io.register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(
         """
         SELECT c_custkey, c_mktsegment
@@ -236,7 +236,7 @@ WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
     tags=("subquery", "sql"),
 )
 def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    io.register_views(spark, sf_dir)
+    io.register_views(spark, sf_dir, ("part",))
     return spark.sql(
         """
         SELECT p_partkey, p_brand, p_retailprice

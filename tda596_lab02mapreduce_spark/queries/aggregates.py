@@ -135,7 +135,7 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     tags=("agg", "grouping", "sql"),
 )
 def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    io.register_views(spark, sf_dir)
+    io.register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows
