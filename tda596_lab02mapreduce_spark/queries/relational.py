@@ -147,7 +147,7 @@ WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
     doc=(
         "Global ORDER BY (range partitioner + reservoir sample boundaries). The "
         "oracle hash is order-insensitive, so correctness here is the row set; "
-        "ordering itself is asserted in tests/test_relational.py."
+        "ordering itself is asserted in tests/test_aggregates.py."
     ),
     tags=("sort",),
 )

@@ -1,0 +1,94 @@
+"""Property assertions that the driver's hash-compare cannot express
+(VERDICT r1 §What's wrong #2): HLL accuracy bounds, libm tolerance vs
+DuckDB, and actual sortedness of the global ORDER BY — the three
+claims the round-1 docstrings made without backing tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io, registry
+from tests.oracle import duck_connect
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL++ at rsd=2% must land within a generous multiple of the
+    stated rsd of the exact distinct counts (5σ — HLL's error is a
+    distribution, not a hard bound, but 10% at rsd=2% would mean the
+    sketch is broken)."""
+    approx = {
+        r["l_returnflag"]: r
+        for r in registry.get("approx_count_distinct").spark_fn(spark, SF).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in (
+            io.load(spark, SF, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("exact_parts"),
+                F.countDistinct("l_orderkey").alias("exact_orders"),
+            )
+        ).collect()
+    }
+    assert set(approx) == set(exact) and len(exact) == 3
+    for flag, a in approx.items():
+        e = exact[flag]
+        for acol, ecol in (("approx_parts", "exact_parts"), ("approx_orders", "exact_orders")):
+            rel_err = abs(a[acol] - e[ecol]) / e[ecol]
+            assert rel_err <= 5 * 0.02, (
+                f"{flag}.{acol}: approx={a[acol]} exact={e[ecol]} rel_err={rel_err:.4f}"
+            )
+
+
+def test_scalar_math_libm_matches_duckdb_within_tolerance(spark):
+    """JVM StrictMath vs DuckDB's C libm agree to ~1 ulp; assert every
+    transcendental column within 1e-12 relative — tight enough to catch
+    a wrong function or argument, loose enough for last-ulp drift."""
+    sdf = registry.get("scalar_math_libm").spark_fn(spark, SF)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture;
+    # align rows by sorting both sides on (key, ln_price) — ln is
+    # monotone in the input, and same-key rows differ in price by far
+    # more than the engines' last-ulp drift.
+    srows = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["ln_price"], r["exp_disc"], r["qty_sq"], r["sin_tax"])
+        for r in sdf.collect()
+    )
+    con = duck_connect(SF)
+    drows = sorted(
+        con.execute(
+            """
+            SELECT l_orderkey, l_linenumber,
+                   ln(l_extendedprice) AS ln_price,
+                   exp(l_discount)     AS exp_disc,
+                   pow(l_quantity, 2.0) AS qty_sq,
+                   sin(l_tax)          AS sin_tax
+            FROM lineitem WHERE l_extendedprice > 0
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert len(drows) == len(srows) > 0
+    names = ("ln_price", "exp_disc", "qty_sq", "sin_tax")
+    for s, d in zip(srows, drows):
+        assert s[:2] == d[:2]
+        for name, sval, dval in zip(names, s[2:], d[2:]):
+            assert math.isclose(sval, dval, rel_tol=1e-12, abs_tol=1e-12), (
+                f"{s[:2]}.{name}: spark={sval!r} duckdb={dval!r}"
+            )
+
+
+def test_global_sort_sample_is_actually_ordered(spark):
+    """The one thing global_sort_sample exists to prove — rows arrive
+    in global (c_acctbal DESC, c_custkey ASC) order — checked by
+    fetching in result order and asserting monotonicity (the oracle
+    hash is order-insensitive by construction, so it can't see this)."""
+    rows = registry.get("global_sort_sample").spark_fn(spark, SF).collect()
+    assert len(rows) > 1
+    keys = [(-r["c_acctbal"], r["c_custkey"]) for r in rows]
+    assert keys == sorted(keys), "global ORDER BY violated"
