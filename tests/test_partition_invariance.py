@@ -1,0 +1,44 @@
+"""Partition-count invariance (SURVEY.md §5; VERDICT r1 §Missing #2).
+
+The reference proves its output is independent of worker/reducer count
+by diffing runs at different parallelism (main/test-mr.sh:147-198).
+The Spark translation: a representative query slice must produce the
+identical canonical row multiset at shuffle.partitions 1 vs 32 — one
+reducer vs many. Covers each shuffle-bearing operator family: agg
+(wordcount), join, window, set-op, LSH pair discovery, top-k.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tda596_lab02mapreduce_spark import registry
+from tests.oracle import value_hash
+
+SLICE = [
+    "wordcount",
+    "join_sortmerge_revenue",
+    "window_running_sum",
+    "set_except_all",
+    "dedup_minhash_lsh",
+    "topk_orders",
+]
+
+
+@pytest.mark.parametrize("name", SLICE)
+def test_result_invariant_under_shuffle_partition_count(spark, sf_smoke, name):
+    fn = registry.get(name).spark_fn
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = {}
+    try:
+        for n in (1, 32):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            df = fn(spark, sf_smoke)
+            rows = [tuple(r) for r in df.collect()]
+            assert rows, f"{name} returned no rows at partitions={n}"
+            hashes[n] = value_hash(rows, df.columns)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert hashes[1] == hashes[32], (
+        f"{name}: result depends on shuffle partition count"
+    )
