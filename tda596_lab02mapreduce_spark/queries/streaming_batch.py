@@ -91,3 +91,76 @@ GROUP BY user_id, sess_id
 )
 def stream_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(io.load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_ids",
+    oracle="""
+SELECT DISTINCT event_id FROM events
+""",
+    doc=(
+        "Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark) "
+        "drained with Trigger.AvailableNow; projected to event_id so the "
+        "result is deterministic regardless of which duplicate survived. "
+        "State is O(ids inside the watermark horizon), not O(history)."
+    ),
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+        stream_dedup,
+    )
+
+    drained = run_available_now(
+        stream_dedup(events_stream(spark, sf_dir)),
+        "q_stream_dedup_ids",
+        output_mode="append",
+    )
+    return drained.select("event_id").distinct()
+
+
+@register(
+    "stream_running_user_stats",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+    doc=(
+        "applyInPandasWithState running per-user (count, sum) drained with "
+        "AvailableNow; the final state per user (update-mode sink keeps every "
+        "micro-batch update — n_events is strictly increasing, so max-n is "
+        "the final one) must equal the batch aggregate. sum rounded to 2dp "
+        "on both sides: the fixture values are cents, so sums sit maximally "
+        "far from rounding boundaries (checked at all SFs)."
+    ),
+    tags=("streaming", "stateful", "udf"),
+)
+def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tda596_lab02mapreduce_spark.streaming.stateful import running_user_stats
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    drained = run_available_now(
+        running_user_stats(events_stream(spark, sf_dir)),
+        "q_stream_running_user_stats",
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("sum_value"), 2).alias("sum_value"),
+        )
+    )
