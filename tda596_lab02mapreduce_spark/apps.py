@@ -12,14 +12,22 @@ main/mrworker.go:32-49, becomes ordinary closure shipping).
 from __future__ import annotations
 
 import re
+from itertools import groupby
 
 
 def _letter_runs(text: str) -> list[str]:
-
-    # Python re supports Unicode categories only via regex module;
-    # [^\W\d_]+ ≡ Unicode letters in stdlib re (letters = word chars
-    # minus digits/underscore) — equivalent to Go unicode.IsLetter runs.
-    return [t for t in re.findall(r"[^\W\d_]+", text, flags=re.UNICODE) if t]
+    # Go unicode.IsLetter == category L* == str.isalpha per rune. The
+    # stdlib-re approximation [^\W\d_]+ is NOT equivalent: \w includes
+    # Nl/No numerics ('Ⅻ', '½', '①') that \d does not subtract, so a
+    # run like "abⅫcd" must split into ("ab","cd"), not survive whole.
+    # Fast path: regex runs, re-split only those containing non-alpha.
+    out: list[str] = []
+    for t in re.findall(r"[^\W\d_]+", text, flags=re.UNICODE):
+        if t.isalpha():
+            out.append(t)
+        else:
+            out.extend("".join(g) for is_a, g in groupby(t, str.isalpha) if is_a)
+    return out
 
 
 def wc_map(filename: str, contents: str) -> list[tuple[str, str]]:

@@ -36,8 +36,13 @@ def salted_join(
     salted into ``salt_buckets`` sub-keys and the build side replicated
     across all salts.
 
-    - probe: the large/skewed side; each row gets a deterministic salt
-      derived from the full row (xxhash64), so equal keys spread evenly.
+    - probe: the large/skewed side; each row's salt mixes the row hash
+      with a per-row id, so even *byte-identical* duplicates of a hot
+      key spread across buckets (hashing the row alone degrades to a
+      plain join exactly when a hot key's rows are identical — the
+      sentinel/default-row skew shape). The salt value never affects
+      the result, only placement: the build side is replicated across
+      all salts, so any salt assignment joins identically.
     - build: the smaller side (but assumed too big / unwanted to
       broadcast); replicated ×salt_buckets via one explode — a narrow
       map, no shuffle of its own beyond the join's.
@@ -48,7 +53,13 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salt = F.pmod(
-        F.xxhash64(F.struct(*[F.col(c) for c in probe.columns])),
+        F.xxhash64(
+            F.struct(*[F.col(c) for c in probe.columns]),
+            # row-unique disambiguator: spreads identical duplicate rows.
+            # Not stable across task retries — harmless here, since the
+            # join result is salt-invariant by construction.
+            F.monotonically_increasing_id(),
+        ),
         F.lit(salt_buckets),
     ).cast("int")
     p = probe.withColumn("__salt", salt)

@@ -227,11 +227,18 @@ def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_partkey, p_brand,
        CAST(p_retailprice AS DOUBLE) AS p_retailprice
 FROM part
-WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+WHERE p_retailprice > 1.05 * (
+  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+  FROM part)
 """,
     doc=(
         "Scalar subquery: the aggregate runs once and is broadcast into "
-        "the filter — a two-job plan, not a join."
+        "the filter — a two-job plan, not a join. The threshold goes "
+        "through an exact decimal sum so Spark and DuckDB compute the "
+        "bit-identical double (summation order cannot drift a row "
+        "across the predicate boundary); 1.05x picks a non-empty slice "
+        "of the tightly-clustered fixture prices with ~0.05 margin to "
+        "the nearest row."
     ),
     tags=("subquery", "sql"),
 )
@@ -241,7 +248,9 @@ def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p_partkey, p_brand, p_retailprice
         FROM part
-        WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        WHERE p_retailprice > 1.05 * (
+          SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM part)
         """
     )
 

@@ -98,3 +98,23 @@ def test_resize_strict_raises(spark, sf_smoke):
     media = mm.media_table_from_documents(io.load(spark, sf_smoke, "documents"))
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         mm.resize_images(media, decode="strict").limit(1).collect()
+
+
+def test_resize_oracle_fixture_precondition(spark):
+    """ADVICE r1: the multimodal_resize DuckDB oracle reproduces the
+    byte-cycling resample with *character* ops (repeat/substring/md5),
+    which is only byte-equivalent for non-empty pure-ASCII text — and
+    `128 // length(text)` NULLs out on empty text. Pin the precondition
+    at every SF so a fixture regeneration fails here, loudly, instead
+    of as a mysterious oracle hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark import io
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = io.load(spark, f"/root/testdata/{sf}", "documents")
+        bad = docs.filter(
+            (F.length("text") == 0)
+            | (F.octet_length("text") != F.length("text"))
+        ).count()
+        assert bad == 0, f"{sf}: documents.text has empty or non-ASCII rows"

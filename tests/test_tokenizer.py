@@ -69,3 +69,26 @@ def test_wordcount_corpus_matches_python_model(spark, sf_smoke):
     ).collect()
     for r in rows:
         assert list(r.toks) == _go_is_letter_runs(r.text), f"doc {r.doc_id} drifted"
+
+
+_NL_NO_ALPHABET = st.sampled_from(
+    list("abⅫ½①xyzⅣ⅛⑩é٣漢 .,") + ["Ⅻ", "№"]
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.text(alphabet=_NL_NO_ALPHABET, max_size=40))
+def test_facade_letter_runs_matches_go_model(text):
+    """ADVICE r1: apps._letter_runs must agree with the Go isalpha
+    model on Nl/No numerics ('Ⅻ', '½', '①'), which stdlib \\w counts
+    as word chars but unicode.IsLetter rejects — including mid-run
+    splits like 'abⅫcd' → ('ab', 'cd')."""
+    from tda596_lab02mapreduce_spark.apps import _letter_runs
+
+    assert _letter_runs(text) == _go_is_letter_runs(text), text
+
+
+def test_facade_letter_runs_splits_on_numeric_letters():
+    from tda596_lab02mapreduce_spark.apps import _letter_runs
+
+    assert _letter_runs("abⅫcd ½x ①") == ["ab", "cd", "x"]
