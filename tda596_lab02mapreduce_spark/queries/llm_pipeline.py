@@ -102,9 +102,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # xxhash64 family not reproducible in DuckDB; invariants pytest-checked
     doc=(
         "MinHash(16 perms) + LSH(4 bands) candidate pairs verified by exact "
-        "shingle Jaccard ≥ 0.5. Sub-quadratic by construction: pair discovery "
-        "is an equi-join on band hashes. Property test: candidates ⊇ all "
-        "exact-duplicate pairs (tests/test_dedup.py)."
+        "shingle Jaccard ≥ 0.5, fused into one corpus pass (shingle set "
+        "computed once, signature derived from it, set rides the band "
+        "exchange — operators/dedup.py:minhash_near_dup_pairs). "
+        "Sub-quadratic by construction: pair discovery is an equi-join on "
+        "band hashes. Property tests: candidates ⊇ all exact-duplicate "
+        "pairs; fused ≡ composable pipeline (tests/test_dedup.py)."
     ),
     tags=("dedup",),
 )
@@ -113,11 +116,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few-split local input: spread the compute-bound signature stage
     # across all cores (a cluster scan would already have enough splits)
     n_part = spark.sparkContext.defaultParallelism
-    pairs = dd.minhash_lsh_pairs(
-        docs, "text", "doc_id", num_perm=16, bands=4, n_partitions=n_part
-    )
-    return dd.jaccard_verify(
-        docs, pairs, "text", "doc_id", threshold=0.5, n_partitions=n_part
+    return dd.minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_perm=16, bands=4, threshold=0.5,
+        n_partitions=n_part,
     )
 
 

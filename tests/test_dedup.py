@@ -184,3 +184,17 @@ def test_ivf_fit_probe_split_caches_model(spark, sf_smoke, tmp_path, monkeypatch
     probed = sim.ivf_topk(emb, queries, k=5, n_probe=3, model=m3)
     inline = sim.ivf_topk(emb, queries, k=5, n_cells=4, kmeans_iters=2, n_probe=3)
     assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, inline.collect()))
+
+
+def test_fused_minhash_equals_composable_pipeline(spark, sf_correctness):
+    """The fused one-pass operator must return exactly the pairs the
+    composable (pairs → verify) pipeline returns, jaccard included."""
+    docs = io.load(spark, sf_correctness, "documents")
+    fused = dd.minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_perm=16, bands=4, threshold=0.5
+    )
+    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id", num_perm=16, bands=4)
+    composed = dd.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.5)
+    f = sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in fused.collect())
+    c = sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in composed.collect())
+    assert f == c and len(f) > 0
