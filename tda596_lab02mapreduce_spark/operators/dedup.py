@@ -374,7 +374,15 @@ def simhash(text: Column, *, bits: int = 64) -> Column:
         zeros.alias("acc"),
     )
     counters = F.aggregate(toks, init, merge, flush)
-    return _pack_counters(counters, bits)
+    # coalesce makes the signature NON-NULLABLE (null text → 0, same as
+    # empty text). Load-bearing for the plan, not just semantics: a
+    # downstream `hamming <= k` filter makes Catalyst infer
+    # isnotnull(bit_count(a ^ b)) → isnotnull(__sh) per side, and that
+    # inferred predicate — containing this ENTIRE fold — gets pushed
+    # into the parquet scan's Filter, evaluating the signature twice
+    # per side (measured 2.9s vs 1.5s at sf0.1). Non-nullable output
+    # constant-folds the inferred IsNotNull away.
+    return F.coalesce(_pack_counters(counters, bits), F.lit(0).cast("long"))
 
 
 def simhash_pairs(

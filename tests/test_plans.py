@@ -119,3 +119,18 @@ def test_ivf_plan_no_cartesian(spark, sf_correctness):
     means the ANN index degenerated to brute force over all pairs."""
     df = get("similarity_ivf_topk").spark_fn(spark, sf_correctness)
     assert not plans.has_operator(df, r"CartesianProduct")
+
+
+def test_dedup_signatures_not_recomputed_in_scan_filter(spark, sf_correctness):
+    """Constraint-inference blowup guard: a threshold filter over a
+    signature-derived column (hamming/jaccard) must NOT materialize an
+    inferred isnotnull(<whole signature fold>) inside the parquet
+    scan's DataFilters — that re-evaluates the fold twice per side
+    (2.9s → 1.5s at sf0.1 when fixed). Non-nullable signature output
+    (coalesce) keeps the inferred constraint constant-foldable."""
+    for name in ("dedup_simhash", "dedup_minhash_lsh"):
+        df = get(name).spark_fn(spark, sf_correctness)
+        plan = plans.formatted_plan(df)
+        for line in plan.splitlines():
+            if "PushedFilters" in line or "DataFilters" in line:
+                assert "aggregate(" not in line, f"{name}: fold pushed into scan: {line}"
