@@ -339,3 +339,77 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "join_bucketed_revenue",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+    doc=(
+        "Shuffle-free co-located join over bucketed storage: both fact "
+        "tables are written bucketBy(8, orderkey) + sortBy, so the "
+        "sort-merge join consumes the storage layout directly — zero "
+        "Exchange under the join (pinned in tests/test_plans.py). At "
+        "100 TB this is THE repeated-join strategy: pay the shuffle once "
+        "at write time, never per query. The merge hint (not a session "
+        "conf) keeps the small local fixture off the broadcast path so "
+        "the plan under test is the plan at scale."
+    ),
+    tags=("join", "bucketed", "source"),
+)
+def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    ob, lb = f"orders_bucketed_{tag}", f"lineitem_bucketed_{tag}"
+
+    def _clear_stale_location(table: str) -> None:
+        # the default catalog is in-memory: a previous process may have
+        # left the managed table's files in spark-warehouse while this
+        # session's catalog has no entry — saveAsTable then refuses with
+        # LOCATION_ALREADY_EXISTS even in overwrite mode
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+    # write-once per session: rebucketing 60k rows is cheap, but skip it
+    # when the managed tables already exist in this catalog
+    if not spark.catalog.tableExists(ob):
+        _clear_stale_location(ob)
+        (
+            io.load(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(ob)
+        )
+    if not spark.catalog.tableExists(lb):
+        _clear_stale_location(lb)
+        (
+            io.load(spark, sf_dir, "lineitem")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(lb)
+        )
+    return (
+        spark.table(ob)
+        .hint("merge")
+        .join(spark.table(lb), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -134,3 +134,18 @@ def test_dedup_signatures_not_recomputed_in_scan_filter(spark, sf_correctness):
         for line in plan.splitlines():
             if "PushedFilters" in line or "DataFilters" in line:
                 assert "aggregate(" not in line, f"{name}: fold pushed into scan: {line}"
+
+
+def test_bucketed_join_query_has_no_exchange_under_join(spark, sf_correctness):
+    """join_bucketed_revenue's sort-merge join must read the bucketed
+    layout directly: no Exchange may feed the join (the later groupBy
+    legitimately shuffles on o_orderpriority)."""
+    df = get("join_bucketed_revenue").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan[:1500]
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    # everything below the join (the plan prints children after the
+    # node) must be scan-only: no hashpartitioning on the join key
+    before_agg = plan.split("SortMergeJoin", 1)[1]
+    assert "hashpartitioning(o_orderkey" not in before_agg, plan[:2000]
+    assert "hashpartitioning(l_orderkey" not in before_agg, plan[:2000]
