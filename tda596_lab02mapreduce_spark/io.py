@@ -71,3 +71,28 @@ def register_views(
     events yet crashed loading it)."""
     for name in tables:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def widen_if_few_splits(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Decouple CPU parallelism from input-split count.
+
+    The local fixtures are single-row-group parquet files, so a scan
+    yields ~1 productive task regardless of cores and a compute-heavy
+    partial aggregation runs nearly single-threaded. When (and only
+    when) the scan has fewer partitions than the cluster's default
+    parallelism, repartition on ``key_cols`` so the expensive
+    projection/partial-agg stage runs wide. On a real cluster a 100 TB
+    scan has orders of magnitude more splits than cores and this is a
+    no-op — the extra shuffle exists precisely and only in the
+    few-split regime where it pays for itself.
+
+    ``key_cols`` must be high-cardinality: a keyed repartition survives
+    optimization, while a round-robin one under an Aggregate is
+    eliminated as redundant (observed: the optimizer drops it and the
+    partial agg stays on the narrow scan).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *key_cols)
+    return df
