@@ -39,7 +39,7 @@ GROUP BY word
     tags=("flagship", "agg", "text"),
 )
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = io.load(spark, sf_dir, "documents")
+    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select(F.explode(tokens_nonempty("text")).alias("word"))
         .groupBy("word")
@@ -73,7 +73,8 @@ GROUP BY word
     tags=("agg", "text"),
 )
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = io.load(spark, sf_dir, "documents")
+    # tokenize+explode is the CPU stage; widen past the single-split scan
+    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select("doc_id", F.explode(tokens_nonempty("text")).alias("word"))
         .groupBy("word")
