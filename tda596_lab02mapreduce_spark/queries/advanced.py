@@ -286,8 +286,11 @@ def multi_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = io.load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
-    li = io.load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    li = io.widen_if_few_splits(
+        io.load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+        ),
+        "l_orderkey",  # the join key: the widening IS the join's exchange
     )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
