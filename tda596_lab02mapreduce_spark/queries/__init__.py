@@ -13,6 +13,7 @@ from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
     relational,
     scalars,
     setops,
+    sinks,
     streaming_batch,
     udfs,
     windows,
