@@ -1,0 +1,99 @@
+"""Connected components over a candidate-pair graph.
+
+Near-dup *pairs* (MinHash/SimHash/Jaccard output) are not directly
+actionable: dedup at corpus scale keeps ONE survivor per transitive
+cluster, so the pair graph must be collapsed to components first.
+The reference has no analogue (its pipeline stops at exact key
+grouping, mrapps/wc.go:21-31); this is the §2C extension step that
+makes the dedup family end-to-end usable.
+
+Algorithm: iterative minimum-label propagation — every node starts
+labeled with its own id; each round every node takes the min of its
+own label and its neighbors' labels; fixpoint = each node holds the
+min id reachable in its component.  One round is one shuffle
+(join on dst + groupBy src), so total cost is O(diameter) shuffles.
+Near-dup graphs are overwhelmingly tiny star/clique clusters
+(diameter ≤ 3 observed on the documents corpus), so the loop ends in
+a handful of rounds; for adversarially deep graphs the public
+alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) converges in
+O(log n) rounds with the same per-round join shape — the swap is
+local to `_propagate`.
+
+Scale notes (100 TB posture):
+- the edge list is cached pre-partitioned on the join key, so every
+  round reuses one shuffle layout instead of re-exchanging;
+- labels are `localCheckpoint`ed each round — iterative loops
+  otherwise stack a join+agg lineage per round and replan the whole
+  history every action (the classic iterative-Spark trap);
+- convergence is detected with a 1-scalar action: labels only ever
+  decrease under min-propagation, so sum(label) is strictly monotone
+  and sum-unchanged ⟺ fixpoint.  No per-round `.collect()` of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 50,
+    id_out: str = "id",
+    comp_out: str = "component",
+) -> DataFrame:
+    """Collapse an undirected edge list to components.
+
+    Returns one row per node appearing in ``edges`` with its component
+    label = the minimum node id reachable from it.  Singletons (nodes
+    with no edges) are by definition absent — callers union them back
+    if they need total coverage.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # One shuffle up front, reused by the join every round.
+    sym = sym.repartition("dst").persist()
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+
+    for _ in range(max_iter):
+        labels = _propagate(sym, labels).localCheckpoint()
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:  # labels monotone ⇒ sum fixed ⇒ fixpoint
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    sym.unpersist()
+    return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))
+
+
+def _propagate(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-propagation round: comp'(v) = min(comp(v), min over
+    neighbors u of comp(u)).  Inner join suffices for the neighbor min
+    (every node in `labels` has ≥1 edge by construction); the final
+    `least` folds the node's own label in."""
+    nbr_min = (
+        sym.join(
+            labels.select(F.col("id").alias("dst"), F.col("comp").alias("nbr_comp")),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.min("nbr_comp").alias("nbr_min"))
+    )
+    return labels.join(nbr_min, labels["id"] == nbr_min["src"]).select(
+        "id", F.least("comp", "nbr_min").alias("comp")
+    )

@@ -18,7 +18,43 @@ from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
 from tda596_lab02mapreduce_spark.functions.vector import cosine_sim  # noqa: F401 (re-export for docs)
 from tda596_lab02mapreduce_spark.operators import dedup as dd
 from tda596_lab02mapreduce_spark.operators import similarity as sim
+from tda596_lab02mapreduce_spark.operators.components import connected_components
 from tda596_lab02mapreduce_spark.registry import register
+
+
+def _blocked_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate pairs (id_a < id_b, 3-shingle Jaccard) blocked on the
+    first-3-token prefix — the deterministic pair source shared by
+    `dedup_ngram_jaccard` (reports pairs) and `union_find_components`
+    (collapses them to clusters)."""
+    tk = tokens_nonempty(F.col("text"))
+    sh = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tk, 1, 3)).alias("prefix"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 2),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
+            )
+        ).alias("s"),
+    ).filter(F.size(tk) >= 3)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    return (
+        a.join(
+            b,
+            (F.col("a.prefix") == F.col("b.prefix"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                inter.cast("double")
+                / (F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter)
+            ).alias("jaccard"),
+        )
+    )
 
 
 @register(
@@ -67,34 +103,7 @@ FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load(spark, sf_dir, "documents")
-    tk = tokens_nonempty(F.col("text"))
-    sh = docs.select(
-        "doc_id",
-        F.concat_ws(" ", F.slice(tk, 1, 3)).alias("prefix"),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 2),
-                lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
-            )
-        ).alias("s"),
-    ).filter(F.size(tk) >= 3)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
-    return (
-        a.join(
-            b,
-            (F.col("a.prefix") == F.col("b.prefix"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            (
-                inter.cast("double")
-                / (F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter)
-            ).alias("jaccard"),
-        )
-    )
+    return _blocked_jaccard_pairs(docs)
 
 
 @register(
@@ -398,3 +407,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 31 + F.ascii(c).cast("long")) % 1000000007,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "union_find_components",
+    oracle=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         array_to_string(tk[1:3], ' ') AS prefix,
+         list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       CAST(c.doc_id = c.cluster_id AS BIGINT) AS keep
+FROM comp c
+JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY cluster_id) s USING (cluster_id)
+""",
+    doc=(
+        "Transitive near-dup clustering: the blocked 3-shingle Jaccard "
+        "pairs (same deterministic pair source as dedup_ngram_jaccard, "
+        "threshold 0.5) collapsed to connected components by iterative "
+        "min-label propagation (operators/components.py) — O(diameter) "
+        "shuffle rounds, lineage checkpointed per round, 1-scalar "
+        "convergence action. Survivor = lowest doc_id per cluster "
+        "(keep=1). The DuckDB oracle recomputes the fixpoint "
+        "independently via WITH RECURSIVE reachability, so the whole "
+        "iterative loop is hash-checked, not just pair discovery."
+    ),
+    tags=("dedup",),
+)
+def union_find_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        pairs, "id_a", "id_b", id_out="doc_id", comp_out="cluster_id"
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).cast("long").alias("keep"),
+    )

@@ -1,0 +1,45 @@
+"""Connected-components operator (operators/components.py).
+
+The oracle test (tests/test_queries_oracle.py::union_find_components)
+hash-checks the full query against a DuckDB WITH RECURSIVE fixpoint;
+these tests pin the operator's algorithmic properties on synthetic
+graphs where the answer is known by construction — in particular a
+long chain, which forces many propagation rounds (the documents
+corpus only ever needs ~2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tda596_lab02mapreduce_spark.operators.components import connected_components
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df, **kw)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 0-1-2-...-9: diameter 9, needs multiple min-propagation rounds.
+    got = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_disjoint_components_stay_disjoint(spark):
+    # clique {1,2,3}, edge {10,11}, chain {20,21,22}; min id labels each.
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (21, 20), (21, 22)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_edge_direction_is_ignored(spark):
+    # labels must propagate against the stored edge direction too.
+    got = _cc(spark, [(5, 1), (1, 9)])
+    assert got == {1: 1, 5: 1, 9: 1}
+
+
+def test_max_iter_guard_raises(spark):
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _cc(spark, [(i, i + 1) for i in range(9)], max_iter=2)
