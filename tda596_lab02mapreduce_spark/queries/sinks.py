@@ -97,3 +97,103 @@ def sink_text_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("line", r"^(\S+) (\S+)$", 2).cast("long").alias("cnt"),
     )
     return parsed
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part
+GROUP BY p_brand
+""",
+    doc=(
+        "ORC sink + re-scan: part written as ORC (Spark's second "
+        "first-class columnar format, same vectorized FileSourceScan + "
+        "pushdown path as parquet), read back, aggregated; oracle runs "
+        "on the ORIGINAL parquet — any type drift across the "
+        "parquet→ORC→scan cycle breaks the hash."
+    ),
+    tags=("sink", "source"),
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = io.load(spark, sf_dir, "part")
+    path = _sink_path(sf_dir, "part_orc")
+    sources.write_orc(part, path)
+    back = sources.read_orc(spark, path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "sink_csv_roundtrip",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc=(
+        "CSV sink + re-scan with explicit schema (CSV is typeless, so the "
+        "read-back declares the types — inference is both a second full "
+        "pass and a correctness hazard). Doubles survive because Spark "
+        "writes shortest-round-trip decimal strings; the aggregate is "
+        "hash-matched against the ORIGINAL parquet table."
+    ),
+    tags=("sink", "source"),
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.load(spark, sf_dir, "customer")
+    path = _sink_path(sf_dir, "customer_csv")
+    sources.write_csv(cust, path)
+    back = sources.read_csv(
+        spark,
+        path,
+        schema="c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_bal"),
+    )
+
+
+@register(
+    "sink_json_roundtrip",
+    oracle="""
+SELECT CAST(s_nationkey AS INT) AS s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_supp,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM supplier
+GROUP BY s_nationkey
+""",
+    doc=(
+        "JSON-lines sink + re-scan with explicit schema (schemaless "
+        "format, declared types on read — same rationale as CSV). "
+        "Aggregate hash-matched against the ORIGINAL parquet table."
+    ),
+    tags=("sink", "source"),
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = io.load(spark, sf_dir, "supplier")
+    path = _sink_path(sf_dir, "supplier_json")
+    sources.write_json(supp, path)
+    back = sources.read_json(
+        spark,
+        path,
+        schema="s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_bal"),
+    )

@@ -72,6 +72,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (both go through the vectorized FileSourceScan path)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_parquet(
     df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None
 ) -> None:
