@@ -470,3 +470,80 @@ def union_find_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).cast("long").alias("keep"),
     )
+
+
+def _pii_oracle() -> str:
+    # Single source of truth: the SAME pattern strings the Spark-side
+    # redact_pii applies (Java-regex ∩ RE2 subset) are spliced into the
+    # DuckDB oracle, with 'g' for replace-all (Spark's default).
+    from tda596_lab02mapreduce_spark.functions.text import PII_PATTERNS
+
+    (em, em_t), (ip, ip_t), (ph, ph_t) = PII_PATTERNS
+    sql = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(raw, '$EM', '$EMT', 'g'),
+                                     '$IP', '$IPT', 'g'),
+                      '$PH', '$PHT', 'g') AS clean,
+       CAST(len(regexp_extract_all(raw, '$EM')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(regexp_replace(raw, '$EM', '$EMT', 'g'), '$IP')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(regexp_replace(regexp_replace(raw, '$EM', '$EMT', 'g'), '$IP', '$IPT', 'g'), '$PH')) AS BIGINT) AS n_phone
+FROM enriched
+"""
+    for k, v in (
+        ("$EMT", em_t), ("$IPT", ip_t), ("$PHT", ph_t),
+        ("$EM", em), ("$IP", ip), ("$PH", ph),
+    ):
+        sql = sql.replace(k, v)
+    return sql
+
+
+@register(
+    "text_pii_redact",
+    oracle=_pii_oracle(),
+    doc=(
+        "PII scrubbing — the redaction stage of an LLM training-data "
+        "pipeline: emails, IPv4s, and phone fragments replaced with "
+        "typed placeholders by a pure regexp_replace chain "
+        "(functions/text.py:redact_pii — JVM-side, zero shuffle, no "
+        "UDF), plus per-document match counts. The corpus text carries "
+        "no PII, so each doc is deterministically enriched with "
+        "doc_id-derived email/phone/IP on BOTH engines; the oracle "
+        "re-applies the identical pattern strings, so placement, "
+        "ordering, and replace-all semantics are all hash-checked."
+    ),
+    tags=("textan",),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.text import PII_PATTERNS, redact_pii
+
+    docs = io.load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    (em, em_t), (ip, ip_t), (ph, _) = PII_PATTERNS
+    enriched = docs.select("doc_id", raw.alias("raw"))
+    after_em = F.regexp_replace(F.col("raw"), em, em_t)
+    after_ip = F.regexp_replace(after_em, ip, ip_t)
+    return enriched.select(
+        "doc_id",
+        redact_pii("raw").alias("clean"),
+        F.regexp_count(F.col("raw"), F.lit(em)).cast("long").alias("n_email"),
+        F.regexp_count(after_em, F.lit(ip)).cast("long").alias("n_ip"),
+        F.regexp_count(after_ip, F.lit(ph)).cast("long").alias("n_phone"),
+    )

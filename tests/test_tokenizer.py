@@ -92,3 +92,27 @@ def test_facade_letter_runs_splits_on_numeric_letters():
     from tda596_lab02mapreduce_spark.apps import _letter_runs
 
     assert _letter_runs("abⅫcd ½x ①") == ["ab", "cd", "x"]
+
+
+def test_redact_pii_semantics(spark):
+    from tda596_lab02mapreduce_spark.functions.text import redact_pii
+
+    cases = [
+        # email swallowed whole, including dotted/digit local parts
+        ("mail bob.smith+x9@sub.example.org now", "mail <EMAIL> now"),
+        # IP redacted before the shorter phone pattern can bite fragments
+        ("srv 192.168.0.1 up", "srv <IP> up"),
+        # phone
+        ("call 555-0134 today", "call <PHONE> today"),
+        # replace-all, mixed types in one string
+        (
+            "a@b.co c@d.io 10.0.0.2 555-1234",
+            "<EMAIL> <EMAIL> <IP> <PHONE>",
+        ),
+        # no false positives: bare words, short digit runs, version-ish
+        ("plain words 12-34 v1.2 stay", "plain words 12-34 v1.2 stay"),
+    ]
+    df = spark.createDataFrame(cases, ["raw", "want"])
+    got = df.select("want", redact_pii("raw").alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["got"], r["want"])
