@@ -364,3 +364,78 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "upsert_customer_batch",
+    oracle="""
+WITH upd AS (
+  SELECT c_custkey, 'upd-' || c_name AS c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new-' || CAST(c_custkey AS VARCHAR),
+         c_nationkey, 0.0, c_mktsegment
+  FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+""",
+    doc=(
+        "MERGE-style keyed upsert (operators/upsert.py): a "
+        "deterministic delta batch (every 10th customer updated "
+        "row-wholesale, every 97th inserted under a shifted key) "
+        "applied to the base table via full-outer join + matched-wins "
+        "projection — the record-level mutation primitive vanilla "
+        "Spark lacks without a table format. One keyed shuffle per "
+        "side; delta broadcastable when small."
+    ),
+    tags=("merge",),
+)
+def upsert_customer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.upsert import upsert
+
+    cust = io.load(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("upd-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    return upsert(cust, updates, "c_custkey")
+
+
+@register(
+    "stats_approx_quantiles",
+    oracle=None,  # GK sketch is engine-specific; accuracy bound pytest-asserted
+    doc=(
+        "approx_percentile (Greenwald-Khanna sketch, accuracy 10000 ⇒ "
+        "rank error ≤ 1/10000) — the 100 TB form of percentile_quantiles: "
+        "mergeable partial sketches instead of a per-group sort, so the "
+        "agg stays partial+final with bounded state. Rows-only by "
+        "contract; tests/test_aggregates.py asserts every sketch "
+        "quantile lands within the documented rank-error window of the "
+        "exact percentile on the same data."
+    ),
+    tags=("agg", "stats", "sketch"),
+)
+def stats_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.25), F.lit(10000)).alias("p25_price"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_price"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95_price"),
+    )

@@ -547,3 +547,43 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(after_em, F.lit(ip)).cast("long").alias("n_ip"),
         F.regexp_count(after_ip, F.lit(ph)).cast("long").alias("n_phone"),
     )
+
+
+@register(
+    "vector_centroid_by_label",
+    oracle="""
+WITH long AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT label, dim,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY v)),
+                   (acc, x) -> acc + x) / count(*) AS centroid
+FROM long
+GROUP BY label, dim
+""",
+    doc=(
+        "Per-label embedding centroid in long form (label, dim, mean) — "
+        "the class-prototype/IVF-training primitive. Floating-point "
+        "cross-row sums are order-sensitive, so both engines fold the "
+        "group's values in SORTED order (array_sort + left-fold ≡ "
+        "DuckDB list(ORDER BY) + list_reduce) — bit-identical by "
+        "construction, no tolerance needed. Scale note: the ordered "
+        "fold is the exact-match testing form; the production path is "
+        "a plain partial+final sum/count (same shuffle shape, "
+        "tolerance-compared)."
+    ),
+    tags=("similarity", "agg"),
+)
+def vector_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    long = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    grouped = long.groupBy("label", "dim").agg(
+        F.array_sort(F.collect_list(F.col("v").cast("double"))).alias("vs")
+    )
+    total = F.aggregate("vs", F.lit(0.0), lambda acc, x: acc + x)
+    return grouped.select(
+        "label", "dim", (total / F.size("vs")).alias("centroid")
+    )

@@ -92,3 +92,31 @@ def test_global_sort_sample_is_actually_ordered(spark):
     assert len(rows) > 1
     keys = [(-r["c_acctbal"], r["c_custkey"]) for r in rows]
     assert keys == sorted(keys), "global ORDER BY violated"
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """GK sketch guarantee: the returned value's RANK is within
+    eps*N of the target rank (eps = 1/accuracy = 1e-4). Assert with
+    10x slack against the exact per-group distributions."""
+    sketch = {
+        r["l_returnflag"]: r
+        for r in registry.get("stats_approx_quantiles").spark_fn(spark, SF).collect()
+    }
+    li = io.load(spark, SF, "lineitem")
+    groups = {
+        g["l_returnflag"]: sorted(
+            x["l_extendedprice"]
+            for x in li.filter(F.col("l_returnflag") == g["l_returnflag"])
+            .select("l_extendedprice")
+            .collect()
+        )
+        for g in li.select("l_returnflag").distinct().collect()
+    }
+    eps = 10.0 / 10000  # 10x slack over the documented 1/accuracy
+    for flag, vals in groups.items():
+        n = len(vals)
+        for q, col in ((0.25, "p25_price"), (0.5, "p50_price"), (0.95, "p95_price")):
+            got = sketch[flag][col]
+            lo = vals[max(0, math.floor((q - eps) * n) - 1)]
+            hi = vals[min(n - 1, math.ceil((q + eps) * n))]
+            assert lo <= got <= hi, (flag, col, got, lo, hi)

@@ -22,6 +22,10 @@ SLICE = [
     "set_except_all",
     "dedup_minhash_lsh",
     "topk_orders",
+    # round-2 additions: iterative fixpoint, spine+ffill, full-outer merge
+    "union_find_components",
+    "timeseries_gapfill",
+    "upsert_customer_batch",
 ]
 
 
