@@ -149,3 +149,39 @@ def test_bucketed_join_query_has_no_exchange_under_join(spark, sf_correctness):
     before_agg = plan.split("SortMergeJoin", 1)[1]
     assert "hashpartitioning(o_orderkey" not in before_agg, plan[:2000]
     assert "hashpartitioning(l_orderkey" not in before_agg, plan[:2000]
+
+
+def test_unpivot_is_shuffle_free(spark, sf_correctness):
+    """Wide-to-long must be a row-local Expand — any Exchange means
+    the reshape is moving data it doesn't need to."""
+    df = get("unpivot_part_metrics").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "Exchange"), plans.formatted_plan(df)
+
+
+def test_gapfill_spine_join_broadcasts(spark, sf_correctness):
+    """The dense-grid join must broadcast the O(hours x series) spine
+    side, never shuffle the grid as if it were data-sized, and never
+    degrade to a cartesian."""
+    df = get("timeseries_gapfill").spark_fn(spark, sf_correctness)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_upsert_is_single_full_outer_join(spark, sf_correctness):
+    """The merge is exactly one full-outer equi-join on the key — no
+    nested loop, no second pass over the base table."""
+    df = get("upsert_customer_batch").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert "FullOuter" in plan, plan
+    assert not plans.has_operator(df, "CartesianProduct")
+    assert not plans.has_operator(df, "BroadcastNestedLoop")
+
+
+def test_centroid_aggregation_is_partial_final(spark, sf_correctness):
+    """posexplode blows rows up 64x; the mean must still aggregate
+    map-side first (partial collect_list per input split) so only
+    per-group state crosses the wire."""
+    df = get("vector_centroid_by_label").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan, plan
+    assert not plans.has_operator(df, "CartesianProduct")
