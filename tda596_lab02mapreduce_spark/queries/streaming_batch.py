@@ -164,3 +164,33 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       date_diff('second', CAST(c.ts AS TIMESTAMP), CAST(p.ts AS TIMESTAMP)) AS gap_sec
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '30 minutes'
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+    doc=(
+        "Stream-stream interval self-join (attribution): every click "
+        "within 30 minutes before a same-user purchase. The SAME "
+        "function runs as a watermarked stream-stream join "
+        "(streaming/windows.py:purchase_click_attribution — both sides "
+        "watermarked, condition time-bounds buffered state) and as this "
+        "batch form; stream-vs-batch invariance in "
+        "tests/test_streaming.py, values hash-checked here."
+    ),
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        purchase_click_attribution,
+    )
+
+    return purchase_click_attribution(io.load(spark, sf_dir, "events"))

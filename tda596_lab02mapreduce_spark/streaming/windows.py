@@ -143,3 +143,47 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def purchase_click_attribution(
+    events: DataFrame,
+    *,
+    watermark: str = "2 hours",
+    lookback: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval self-join: every (purchase, click) pair
+    for the same user where the click precedes the purchase by at most
+    ``lookback`` — the attribution join. Batch and stream share this
+    definition; on a stream, BOTH sides carry watermarks and the join
+    condition time-bounds the buffered state (without the bound a
+    stream-stream join must retain each side forever)."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"interval {lookback}")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("gap_sec"),
+    )

@@ -139,3 +139,23 @@ def test_late_data_dropped_by_watermark(spark, sf_smoke, tmp_path):
     assert not (emitted2 & late_windows), (
         f"late windows leaked past the watermark: {sorted(emitted2 & late_windows)[:5]}"
     )
+
+
+def test_interval_join_batch_vs_stream(spark, sf_smoke):
+    """The watermarked stream-stream self-join must emit exactly the
+    batch join's pairs once the stream drains (append mode: joins
+    emit as matches are found, nothing held to end-of-time)."""
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        purchase_click_attribution,
+    )
+
+    batch = purchase_click_attribution(io.load(spark, sf_smoke, "events"))
+    stream = run_available_now(
+        purchase_click_attribution(events_stream(spark, sf_smoke)),
+        "interval_join_stream",
+        output_mode="append",
+    )
+    cols = batch.columns
+    assert sorted(map(tuple, batch.select(*cols).collect())) == sorted(
+        map(tuple, stream.select(*cols).collect())
+    )
