@@ -106,3 +106,57 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="metric_value",
     )
+
+
+@register(
+    "user_funnel_conversion",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+stage AS (
+  SELECT user_id, user_id % 4 AS cohort,
+         min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+         min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM ev GROUP BY user_id
+)
+SELECT cohort,
+       CAST(count(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE t_signup IS NOT NULL
+                               AND t_click > t_signup) AS BIGINT) AS n_signup_then_click,
+       CAST(count(*) FILTER (WHERE t_signup IS NOT NULL
+                               AND t_click > t_signup
+                               AND t_purchase > t_click) AS BIGINT) AS n_full_funnel
+FROM stage
+GROUP BY cohort
+""",
+    doc=(
+        "Ordered-sequence funnel (signup → click → purchase) per user, "
+        "rolled up by cohort: stage timestamps via conditional-min "
+        "aggregation (one pass over events, partial+final), ordering "
+        "predicates applied on the per-user row — no self-joins, no "
+        "window sort over the raw stream. The 100 TB shape: events "
+        "shuffle once on user_id; everything after is per-user-row "
+        "local and then a tiny cohort rollup."
+    ),
+    tags=("timeseries", "agg"),
+)
+def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 4).alias("cohort"),
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signed_up = F.col("t_signup").isNotNull()
+    clicked_after = signed_up & (F.col("t_click") > F.col("t_signup"))
+    full_funnel = clicked_after & (F.col("t_purchase") > F.col("t_click"))
+    return stage.groupBy("cohort").agg(
+        F.count(F.when(signed_up, 1)).alias("n_signup"),
+        F.count(F.when(clicked_after, 1)).alias("n_signup_then_click"),
+        F.count(F.when(full_funnel, 1)).alias("n_full_funnel"),
+    )
