@@ -15,6 +15,7 @@ from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
     setops,
     sinks,
     streaming_batch,
+    textprep,
     timeseries,
     udfs,
     windows,

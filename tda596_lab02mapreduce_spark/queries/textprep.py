@@ -1,0 +1,209 @@
+"""Training-data text-preparation queries (SURVEY.md §2C): TF-IDF
+weighting, overlapping-window document chunking, deterministic
+train/valid/test splitting, and bigram counting.
+
+These are the corpus-shaping stages an LLM data pipeline runs after
+dedup/quality filtering (the reference's pg-*.txt corpus prepared for
+training rather than counted — the same wc.go letter-run tokenizer
+semantics throughout, ``mrapps/wc.go:21-24``). Everything is pure
+Column expressions: tokenization and windowing are row-local, the only
+shuffles are the keyed aggregations, so each plan survives a 100×
+scale-up unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+from tda596_lab02mapreduce_spark.registry import register
+
+_TOK_SQL = r"unnest(string_split_regex(text, '[^\p{L}]+'))"
+
+
+@register(
+    "text_tfidf",
+    oracle=rf"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS word FROM documents),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE word <> '' GROUP BY doc_id, word
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, word, tf,
+       CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE)
+                     / count(*) OVER (PARTITION BY word)), 4) AS tfidf
+FROM tf, n
+""",
+    doc=(
+        "TF-IDF per (doc, word): one explode + (doc_id, word) hash "
+        "aggregate for tf, df via a count window over word (second "
+        "shuffle, keyed — no global sort), corpus size N broadcast as "
+        "a 1-row cross join (Spark's scalar-subquery shape, not a "
+        "driver-side collect). tfidf rounded to 4 dp; the rounding "
+        "margin vs the boundary is asserted in tests/test_textprep.py "
+        "so Spark/DuckDB libm drift cannot flip a digit."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("word"))
+    return (
+        tf.crossJoin(F.broadcast(n_docs))
+        .withColumn("df", df_w)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[^\p{{L}}]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(tk, start, start + 31)) AS INTEGER) AS chunk_len,
+       array_to_string(list_slice(tk, start, start + 31), ' ') AS chunk_text
+FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 24)) AS start FROM tok)
+""",
+    doc=(
+        "Overlapping-window chunking for LLM context packing: 32-token "
+        "chunks, stride 24 (8-token overlap). Chunk starts come from a "
+        "row-local sequence() explode and the slice is computed "
+        "in-expression — zero shuffles, zero UDFs; the output is "
+        "map-only over the scan, the ideal 100 TB shape. Trailing "
+        "chunks shorter than 32 tokens are emitted (chunk_len says "
+        "how short), matching how packing pipelines keep tail text."
+    ),
+    tags=("text", "llm"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    tk = tokens_nonempty("text")
+    chunk = F.expr("slice(tk, start, 32)")
+    return (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 1)  # sequence(1, 0, 24) would throw on empty docs
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(1), F.size("tk"), F.lit(24))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / F.lit(24)).cast("bigint").alias("chunk_id"),
+            F.size(chunk).alias("chunk_len"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "split_train_valid_test",
+    oracle="""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY split, lang
+""",
+    doc=(
+        "Deterministic train/valid/test assignment: bucket on the "
+        "first md5 byte of the stable doc id (hex strings compare "
+        "lexicographically, so 'cd'/'e6' cut 256 buckets at ~80/10/10) "
+        "— reproducible across engines, runs, and cluster sizes, "
+        "unlike rand()-based sampling. Assignment is row-local; the "
+        "only shuffle is the tiny (split, lang) rollup. The same "
+        "hash-threshold trick does per-stratum downsampling at 100 TB "
+        "with zero coordination."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "text_bigram_counts",
+    oracle=rf"""
+WITH tok AS (
+  SELECT list_filter(string_split_regex(text, '[^\p{{L}}]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM tok
+)
+GROUP BY bigram
+HAVING count(*) >= 5
+""",
+    doc=(
+        "Adjacent-token bigram counts (n-gram LM statistics / repeated "
+        "boilerplate detection), kept where cnt >= 5. Bigrams are "
+        "built row-locally from one transform over the token array "
+        "(no self-join of the exploded tokens — the naive pos-join "
+        "formulation shuffles the whole corpus twice); the single "
+        "shuffle is the partial+final count on the bigram key."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
+    tk = tokens_nonempty("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)),
+    )
+    return (
+        docs.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
