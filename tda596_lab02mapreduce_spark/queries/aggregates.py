@@ -207,3 +207,52 @@ def min_max_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_returnflag").alias("max_flag"),
         )
     )
+
+
+@register(
+    "histogram_extendedprice",
+    oracle="""
+WITH cents AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem
+)
+SELECT CAST(c // 500000 AS BIGINT) AS bucket_id,
+       CAST((c // 500000) * 500000 AS BIGINT) AS lo_cents,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(c) AS BIGINT) AS min_cents,
+       CAST(max(c) AS BIGINT) AS max_cents
+FROM cents GROUP BY 1, 2
+""",
+    doc=(
+        "Fixed-width value histogram ($5,000 buckets over "
+        "l_extendedprice), the profiling primitive behind NDV/skew "
+        "inspection. Binning goes through ROUND(x*100)→BIGINT cents "
+        "first: double→int CASTs disagree between engines (Spark "
+        "truncates, DuckDB rounds), so all bucket math is integer "
+        "division on exact cents — bit-identical everywhere. "
+        "Row-local binning + one partial+final aggregate on the "
+        "bucket id; at 100 TB this is a single map-combine shuffle "
+        "of ~#buckets rows per partition."
+    ),
+    tags=("agg",),
+)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    bucket = F.expr("c div 500000")
+    return (
+        io.load(spark, sf_dir, "lineitem")
+        .select(cents.alias("c"))
+        .select("c", bucket.alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .select(
+            "bucket_id",
+            (F.col("bucket_id") * 500000).alias("lo_cents"),
+            "n_rows",
+            "min_cents",
+            "max_cents",
+        )
+    )

@@ -207,3 +207,73 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 5)
     )
+
+
+@register(
+    "decontaminate_train_split",
+    oracle=r"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, split,
+         list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+  FROM assigned WHERE split IN ('train', 'test')
+),
+sh AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(
+           range(1, len(tk) - 6),
+           i -> array_to_string(list_slice(tk, i, i + 7), ' ')))) AS s
+  FROM tok WHERE len(tk) >= 8
+)
+SELECT tr.doc_id, CAST(count(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs
+FROM sh tr JOIN sh te ON tr.s = te.s
+WHERE tr.split = 'train' AND te.split = 'test'
+GROUP BY tr.doc_id
+""",
+    doc=(
+        "Benchmark decontamination: train-split documents sharing any "
+        "8-token shingle with a test-split document, with the count "
+        "of distinct test docs hit. Shingles are built and deduped "
+        "row-locally, so the join input is O(doc_len) rows per doc "
+        "and the contamination check is a plain equi-join on the "
+        "shingle string — never train×test pairs. At 100 TB the "
+        "test side is the small split (~10%): hash-join builds on "
+        "it, or broadcast when the benchmark suite is bounded."
+    ),
+    tags=("text", "llm", "join"),
+)
+def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "valid").otherwise("test")
+    )
+    tk = tokens_nonempty(F.col("text"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 7),
+            lambda i: F.concat_ws(" ", F.slice("tk", i, F.lit(8))),
+        )
+    )
+    sh = (
+        docs.select("doc_id", split.alias("split"), tk.alias("tk"))
+        .filter(F.col("split").isin("train", "test") & (F.size("tk") >= 8))
+        .select("doc_id", "split", F.explode(shingles).alias("s"))
+    )
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("doc_id"), "s"
+    )
+    te = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_id"), "s"
+    )
+    return (
+        tr.join(te, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("test_id").alias("n_test_docs"))
+    )

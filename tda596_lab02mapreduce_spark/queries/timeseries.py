@@ -160,3 +160,65 @@ def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked_after, 1)).alias("n_signup_then_click"),
         F.count(F.when(full_funnel, 1)).alias("n_full_funnel"),
     )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS t_start,
+       max(ts) AS t_end,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    doc=(
+        "Batch gap-based sessionization (30-min inactivity threshold): "
+        "lag + cumulative-sum session numbering, then a per-session "
+        "rollup — the batch twin of stream_session_10m's session "
+        "window. ONE shuffle on user_id serves the lag window, the "
+        "numbering window, and the (user, session) aggregate (same "
+        "key prefix, Catalyst reuses the partitioning). Tie-safe: "
+        "equal timestamps yield gap 0 regardless of peer order, so "
+        "the cumulative numbering is deterministic. Durations in "
+        "integer microseconds — no float, no truncation ambiguity."
+    ),
+    tags=("timeseries", "window", "agg"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = (
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    )
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )

@@ -185,3 +185,32 @@ def test_centroid_aggregation_is_partial_final(spark, sf_correctness):
     plan = plans.formatted_plan(df)
     assert "ObjectHashAggregate" in plan or "HashAggregate" in plan, plan
     assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_sessionize_single_exchange(spark, sf_correctness):
+    """The lag window, the session-numbering window, and the
+    (user, session) rollup must all ride ONE hash partitioning on
+    user_id — a second Exchange here re-shuffles the event stream for
+    nothing at 100 TB."""
+    df = get("sessionize_events").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) \w*Exchange", plan)) == 1, plan
+
+
+def test_decontaminate_is_equi_join(spark, sf_correctness):
+    """Train-vs-test shingle matching must be an equi-join on the
+    shingle key (broadcast or shuffled), never a nested-loop over
+    train×test docs."""
+    df = get("decontaminate_train_split").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "CartesianProduct")
+    assert not plans.has_operator(df, "BroadcastNestedLoop")
+
+
+def test_histogram_is_single_partial_final_aggregate(spark, sf_correctness):
+    """Row-local binning, then exactly one Exchange on the bucket id
+    with a partial HashAggregate below it — the shuffle carries
+    ~#buckets rows per partition, not the scan."""
+    df = get("histogram_extendedprice").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) \w*Exchange", plan)) == 1, plan
+    assert "partial" in plan.lower(), plan
