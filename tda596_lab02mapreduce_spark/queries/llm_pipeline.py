@@ -587,3 +587,47 @@ def vector_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "label", "dim", (total / F.size("vs")).alias("centroid")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)),
+           (a, x) -> a + x)) AS nrm
+  FROM base
+)
+SELECT vec_id,
+       list_transform(v, x -> CAST(round(x / nrm * 127, 0) AS INTEGER)) AS q_int8
+FROM n
+""",
+    doc=(
+        "Int8 embedding quantization: L2-normalize, scale to [-127, "
+        "127], round — the 4x storage/bandwidth compression step "
+        "before ANN indexing at scale. Entirely row-local higher-order "
+        "expressions, zero shuffle. Bit-exact across engines because "
+        "every step is IEEE-correctly-rounded double math over an "
+        "identical left-to-right fold order (the vector_centroid "
+        "lesson); the round-boundary margin and the <=0.5/127 "
+        "dequantization error bound are asserted in tests/test_dedup.py."
+    ),
+    tags=("similarity", "llm"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.vector import l2_norm
+
+    emb = io.load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = l2_norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.transform(v, lambda x: F.round(x / nrm * 127, 0).cast("int")).alias(
+            "q_int8"
+        ),
+    )

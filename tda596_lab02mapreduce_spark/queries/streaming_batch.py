@@ -194,3 +194,29 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return purchase_click_attribution(io.load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_enrich_segment",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON c_custkey = user_id + 1
+GROUP BY 1, 2
+""",
+    doc=(
+        "Stream-static dimension enrichment + windowed rollup per "
+        "market segment (streaming/windows.py:enriched_segment_agg — "
+        "broadcast dim join inside the micro-batch, watermark-bounded "
+        "state; batch-vs-stream invariance in tests/test_streaming.py)."
+    ),
+    tags=("streaming", "join", "window"),
+)
+def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.streaming.windows import enriched_segment_agg
+
+    return enriched_segment_agg(
+        io.load(spark, sf_dir, "events"), io.load(spark, sf_dir, "customer")
+    )

@@ -277,3 +277,81 @@ def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("test_id").alias("n_test_docs"))
     )
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=r"""
+WITH scored AS (
+  SELECT doc_id, text, source, n_chars,
+         list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE len(tk) BETWEEN 10 AND 10000
+    AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.25
+    AND CAST(list_contains(tk, 'the') AS INTEGER)
+        + CAST(list_contains(tk, 'and') AS INTEGER)
+        + CAST(list_contains(tk, 'of') AS INTEGER)
+        + CAST(list_contains(tk, 'a') AS INTEGER)
+        + CAST(list_contains(tk, 'to') AS INTEGER) >= 2
+),
+deduped AS (
+  SELECT min(doc_id) AS doc_id,
+         arg_min(source, doc_id) AS source,
+         arg_min(len(tk), doc_id) AS n_tokens,
+         arg_min(n_chars, doc_id) AS n_chars
+  FROM kept GROUP BY text
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM deduped GROUP BY source
+""",
+    doc=(
+        "The end-to-end corpus-cleaning pipeline a training-data run "
+        "executes as ONE declarative plan: quality gate (token count + "
+        "type-token ratio) AND language gate (stopword profile) as "
+        "row-local filters over a single tokenization, then exact "
+        "dedup keeping the lowest doc id per content hash, then the "
+        "per-source rollup. The Spark side groups on sha2(text,256) "
+        "so the dedup shuffle carries 32-byte keys + counters, never "
+        "document payloads (the oracle groups on raw text — "
+        "equivalent absent SHA-256 collisions). Filters run before "
+        "the shuffle, so rejected docs never leave their input split."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    tk = tokens_nonempty(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.size(tk).alias("n_tokens"),
+        (F.size(F.array_distinct(tk)).cast("double") / F.size(tk)).alias("ttr"),
+        sum(
+            F.array_contains(tk, w).cast("int")
+            for w in ["the", "and", "of", "a", "to"]
+        ).alias("en_score"),
+    )
+    kept = scored.filter(
+        F.col("n_tokens").between(10, 10000)
+        & (F.col("ttr") >= 0.25)
+        & (F.col("en_score") >= 2)
+    )
+    deduped = kept.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -222,3 +222,49 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_us"
         ),
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk
+  FROM events
+),
+fw AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, wk FROM ev)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+FROM act JOIN fw USING (user_id)
+GROUP BY 1, 2
+""",
+    doc=(
+        "Weekly retention cohorts: cohort = ISO week of a user's "
+        "first event, cell (cohort, offset) = distinct users active "
+        "offset weeks later. First-week agg and the distinct "
+        "(user, week) activity set share the user_id shuffle; the "
+        "cohort join is keyed on user_id too, so Catalyst plans the "
+        "whole triangle on one partitioning + a final small rollup. "
+        "Week arithmetic is exact integer days/7 on week-truncated "
+        "timestamps — no float, both engines Monday-start."
+    ),
+    tags=("timeseries", "agg", "join"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    fw = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    act = ev.distinct()
+    return (
+        act.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

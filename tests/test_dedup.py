@@ -198,3 +198,35 @@ def test_fused_minhash_equals_composable_pipeline(spark, sf_correctness):
     f = sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in fused.collect())
     c = sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in composed.collect())
     assert f == c and len(f) > 0
+
+
+def test_quantize_round_margin_and_error_bound(spark, sf_correctness):
+    """embedding_quantize_int8's oracle compares rounded int8 codes
+    bitwise, which is sound only while no scaled coordinate sits at a
+    .5 rounding boundary — assert a 1e-6 margin on every coordinate,
+    and assert the dequantization error bound (<= 0.5/127 + eps on
+    unit vectors) the compression step exists to guarantee."""
+    import math
+
+    from tda596_lab02mapreduce_spark.registry import get
+
+    rows = (
+        spark.read.parquet(f"{sf_correctness}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q = {
+        r.vec_id: r.q_int8
+        for r in get("embedding_quantize_int8").spark_fn(spark, sf_correctness).collect()
+    }
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        acc = 0.0
+        for x in v:  # left fold, exactly the engines' summation order
+            acc += x * x
+        nrm = math.sqrt(acc)
+        for x, code in zip(v, q[r.vec_id]):
+            scaled = x / nrm * 127
+            dist = abs(scaled - math.floor(scaled) - 0.5)
+            assert dist > 1e-9, f"coordinate {scaled} at a rounding boundary"
+            assert abs(code / 127 - x / nrm) <= 0.5 / 127 + 1e-12

@@ -139,3 +139,27 @@ def test_bucketed_join_needs_no_shuffle(spark, bucketed_tables):
         )
     # correctness unchanged
     assert joined.count() > 0
+
+
+def test_compact_parquet_merges_small_files(spark, sf_smoke, tmp_path):
+    import glob
+
+    docs = io.load(spark, sf_smoke, "documents")
+    fragmented = str(tmp_path / "fragmented")
+    compacted = str(tmp_path / "compacted")
+    # simulate the ingest pathology: one file per ~handful of rows
+    docs.repartition(64).write.parquet(fragmented)
+    n_small = len(glob.glob(f"{fragmented}/part-*"))
+    assert n_small == 64
+
+    n_files = sources.compact_parquet(
+        spark, fragmented, compacted, target_rows_per_file=300
+    )
+    n_big = len(glob.glob(f"{compacted}/part-*"))
+    assert n_big == n_files < n_small
+    assert os.path.exists(os.path.join(compacted, "_SUCCESS"))
+
+    # lossless: same multiset of rows
+    before = sorted(tuple(r) for r in docs.collect())
+    after = sorted(tuple(r) for r in spark.read.parquet(compacted).collect())
+    assert before == after

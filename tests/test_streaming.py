@@ -159,3 +159,16 @@ def test_interval_join_batch_vs_stream(spark, sf_smoke):
     assert sorted(map(tuple, batch.select(*cols).collect())) == sorted(
         map(tuple, stream.select(*cols).collect())
     )
+
+
+def test_enrich_segment_batch_vs_stream(spark, sf_smoke):
+    from tda596_lab02mapreduce_spark.streaming.windows import enriched_segment_agg
+
+    customer = io.load(spark, sf_smoke, "customer")
+    batch = enriched_segment_agg(io.load(spark, sf_smoke, "events"), customer)
+    stream = run_available_now(
+        enriched_segment_agg(events_stream(spark, sf_smoke), customer),
+        "t_enrich_segment",
+    )
+    cols = ["window_start", "c_mktsegment", "n_events", "sum_value"]
+    assert _rows(batch, cols) == _rows(stream, cols)
