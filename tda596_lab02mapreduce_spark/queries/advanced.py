@@ -439,3 +439,54 @@ def stats_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_price"),
         F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95_price"),
     )
+
+
+@register(
+    "anomaly_zscore_events",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s1,
+         CAST(sum(cents * cents) AS BIGINT) AS s2
+  FROM c GROUP BY event_type
+)
+SELECT event_id, c.event_type, value
+FROM c JOIN stats ON c.event_type = stats.event_type
+WHERE (n * cents - s1) * (n * cents - s1) > 9 * (n * s2 - s1 * s1)
+""",
+    doc=(
+        "Z-score anomaly detection (|z| > 3 per event_type) computed "
+        "ENTIRELY in int64: values become exact cents, and the "
+        "condition (x-mean)^2 > 9*var is cleared of denominators to "
+        "(n*c - s1)^2 > 9*(n*s2 - s1^2) — no float, no sqrt, no "
+        "rounding boundary for engines to disagree on (the ADVICE r1 "
+        "double-threshold lesson taken to its conclusion). Plan: one "
+        "partial+final stats aggregate (rows = #event types), "
+        "broadcast back onto the scan — the stream never shuffles."
+    ),
+    tags=("agg", "join"),
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s1")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+        .select("event_id", "event_type", "value")
+    )

@@ -355,3 +355,53 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "dataset_mix_weighted",
+    oracle="""
+WITH rated AS (
+  SELECT source,
+         CASE CAST(substr(source, 4) AS INTEGER) % 4
+              WHEN 0 THEN 'g0' WHEN 1 THEN '80'
+              WHEN 2 THEN '40' ELSE '20' END AS thr,
+         substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE b < thr) AS BIGINT) AS n_kept
+FROM rated GROUP BY source
+""",
+    doc=(
+        "Weighted training-mixture sampling: per-source keep rates "
+        "(100/50/25/12.5% by source index mod 4, 'g0' > every hex "
+        "byte = keep-all) applied via salted-md5 hash thresholds — "
+        "the deterministic, coordination-free way to hit a target "
+        "data mixture at 100 TB. The salt ('mix'||id) decorrelates "
+        "this decision from the train/valid/test split's buckets so "
+        "composed pipelines don't bias each other. Row-local "
+        "assignment, one tiny per-source rollup."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int") % 4
+    thr = (
+        F.when(idx == 0, "g0")
+        .when(idx == 1, "80")
+        .when(idx == 2, "40")
+        .otherwise("20")
+    )
+    b = F.substring(
+        F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return (
+        docs.select("source", (b < thr).alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        )
+    )

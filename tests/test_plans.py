@@ -214,3 +214,12 @@ def test_histogram_is_single_partial_final_aggregate(spark, sf_correctness):
     plan = plans.formatted_plan(df)
     assert len(re.findall(r"\(\d+\) \w*Exchange", plan)) == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_anomaly_stats_broadcast_back(spark, sf_correctness):
+    """The per-type stats (rows = #event types) must come back to the
+    scan as a broadcast — shuffling the event stream to meet its own
+    5-row statistics table would be backwards at 100 TB."""
+    df = get("anomaly_zscore_events").spark_fn(spark, sf_correctness)
+    assert plans.has_broadcast_join(df), plans.formatted_plan(df)
+    assert not plans.has_operator(df, "CartesianProduct")
