@@ -42,6 +42,15 @@ HEADLINE = [
     "multi_join_topk",
     "regional_revenue",
     "udf_pandas_scalar",
+    # round-2 additions (BASELINE.md "Round-2 additions" table is their anchor;
+    # the 19 queries above remain directly comparable to the round-1 anchor)
+    "sessionize_events",
+    "retention_cohorts",
+    "text_tfidf",
+    "corpus_clean_pipeline",
+    "decontaminate_train_split",
+    "embedding_quantize_int8",
+    "anomaly_zscore_events",
 ]
 
 
