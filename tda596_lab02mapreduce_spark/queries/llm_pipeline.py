@@ -631,3 +631,31 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_int8"
         ),
     )
+
+
+@register(
+    "pagerank_neardup_hubs",
+    oracle=None,  # float power iteration: per-node neighbor sums have no
+    # engine-independent fold order, and the drift compounds over 10
+    # rounds — contracted as rows-only; the analytic star-graph fixpoint,
+    # mass conservation, and graph-coverage properties are pytest-asserted
+    # in tests/test_components.py instead.
+    doc=(
+        "PageRank over the near-dup similarity graph (same blocked "
+        "3-shingle Jaccard >= 0.5 pair source as union_find_components): "
+        "rank exposes the HUB documents — boilerplate/template sources "
+        "with many near-copies — which is how cluster canonicals or "
+        "spam families get picked at corpus scale. Fixed 10 power-"
+        "iteration rounds (operators/pagerank.py): edge list cached "
+        "pre-partitioned, degree carried with the rank state so each "
+        "round is one join+agg, lineage localCheckpoint'ed per round, "
+        "zero driver actions in the loop."
+    ),
+    tags=("dedup", "llm"),
+)
+def pagerank_neardup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.pagerank import pagerank
+
+    docs = io.load(spark, sf_dir, "documents")
+    pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    return pagerank(pairs, "id_a", "id_b", id_out="doc_id", rank_out="rank")

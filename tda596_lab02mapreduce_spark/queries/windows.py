@@ -190,3 +190,53 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "window_time_range_1h",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_1h
+FROM c
+WINDOW w AS (PARTITION BY event_type ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    doc=(
+        "Event-TIME range frame (trailing 1 hour per event type) — the "
+        "frame the rows-based sliding window cannot express when event "
+        "spacing is irregular. Ordered on integer epoch micros with an "
+        "integer range bound so Spark and DuckDB bound the frame "
+        "identically; values folded as exact int64 cents (no float "
+        "accumulation order to disagree on). RANGE frames are "
+        "tie-safe by definition: equal-timestamp peers share one "
+        "frame, so no unique-tiebreak column is needed. One shuffle "
+        "on event_type; the frame scan is a per-partition sorted "
+        "sliding pointer, O(n) not O(n * frame)."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_time_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("sum_cents_1h"),
+    )

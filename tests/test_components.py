@@ -43,3 +43,33 @@ def test_edge_direction_is_ignored(spark):
 def test_max_iter_guard_raises(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
         _cc(spark, [(i, i + 1) for i in range(9)], max_iter=2)
+
+
+def test_pagerank_star_graph_analytic_fixpoint(spark):
+    """Star K_{1,4}: the fixpoint is exactly solvable — center
+    r_c = 0.66/0.2775 ≈ 2.3784, leaves ≈ 0.6554. The alternating
+    two-variable iteration contracts by 0.7225 per PAIR of rounds, so
+    40 rounds land within ~2e-3 (0.7225^20 · the initial error)."""
+    from tda596_lab02mapreduce_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    got = {r.id: r.rank for r in pagerank(edges, "src", "dst", iters=40).collect()}
+    assert abs(got[0] - 0.66 / 0.2775) < 5e-3
+    for leaf in range(1, 5):
+        assert abs(got[leaf] - (0.15 + 0.2125 * (0.66 / 0.2775))) < 5e-3
+    assert abs(sum(got.values()) - 5.0) < 1e-9  # mass conserved exactly
+
+
+def test_pagerank_neardup_mass_and_coverage(spark, sf_correctness):
+    """Rank mass is conserved (sum == |V|, an exact invariant of the
+    undirected form), every graph node gets a rank, and all ranks are
+    positive with floor 1-d."""
+    from tda596_lab02mapreduce_spark.registry import get
+
+    out = get("pagerank_neardup_hubs").spark_fn(spark, sf_correctness).collect()
+    n = len(out)
+    assert n > 0
+    assert abs(sum(r.rank for r in out) - n) < 1e-6 * n
+    assert all(r.rank >= 0.15 - 1e-12 for r in out)

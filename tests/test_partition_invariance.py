@@ -26,6 +26,12 @@ SLICE = [
     "union_find_components",
     "timeseries_gapfill",
     "upsert_customer_batch",
+    # training-pipeline additions: windowed numbering, shingle join,
+    # hash split, end-to-end clean pipeline
+    "sessionize_events",
+    "decontaminate_train_split",
+    "split_train_valid_test",
+    "corpus_clean_pipeline",
 ]
 
 
