@@ -490,3 +490,37 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
         .select("event_id", "event_type", "value")
     )
+
+
+_LATERAL_SQL = """
+SELECT r.r_name, t.n_name, t.total_bal
+FROM region r, LATERAL (
+  SELECT n.n_name,
+         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY total_bal DESC, n.n_name
+  LIMIT 2
+) t
+"""
+
+
+@register(
+    "lateral_top2_per_region",
+    oracle=_LATERAL_SQL,
+    doc=(
+        "Correlated LATERAL subquery: per region, the top-2 nations by "
+        "total customer balance — the SAME SQL text runs on Spark "
+        "(register_views + spark.sql) and DuckDB, proving the lateral "
+        "join surface itself, not a hand-rewritten equivalent. "
+        "Catalyst decorrelates the lateral into a join + per-group "
+        "window/limit (no per-outer-row re-execution); balances use "
+        "the decimal-sum pattern and the ORDER BY carries a name "
+        "tiebreak so the LIMIT 2 cut is deterministic on both engines."
+    ),
+    tags=("join", "subquery"),
+)
+def lateral_top2_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir, ("region", "nation", "customer"))
+    return spark.sql(_LATERAL_SQL)

@@ -413,3 +413,46 @@ def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "join_fuzzy_name_match",
+    oracle="""
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+    doc=(
+        "Blocked fuzzy self-join (entity resolution): customer names "
+        "within the same nation block matched at Levenshtein distance "
+        "<= 2. The edit-distance verify runs ONLY inside equi-join "
+        "blocks — the universal fuzzy-match shape at scale: a "
+        "quadratic verifier is fine when candidate generation is a "
+        "hash partition (here the nation key; in production a "
+        "phonetic/prefix/LSH key), never corpus x corpus. Spark and "
+        "DuckDB both implement standard Levenshtein, so the distances "
+        "hash-match exactly."
+    ),
+    tags=("join", "llm"),
+)
+def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )

@@ -163,3 +163,27 @@ def test_compact_parquet_merges_small_files(spark, sf_smoke, tmp_path):
     before = sorted(tuple(r) for r in docs.collect())
     after = sorted(tuple(r) for r in spark.read.parquet(compacted).collect())
     assert before == after
+
+
+def test_schema_evolution_merge_read(spark, sf_smoke, tmp_path):
+    """Schema drift across ingest generations — the 100 TB reality
+    that columns get ADDED over time. Old files (no `quality_score`)
+    and new files (with it) must read back as ONE table under
+    mergeSchema, nulls filling the missing column, no rewrite of old
+    data."""
+    docs = io.load(spark, sf_smoke, "documents")
+    path = str(tmp_path / "evolving")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(path)
+    docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality_score", (F.col("n_chars") % 100).cast("double")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "quality_score" in merged.columns
+    assert merged.count() == docs.count()
+    old_rows = merged.filter(F.col("doc_id") % 2 == 0)
+    assert old_rows.count() == old_rows.filter(F.col("quality_score").isNull()).count()
+    new_null = merged.filter(
+        (F.col("doc_id") % 2 == 1) & F.col("quality_score").isNull()
+    ).count()
+    assert new_null == 0
