@@ -256,3 +256,37 @@ def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cents",
         )
     )
+
+
+@register(
+    "hll_sketch_merge_weekly",
+    oracle=None,  # Datasketches HLL binary sketches have no DuckDB
+    # equivalent — contracted rows-only; the estimate-vs-exact accuracy
+    # bound and the merge-vs-direct consistency property are asserted in
+    # tests/test_aggregates.py.
+    doc=(
+        "Sketch partial-merge: per-DAY HLL sketches of distinct users, "
+        "merged up to per-WEEK estimates with hll_union_agg — the "
+        "pattern that makes distinct-counting tractable at 100 TB: "
+        "daily shards each reduce to a KB-sized sketch ONCE, and any "
+        "rollup window (week/month/ad-hoc) is a cheap merge of "
+        "sketches, never a re-scan of raw events. Estimates are "
+        "accuracy-bounded vs exact in tests (lgConfigK=12 → ~1.6% "
+        "rsd), and merging is lossless: union-of-sketches == sketch-"
+        "of-union by construction."
+    ),
+    tags=("agg", "approx"),
+)
+def hll_sketch_merge_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    return daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

@@ -120,3 +120,39 @@ def test_approx_percentile_within_rank_error(spark):
             lo = vals[max(0, math.floor((q - eps) * n) - 1)]
             hi = vals[min(n - 1, math.ceil((q + eps) * n))]
             assert lo <= got <= hi, (flag, col, got, lo, hi)
+
+
+def test_hll_merge_accuracy_and_consistency(spark, sf_correctness):
+    """Merged weekly estimates must sit within the sketch's error
+    bound of the exact weekly distincts, and merging daily sketches
+    must agree with sketching the week directly (union losslessness)."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark import io
+    from tda596_lab02mapreduce_spark.registry import get
+
+    merged = {
+        r.week: r.approx_users
+        for r in get("hll_sketch_merge_weekly").spark_fn(spark, sf_correctness).collect()
+    }
+    ev = io.load(spark, sf_correctness, "events").select(
+        F.date_trunc("week", F.col("ts")).alias("week"), "user_id"
+    )
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy("week").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    direct = {
+        r.week: r.est
+        for r in ev.groupBy("week")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        .collect()
+    }
+    assert merged.keys() == exact.keys()
+    for wk, est in merged.items():
+        assert abs(est - exact[wk]) <= max(3, 0.05 * exact[wk]), (
+            wk,
+            est,
+            exact[wk],
+        )
+        assert est == direct[wk], "sketch merge must equal direct sketch"
