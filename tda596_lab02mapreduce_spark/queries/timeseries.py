@@ -268,3 +268,40 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "cdc_latest_per_user",
+    oracle="""
+SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+FROM (
+  SELECT user_id, event_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    doc=(
+        "Changelog compaction (Kafka log-compaction / CDC "
+        "materialization): the LATEST full row per key, ordered by "
+        "event time with the unique event_id as tiebreak so the "
+        "survivor is deterministic under equal timestamps. One "
+        "shuffle on the key; row_number + rn=1 plans as a "
+        "WindowGroupLimit pushdown in Spark (per-partition top-1, "
+        "no full sort materialization). This is the read side of "
+        "upsert_customer_batch's merge — together they are the "
+        "mutable-table story on immutable 100 TB storage."
+    ),
+    tags=("timeseries", "window"),
+)
+def cdc_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )

@@ -223,3 +223,11 @@ def test_anomaly_stats_broadcast_back(spark, sf_correctness):
     df = get("anomaly_zscore_events").spark_fn(spark, sf_correctness)
     assert plans.has_broadcast_join(df), plans.formatted_plan(df)
     assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_cdc_latest_uses_window_group_limit(spark, sf_correctness):
+    """rn=1 over the key window must trigger Spark's WindowGroupLimit
+    (per-partition top-1 before/after the shuffle) — without it the
+    compaction materializes a full sorted window per key."""
+    df = get("cdc_latest_per_user").spark_fn(spark, sf_correctness)
+    assert plans.has_operator(df, "WindowGroupLimit"), plans.formatted_plan(df)
