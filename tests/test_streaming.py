@@ -172,3 +172,49 @@ def test_enrich_segment_batch_vs_stream(spark, sf_smoke):
     )
     cols = ["window_start", "c_mktsegment", "n_events", "sum_value"]
     assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_foreachbatch_sink_is_idempotent_per_batch(spark, sf_smoke, tmp_path):
+    """Exactly-once file sinks under retries: foreachBatch writes each
+    micro-batch to a batchId-deterministic directory with overwrite
+    semantics, so a REPLAYED batch (task retry after partial failure)
+    lands byte-identically instead of duplicating rows — the
+    idempotent-writer half of Spark's replayed-source + idempotent-sink
+    exactly-once contract."""
+    out = str(tmp_path / "sink")
+    seen = []
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        seen.append(batch_id)
+
+    stream = events_stream(spark, sf_smoke).select("event_id", "user_id")
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert seen, "no batch executed"
+
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    rows1 = sorted(tuple(r) for r in first.collect())
+
+    # simulate the retry: replay batch 0's data through the same writer.
+    # Materialize first — a real retry re-offers the batch rows from the
+    # checkpointed source, not a lazy scan of the sink being overwritten.
+    replay_rows = spark.read.parquet(f"{out}/batch={seen[0]}")
+    replay = spark.createDataFrame(replay_rows.collect(), replay_rows.schema)
+    write_batch(replay, seen[0])
+
+    again = spark.read.parquet(out)
+    assert again.count() == n1, "replayed batch duplicated rows"
+    assert sorted(tuple(r) for r in again.collect()) == rows1
+
+    # and the sink content matches the source exactly (no loss either)
+    src_n = events_stream(spark, sf_smoke).select("event_id").transform(
+        lambda df: run_available_now(df, "t_febatch_src", output_mode="append")
+    ).count()
+    assert n1 == src_n
