@@ -100,3 +100,46 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(harmonic_mean(F.col("l_quantity")).alias("__h"))
         .select("l_returnflag", F.round(F.col("__h"), 4).alias("harmonic_qty"))
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS rev_c2
+FROM lineitem
+""",
+    doc=(
+        "mapInArrow: the zero-copy end of the Python UDF spectrum — "
+        "RecordBatches flow Arrow→Arrow with no pandas conversion, the "
+        "right slot for columnar kernels (pyarrow.compute, numpy over "
+        "buffers) and binary payloads. Body computes discounted "
+        "revenue entirely in int64 cents×percent (ROUND→cast like the "
+        "histogram query, so pyarrow's half-to-even tie mode can never "
+        "bite: the inputs are 2-decimal values whose ×100 images sit "
+        "at integers, never at .5 ties) — bit-identical to the DuckDB "
+        "oracle. Map-only: zero shuffle, pipelines with the scan."
+    ),
+    tags=("udf",),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+            disc = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+            rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), rev],
+                ["l_orderkey", "l_linenumber", "rev_c2"],
+            )
+
+    li = io.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(
+        kernel, "l_orderkey long, l_linenumber int, rev_c2 long"
+    )
