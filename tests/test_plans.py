@@ -231,3 +231,51 @@ def test_cdc_latest_uses_window_group_limit(spark, sf_correctness):
     compaction materializes a full sorted window per key."""
     df = get("cdc_latest_per_user").spark_fn(spark, sf_correctness)
     assert plans.has_operator(df, "WindowGroupLimit"), plans.formatted_plan(df)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_correctness):
+    """Runtime semi-join reduction: when a selective filter sits on one
+    side of a shuffle join, Catalyst should build a Bloom filter from
+    the filtered side and push a might_contain probe into the other
+    side's scan stage — at 100 TB this drops most probe rows BEFORE
+    the exchange. (Broadcast is disabled here to force the shuffle
+    path where the bloom matters; the scan-size threshold is lowered
+    because local fixtures are tiny.)"""
+    from tda596_lab02mapreduce_spark import io
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ord_ = io.load(spark, sf_correctness, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = io.load(spark, sf_correctness, "lineitem")
+        j = (
+            li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plans.formatted_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
