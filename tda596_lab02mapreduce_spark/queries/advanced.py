@@ -446,14 +446,14 @@ def stats_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH c AS (
   SELECT event_id, event_type, value,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+         CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS HUGEINT) AS cents
   FROM events
 ),
 stats AS (
   SELECT event_type,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(cents) AS BIGINT) AS s1,
-         CAST(sum(cents * cents) AS BIGINT) AS s2
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(cents) AS s1,
+         sum(cents * cents) AS s2
   FROM c GROUP BY event_type
 )
 SELECT event_id, c.event_type, value
@@ -462,11 +462,19 @@ WHERE (n * cents - s1) * (n * cents - s1) > 9 * (n * s2 - s1 * s1)
 """,
     doc=(
         "Z-score anomaly detection (|z| > 3 per event_type) computed "
-        "ENTIRELY in int64: values become exact cents, and the "
-        "condition (x-mean)^2 > 9*var is cleared of denominators to "
-        "(n*c - s1)^2 > 9*(n*s2 - s1^2) — no float, no sqrt, no "
-        "rounding boundary for engines to disagree on (the ADVICE r1 "
-        "double-threshold lesson taken to its conclusion). Plan: one "
+        "ENTIRELY in exact integer arithmetic: values become exact "
+        "cents and the condition (x-mean)^2 > 9*var is cleared of "
+        "denominators to (n*c - s1)^2 > 9*(n*s2 - s1^2) — no float, "
+        "no sqrt, no rounding boundary for engines to disagree on "
+        "(the ADVICE r1 double-threshold lesson taken to its "
+        "conclusion). The cleared products grow as (n·c)^2, so the "
+        "arithmetic runs in 128-bit-class types — Spark DECIMAL(38,0), "
+        "DuckDB HUGEINT — not int64, which a single group of ~2e5 "
+        "fixture-scale rows already overflows (and Spark 4's default "
+        "ANSI mode would turn that into a runtime error). Capacity "
+        "envelope: exact while n·max_cents < ~1.7e18 per group, e.g. "
+        "1e12 rows/group at values up to $10k — the 100 TB shape; "
+        "beyond that, pre-aggregate or shard the group key. Plan: one "
         "partial+final stats aggregate (rows = #event types), "
         "broadcast back onto the scan — the stream never shuffles."
     ),
@@ -477,14 +485,14 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.round(F.col("value") * 100, 0).cast("decimal(18,0)").alias("cents"),
     )
     stats = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("cents").alias("s1"),  # decimal(28,0)
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),  # decimal(38,0)
     )
-    dev = F.col("n") * F.col("cents") - F.col("s1")
+    dev = F.col("n") * F.col("cents") - F.col("s1")  # decimal(38,0)
     return (
         ev.join(F.broadcast(stats), "event_type")
         .filter(dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))

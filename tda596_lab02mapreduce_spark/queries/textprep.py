@@ -13,7 +13,7 @@ scale-up unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tda596_lab02mapreduce_spark import io
@@ -21,6 +21,25 @@ from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
 from tda596_lab02mapreduce_spark.registry import register
 
 _TOK_SQL = r"unnest(string_split_regex(text, '[^\p{L}]+'))"
+
+# Single source of truth for the train/valid/test assignment: the
+# Spark expression and the SQL fragment MUST stay in lockstep — the
+# decontamination audit is only meaningful against the same split the
+# training pipeline uses, so both queries (and both oracles) build
+# from these two definitions.
+_SPLIT_CASE_SQL = """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+              ELSE 'test' END"""
+
+
+def _split_col() -> Column:
+    """80/10/10 md5-bucket split (hex strings compare lexicographically;
+    'cd'/'e6' cut 256 buckets at ~80/10/10)."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "valid").otherwise("test")
+    )
+
 
 
 @register(
@@ -124,12 +143,9 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "split_train_valid_test",
-    oracle="""
+    oracle=f"""
 WITH assigned AS (
-  SELECT lang, n_chars,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
-              ELSE 'test' END AS split
+  SELECT lang, n_chars, {_SPLIT_CASE_SQL} AS split
   FROM documents
 )
 SELECT split, lang,
@@ -151,12 +167,8 @@ FROM assigned GROUP BY split, lang
 )
 def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(bucket < "cd", "train").when(bucket < "e6", "valid").otherwise("test")
-    )
     return (
-        docs.select(split.alias("split"), "lang", "n_chars")
+        docs.select(_split_col().alias("split"), "lang", "n_chars")
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -211,17 +223,14 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "decontaminate_train_split",
-    oracle=r"""
+    oracle=rf"""
 WITH assigned AS (
-  SELECT doc_id, text,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
-              ELSE 'test' END AS split
+  SELECT doc_id, text, {_SPLIT_CASE_SQL} AS split
   FROM documents
 ),
 tok AS (
   SELECT doc_id, split,
-         list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+         list_filter(string_split_regex(text, '[^\p{{L}}]+'), t -> t <> '') AS tk
   FROM assigned WHERE split IN ('train', 'test')
 ),
 sh AS (
@@ -250,10 +259,7 @@ GROUP BY tr.doc_id
 )
 def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(bucket < "cd", "train").when(bucket < "e6", "valid").otherwise("test")
-    )
+    split = _split_col()
     tk = tokens_nonempty(F.col("text"))
     shingles = F.array_distinct(
         F.transform(

@@ -128,6 +128,13 @@ def compact_parquet(
     target_rows_per_file ≈ row-group-budget × groups-per-file keeps
     files in the 128 MB–1 GB sweet spot for any column width.
     """
+    import os
+
+    if os.path.abspath(src) == os.path.abspath(dst):
+        # overwrite-mode deletes dst BEFORE the lazy scan of src runs —
+        # an in-place call would destroy the input. Compact to a
+        # sibling dir and swap (or re-point readers) instead.
+        raise ValueError("compact_parquet: dst must differ from src")
     df = spark.read.parquet(src)
     rows = df.count()
     n_files = max(1, -(-rows // target_rows_per_file))

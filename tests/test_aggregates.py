@@ -156,3 +156,17 @@ def test_hll_merge_accuracy_and_consistency(spark, sf_correctness):
             exact[wk],
         )
         assert est == direct[wk], "sketch merge must equal direct sketch"
+
+
+def test_zscore_decimal_arithmetic_survives_int64_overflow(spark):
+    """Regression canary for anomaly_zscore_events' 128-bit-class
+    arithmetic: the cleared z-score products exceed int64 at ~2e5
+    rows per group (review finding), so the deviation square must be
+    computed in DECIMAL(38,0). 4e9^2 = 1.6e19 > int64 max 9.2e18."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit(4_000_000_000).cast("decimal(18,0)").alias("dev")
+    )
+    [r] = df.select((F.col("dev") * F.col("dev")).alias("sq")).collect()
+    assert int(r.sq) == 4_000_000_000 ** 2

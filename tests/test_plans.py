@@ -244,13 +244,17 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_correctness):
     from tda596_lab02mapreduce_spark import io
     from pyspark.sql import functions as F
 
-    saved = {
-        k: spark.conf.get(k, None)
-        for k in (
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            "spark.sql.autoBroadcastJoinThreshold",
-        )
-    }
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
     try:
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         spark.conf.set(

@@ -187,3 +187,15 @@ def test_schema_evolution_merge_read(spark, sf_smoke, tmp_path):
         (F.col("doc_id") % 2 == 1) & F.col("quality_score").isNull()
     ).count()
     assert new_null == 0
+
+
+def test_compact_parquet_refuses_in_place(spark, sf_smoke, tmp_path):
+    """overwrite-mode deletes the destination before the lazy source
+    scan runs, so an in-place compaction would destroy the data — the
+    operator must refuse dst == src outright (review finding)."""
+    d = str(tmp_path / "d")
+    io.load(spark, sf_smoke, "region").write.parquet(d)
+    with pytest.raises(ValueError, match="must differ"):
+        sources.compact_parquet(spark, d, d)
+    # and the data is untouched
+    assert spark.read.parquet(d).count() == 5
