@@ -290,3 +290,58 @@ def hll_sketch_merge_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@register(
+    "histogram_equidepth_price",
+    oracle="""
+WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+b AS (
+  SELECT cents,
+         ntile(16) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS bucket_id
+  FROM c
+)
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents
+FROM b GROUP BY bucket_id
+""",
+    doc=(
+        "Equi-DEPTH histogram (16 quantile buckets of ~equal row "
+        "count) — the boundary source for range partitioning and "
+        "equi-height NDV stats, complementing the fixed-width "
+        "histogram. ntile has identical semantics in Spark and DuckDB "
+        "(first n%k buckets get the extra row) and the ORDER BY "
+        "carries the (orderkey, linenumber) unique tiebreak, so "
+        "bucket assignment is fully deterministic; values ride as "
+        "exact integer cents. The global sort is the honest cost of "
+        "exact quantile boundaries — at 100 TB you'd feed "
+        "repartitionByRange's sampled boundaries or approx_percentile "
+        "instead (both in the inventory) and keep this for "
+        "per-partition/bounded slices."
+    ),
+    tags=("agg", "window"),
+)
+def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = io.load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.orderBy("cents", "l_orderkey", "l_linenumber")
+    return (
+        c.select("cents", F.ntile(16).over(w).cast("bigint").alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
