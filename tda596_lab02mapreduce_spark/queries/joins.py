@@ -456,3 +456,56 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 2)
     )
+
+
+@register(
+    "join_null_safe_cohorts",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN user_id % 7 = 0 THEN NULL
+              ELSE user_id % 4 END AS cohort
+  FROM events
+)
+SELECT a.cohort,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM u a JOIN u b
+  ON a.cohort IS NOT DISTINCT FROM b.cohort
+ AND a.user_id < b.user_id
+GROUP BY a.cohort
+""",
+    doc=(
+        "Null-safe equality join (<=> / IS NOT DISTINCT FROM): users "
+        "whose cohort is UNKNOWN (derived sentinel-cleanup NULLs) "
+        "still pair with each other — the semantics a plain = join "
+        "silently drops. The scale property worth proving: Spark "
+        "keeps <=> as a hash-partitionable equi-join key (coalesced "
+        "internally), so the plan stays a shuffled equi-join, never "
+        "a nested loop over the NULL bucket (pinned in "
+        "tests/test_plans.py). Note the NULL cohort is also the "
+        "textbook skew key: at scale you'd salt it like "
+        "join_salted_skew."
+    ),
+    tags=("join",),
+)
+def join_null_safe_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        io.load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.col("user_id") % 4)
+            .alias("cohort"),
+        )
+        .distinct()
+    )
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.cohort").eqNullSafe(F.col("b.cohort"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.cohort").alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

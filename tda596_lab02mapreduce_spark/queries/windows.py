@@ -240,3 +240,39 @@ def window_time_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum("cents").over(w).alias("sum_cents_1h"),
     )
+
+
+@register(
+    "topk_per_segment",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+WHERE rn <= 3
+""",
+    doc=(
+        "Per-GROUP top-k (top-3 customers by balance per market "
+        "segment) — the grouped twin of the global topk_orders. "
+        "row_number + rn<=3 triggers Spark's WindowGroupLimit "
+        "(pinned): each partition keeps at most k rows per group "
+        "BEFORE and after the shuffle, so the exchange carries "
+        "O(groups × k) rows, not the table. Unique custkey tiebreak "
+        "makes the cut deterministic on both engines."
+    ),
+    tags=("window", "topk"),
+)
+def topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        io.load(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

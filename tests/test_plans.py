@@ -283,3 +283,16 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_correctness):
                     pass
             else:
                 spark.conf.set(k, v)
+
+
+def test_null_safe_join_stays_equi_join(spark, sf_correctness):
+    """<=> must remain a hash-partitionable join key — a nested loop
+    over the NULL bucket would be quadratic at scale."""
+    df = get("join_null_safe_cohorts").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "CartesianProduct")
+    assert not plans.has_operator(df, "BroadcastNestedLoop")
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_correctness):
+    df = get("topk_per_segment").spark_fn(spark, sf_correctness)
+    assert plans.has_operator(df, "WindowGroupLimit"), plans.formatted_plan(df)
