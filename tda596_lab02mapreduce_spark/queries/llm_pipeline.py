@@ -602,20 +602,31 @@ n AS (
            list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)),
            (a, x) -> a + x)) AS nrm
   FROM base
+),
+long AS (
+  SELECT vec_id, nrm,
+         CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+         unnest(v) AS x
+  FROM n
 )
-SELECT vec_id,
-       list_transform(v, x -> CAST(round(x / nrm * 127, 0) AS INTEGER)) AS q_int8
-FROM n
+SELECT vec_id, dim, CAST(round(x / nrm * 127, 0) AS INTEGER) AS q8
+FROM long
 """,
     doc=(
         "Int8 embedding quantization: L2-normalize, scale to [-127, "
         "127], round — the 4x storage/bandwidth compression step "
         "before ANN indexing at scale. Entirely row-local higher-order "
-        "expressions, zero shuffle. Bit-exact across engines because "
-        "every step is IEEE-correctly-rounded double math over an "
-        "identical left-to-right fold order (the vector_centroid "
-        "lesson); the round-boundary margin and the <=0.5/127 "
-        "dequantization error bound are asserted in tests/test_dedup.py."
+        "expressions, zero shuffle. Output is LONG FORM (vec_id, dim, "
+        "q8) — posexploded rather than array<int>, because the driver "
+        "harness canonicalizes results via pandas sort/hash, which "
+        "cannot hash list cells (round-2 red row); every registered "
+        "query must emit scalar top-level columns "
+        "(tests/test_registry.py enforces this). Bit-exact across "
+        "engines because every step is IEEE-correctly-rounded double "
+        "math over an identical left-to-right fold order (the "
+        "vector_centroid lesson); the round-boundary margin and the "
+        "<=0.5/127 dequantization error bound are asserted in "
+        "tests/test_dedup.py."
     ),
     tags=("similarity", "llm"),
 )
@@ -625,12 +636,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = io.load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     nrm = l2_norm(F.col("embedding"))
-    return emb.select(
-        "vec_id",
-        F.transform(v, lambda x: F.round(x / nrm * 127, 0).cast("int")).alias(
-            "q_int8"
-        ),
-    )
+    q = F.transform(v, lambda x: F.round(x / nrm * 127, 0).cast("int"))
+    return emb.select("vec_id", F.posexplode(q).alias("dim", "q8"))
 
 
 @register(

@@ -205,7 +205,8 @@ def test_quantize_round_margin_and_error_bound(spark, sf_correctness):
     bitwise, which is sound only while no scaled coordinate sits at a
     .5 rounding boundary — assert a 1e-6 margin on every coordinate,
     and assert the dequantization error bound (<= 0.5/127 + eps on
-    unit vectors) the compression step exists to guarantee."""
+    unit vectors) the compression step exists to guarantee. The query
+    now emits long form (vec_id, dim, q8); reassemble per-vector here."""
     import math
 
     from tda596_lab02mapreduce_spark.registry import get
@@ -215,17 +216,18 @@ def test_quantize_round_margin_and_error_bound(spark, sf_correctness):
         .select("vec_id", "embedding")
         .collect()
     )
-    q = {
-        r.vec_id: r.q_int8
-        for r in get("embedding_quantize_int8").spark_fn(spark, sf_correctness).collect()
-    }
+    q: dict = {}
+    for r in get("embedding_quantize_int8").spark_fn(spark, sf_correctness).collect():
+        q.setdefault(r.vec_id, {})[r.dim] = r.q8
     for r in rows:
         v = [float(x) for x in r.embedding]
         acc = 0.0
         for x in v:  # left fold, exactly the engines' summation order
             acc += x * x
         nrm = math.sqrt(acc)
-        for x, code in zip(v, q[r.vec_id]):
+        codes = [q[r.vec_id][d] for d in range(len(v))]
+        assert len(codes) == len(v)
+        for x, code in zip(v, codes):
             scaled = x / nrm * 127
             dist = abs(scaled - math.floor(scaled) - 0.5)
             assert dist > 1e-9, f"coordinate {scaled} at a rounding boundary"

@@ -1,0 +1,34 @@
+"""Registry-wide output-shape contract.
+
+The driver harness canonicalizes every query's result through a pandas
+sort/hash; pandas cannot factorize list/dict cells, so any registered
+query that returns a top-level ArrayType/MapType/StructType column gets
+an ERR row no matter how correct its values are (round-2's
+``embedding_quantize_int8`` red row). This test makes that a local
+failure: every registered query's schema must be scalar at the top
+level — flatten with posexplode / concat_ws / to_json before returning.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from tda596_lab02mapreduce_spark.registry import registry
+
+_QUERIES = list(registry().values())
+
+
+@pytest.mark.parametrize("query", _QUERIES, ids=[q.name for q in _QUERIES])
+def test_no_nested_top_level_columns(spark, sf_smoke, query):
+    df = query.spark_fn(spark, sf_smoke)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{query.name} returns nested top-level column(s) {bad}: the driver "
+        "canonicalizer cannot hash them — flatten (posexplode / concat_ws / "
+        "to_json) before returning"
+    )
