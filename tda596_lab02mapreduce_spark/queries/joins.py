@@ -416,6 +416,77 @@ def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bloom_pruned_revenue",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+""",
+    doc=(
+        "Runtime Bloom-filter semi-join reduction as a query (§2C row, "
+        "was test-only in r2): a selective filter on orders lets "
+        "Catalyst build a Bloom filter from the filtered build side "
+        "and push a might_contain probe into the lineitem scan stage — "
+        "at 100 TB this drops ~80% of probe rows BEFORE the exchange, "
+        "which is the difference between shuffling the whole fact "
+        "table and shuffling a fifth of it. Broadcast is disabled and "
+        "the scan-size threshold zeroed while THIS query executes "
+        "(fixtures are tiny; at scale the defaults fire on their own), "
+        "and the plan is materialized eagerly via localCheckpoint so "
+        "the Bloom path is what actually runs before the confs are "
+        "restored. The bloom_filter_agg/might_contain plan shape is "
+        "pinned in tests/test_plans.py."
+    ),
+    tags=("join", "plan"),
+)
+def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        urgent = io.load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = io.load(spark, sf_dir, "lineitem")
+        agg = (
+            li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        # eager: execute under the bloom confs, keep only the tiny
+        # aggregated partitions — distributed, no driver round-trip
+        return agg.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@register(
     "join_fuzzy_name_match",
     oracle="""
 SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,

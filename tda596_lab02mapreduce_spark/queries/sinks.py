@@ -100,6 +100,96 @@ def sink_text_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_compact_small_files",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS sum_chars,
+       CAST(ceil(count(*) / 120.0) AS INT) AS n_files
+FROM documents
+""",
+    doc=(
+        "Small-file compaction as a query (§2C row, was test-only in r2): "
+        "documents is deliberately fragmented into 64 tiny parquet files "
+        "(the streaming-ingest pathology), compacted with "
+        "sources.compact_parquet into ceil(rows/120) even-sized files, "
+        "and read back. The oracle checks BOTH halves of the contract "
+        "against the ORIGINAL table: content losslessness (row count, "
+        "distinct keys, decimal checksum) and the file-count formula — "
+        "n_files is the ACTUAL post-compaction part-file count from the "
+        "filesystem, embedded as a literal, so a compaction that wrote "
+        "the wrong number of files hash-mismatches. Operator: one "
+        "metadata-only count + one round-robin repartition write "
+        "(sources/files.py:compact_parquet); at 100 TB this runs per "
+        "partition directory as a maintenance job."
+    ),
+    tags=("source", "sink", "maintenance"),
+)
+def source_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    docs = io.load(spark, sf_dir, "documents")
+    frag = _sink_path(sf_dir, "docs_fragmented")
+    compacted = _sink_path(sf_dir, "docs_compacted")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    sources.compact_parquet(spark, frag, compacted, target_rows_per_file=120)
+    n_files = len(glob.glob(f"{compacted}/part-*"))
+    back = sources.read_parquet(spark, compacted)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("long").alias("sum_chars"),
+        F.lit(n_files).cast("int").alias("n_files"),
+    )
+
+
+@register(
+    "source_schema_evolution_merge",
+    oracle="""
+SELECT CAST(doc_id % 2 AS INT) AS generation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1
+                     THEN CAST(n_chars % 100 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS sum_score
+FROM documents
+GROUP BY 1
+""",
+    doc=(
+        "Schema evolution across ingest generations as a query (§2C "
+        "row, was test-only in r2): generation 0 of documents is "
+        "written WITHOUT quality_score, generation 1 WITH it, and a "
+        "single mergeSchema scan reads both as one table — old rows "
+        "surface NULL for the added column, no rewrite of old data. "
+        "The aggregate proves the merge semantics against the ORIGINAL "
+        "table: per-generation row counts, the count of non-NULL "
+        "scores (must be exactly the generation-1 rows), and the "
+        "decimal-summed score values. At 100 TB additive schema drift "
+        "is the norm; mergeSchema on read (or a declared superset "
+        "schema) is the zero-rewrite answer."
+    ),
+    tags=("source", "schema"),
+)
+def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    path = _sink_path(sf_dir, "docs_evolving")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(path)
+    docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality_score", (F.col("n_chars") % 100).cast("double")
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy(
+        (F.col("doc_id") % 2).cast("int").alias("generation")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("quality_score").alias("n_scored"),
+        F.sum(F.col("quality_score").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_score"),
+    )
+
+
+@register(
     "sink_orc_roundtrip",
     oracle="""
 SELECT p_brand,

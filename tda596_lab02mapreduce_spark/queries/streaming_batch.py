@@ -197,6 +197,69 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_foreachbatch_exactly_once",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+""",
+    doc=(
+        "Exactly-once file sink as a query (§2C row, was test-only in "
+        "r2): the events stream drains through foreachBatch into "
+        "batchId-deterministic directories with overwrite semantics — "
+        "the idempotent-writer half of Spark's replayed-source + "
+        "idempotent-sink exactly-once contract. The query then REPLAYS "
+        "the first batch through the same writer (simulating a task "
+        "retry after partial failure) before aggregating the sink: if "
+        "the replay duplicated rows, n_rows and sum_value break "
+        "against the oracle over the ORIGINAL table; if the sink lost "
+        "rows, they also break. Checkpoint + sink dirs are private to "
+        "this query and reset per invocation (single-writer "
+        "assumption, same as every sink_* query)."
+    ),
+    tags=("streaming", "sink"),
+)
+def stream_foreachbatch_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tda596_lab02mapreduce_spark.queries.sinks import _sink_path
+    from tda596_lab02mapreduce_spark.streaming.windows import events_stream
+
+    base = _sink_path(sf_dir, "febatch_sink")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    stream = events_stream(spark, sf_dir).select(
+        "event_id", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    # simulate the retry: re-offer batch 0's rows to the same writer.
+    # Materialize first — a real retry replays from the checkpointed
+    # source, not a lazy scan of the directory being overwritten.
+    first = spark.read.parquet(f"{out}/batch=0")
+    replay = spark.createDataFrame(first.collect(), first.schema)
+    write_batch(replay, 0)
+
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "stream_enrich_segment",
     oracle="""
 SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
