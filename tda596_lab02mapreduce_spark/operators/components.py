@@ -56,6 +56,21 @@ def connected_components(
     if they need total coverage.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Convergence below is sum(comp)-based, which is only sound for
+    # numeric ids: with string ids F.sum yields NULL, NULL == NULL
+    # compares true in Python, and the loop would silently exit after
+    # one propagation round with unconverged labels (advisory finding).
+    # Map non-numeric ids through a dense/hashed numeric key first.
+    from pyspark.sql.types import NumericType
+
+    for f in e.schema.fields:
+        if not isinstance(f.dataType, NumericType):
+            raise TypeError(
+                f"connected_components: id column {f.name!r} has type "
+                f"{f.dataType.simpleString()}; numeric node ids are required "
+                "(sum-based fixpoint detection). Hash or zipWithIndex "
+                "string ids to numbers first."
+            )
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # One shuffle up front, reused by the join every round.
     sym = sym.repartition("dst").persist()

@@ -363,7 +363,16 @@ GROUP BY o_orderpriority
     tags=("join", "bucketed", "source"),
 )
 def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    # pid in the table tag: two concurrent processes (bench + correctness
+    # run) could otherwise both see tableExists=false and one rmtree the
+    # files the other is scanning (advisory finding). Per-process names
+    # make the write-once idempotence race-free; stale dirs from dead
+    # pids are rmtree'd by _clear_stale_location on name reuse and live
+    # under the gitignored warehouse.
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    tag = f"{tag}_p{os.getpid()}"
     ob, lb = f"orders_bucketed_{tag}", f"lineitem_bucketed_{tag}"
 
     def _clear_stale_location(table: str) -> None:

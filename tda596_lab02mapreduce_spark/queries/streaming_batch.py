@@ -96,13 +96,20 @@ def stream_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_ids",
     oracle="""
-SELECT DISTINCT event_id FROM events
+SELECT event_id FROM events
 """,
     doc=(
         "Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark) "
-        "drained with Trigger.AvailableNow; projected to event_id so the "
-        "result is deterministic regardless of which duplicate survived. "
-        "State is O(ids inside the watermark horizon), not O(history)."
+        "drained with Trigger.AvailableNow. The source feed is the events "
+        "file DUPLICATED (every row arrives twice, via a two-link stream "
+        "directory) and the drained sink is returned WITHOUT a trailing "
+        "distinct — the fixture has unique event_ids, so the oracle's one "
+        "row per id only matches if the streaming dedup actually collapsed "
+        "the duplicates (an earlier revision distinct()-ed the sink, which "
+        "made the check tautological — advisory finding). A second-batch "
+        "replay of the same data is either deduped against live state or "
+        "dropped as late-beyond-watermark; both collapse to one row per "
+        "id. State is O(ids inside the watermark horizon), not O(history)."
     ),
     tags=("streaming", "dedup"),
 )
@@ -114,11 +121,11 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     drained = run_available_now(
-        stream_dedup(events_stream(spark, sf_dir)),
+        stream_dedup(events_stream(spark, sf_dir, copies=2)),
         "q_stream_dedup_ids",
         output_mode="append",
     )
-    return drained.select("event_id").distinct()
+    return drained.select("event_id")
 
 
 @register(

@@ -36,29 +36,43 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def _as_stream_dir(sf_dir: str, table: str) -> str:
+def _as_stream_dir(sf_dir: str, table: str, *, copies: int = 1) -> str:
     """FileStreamSource requires a directory; the fixtures are single
     read-only parquet files. Stage a symlink-holding directory once per
-    (sf_dir, table) — zero data copy, works on any POSIX fs."""
+    (sf_dir, table, copies) — zero data copy, works on any POSIX fs.
+    ``copies > 1`` links the same file N times: a deliberate
+    every-row-duplicated feed for exercising streaming dedup."""
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"tda596-stream-{key}", table)
-    link = os.path.join(d, f"{table}.parquet")
-    if not os.path.islink(link):
-        os.makedirs(d, exist_ok=True)
-        try:
-            os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
-        except FileExistsError:
-            pass
+    sub = table if copies == 1 else f"{table}_x{copies}"
+    d = os.path.join(tempfile.gettempdir(), f"tda596-stream-{key}", sub)
+    os.makedirs(d, exist_ok=True)
+    # copies == 1 keeps the historical single-link name: staged dirs
+    # persist in /tmp across sessions, and changing the name would leave
+    # old+new links side by side — a silently doubled feed.
+    names = (
+        [f"{table}.parquet"]
+        if copies == 1
+        else [f"{table}_{i}.parquet" for i in range(copies)]
+    )
+    for name in names:
+        link = os.path.join(d, name)
+        if not os.path.islink(link):
+            try:
+                os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+            except FileExistsError:
+                pass
     return d
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(spark: SparkSession, sf_dir: str, *, copies: int = 1) -> DataFrame:
     """The events table as a file stream (one-file directory;
-    AvailableNow trigger drains it in one run)."""
+    AvailableNow trigger drains it in one run). ``copies=2`` feeds
+    every event twice — the duplicated-source shape the streaming
+    dedup queries must collapse."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
-        .load(_as_stream_dir(sf_dir, "events"))
+        .load(_as_stream_dir(sf_dir, "events", copies=copies))
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -73,3 +73,19 @@ def test_pagerank_neardup_mass_and_coverage(spark, sf_correctness):
     assert n > 0
     assert abs(sum(r.rank for r in out) - n) < 1e-6 * n
     assert all(r.rank >= 0.15 - 1e-12 for r in out)
+
+
+def test_string_ids_rejected_up_front(spark):
+    """sum(comp)-based convergence is NULL-blind for string ids (SUM of
+    strings is NULL, NULL == NULL → loop exits after one round with
+    unconverged labels — advisory finding): the operator must refuse
+    non-numeric id columns outright rather than silently under-merge."""
+    from tda596_lab02mapreduce_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    with pytest.raises(TypeError, match="numeric node ids"):
+        connected_components(edges)

@@ -44,15 +44,24 @@ def test_session_batch_vs_stream(spark, sf_smoke):
 
 
 def test_stream_dedup_within_watermark(spark, sf_smoke):
+    """The fixture has globally-unique event_ids, so dedup over the
+    plain feed is vacuous — feed every row TWICE (copies=2) and assert
+    the drained sink itself (no trailing distinct — that would be
+    tautological, advisory finding) holds exactly one row per id."""
     stream = run_available_now(
-        stream_dedup(events_stream(spark, sf_smoke)),
+        stream_dedup(events_stream(spark, sf_smoke, copies=2)),
         "t_dedup",
         output_mode="append",
     )
+    n_src = io.load(spark, sf_smoke, "events").count()
     n_distinct = (
         io.load(spark, sf_smoke, "events").select("event_id").distinct().count()
     )
-    assert stream.count() == n_distinct
+    assert n_src == n_distinct  # fixture precondition: ids unique
+    assert stream.count() == n_distinct  # 2x feed collapsed, nothing lost
+    assert (
+        stream.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+    ), "drained sink contains duplicate event_ids"
 
 
 def test_stateful_running_stats(spark, sf_smoke):
