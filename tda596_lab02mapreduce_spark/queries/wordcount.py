@@ -39,7 +39,12 @@ GROUP BY word
     tags=("flagship", "agg", "text"),
 )
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
+    # No widen_if_few_splits here (unlike inverted_index/TF-IDF):
+    # tokenize+explode+partial-count is too cheap per row for the
+    # widening shuffle of full text rows to pay for itself — measured
+    # at sf0.1: 0.37 s narrow vs 0.68 s widened (BASELINE.md). At
+    # cluster scale the scan is many-split and the question is moot.
+    docs = io.load(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens_nonempty("text")).alias("word"))
         .groupBy("word")
