@@ -14,6 +14,7 @@ from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
     scalars,
     setops,
     sinks,
+    statml,
     streaming_batch,
     textprep,
     timeseries,

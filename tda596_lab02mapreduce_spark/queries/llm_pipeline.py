@@ -641,6 +641,108 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "triangle_count_neardup",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         array_to_string(tk[1:3], ' ') AS prefix,
+         list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+),
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS id FROM tri) t
+GROUP BY id
+""",
+    doc=(
+        "Per-document triangle participation over the near-dup "
+        "similarity graph (same blocked 3-shingle Jaccard >= 0.5 pair "
+        "source as union_find_components / pagerank_neardup_hubs) — "
+        "the local-clustering signal that separates dense template/"
+        "boilerplate families (every pair similar => many triangles) "
+        "from chain-shaped incidental overlap. Algorithm: compact-"
+        "forward / degree-ordered closure — edges are oriented from "
+        "the (degree, id)-smaller endpoint, 2-paths are enumerated "
+        "only from each node's ordered adjacency, and the closing "
+        "edge is checked with one more equi-join, so every triangle "
+        "is found exactly once and the 2-path fan-out is bounded by "
+        "O(m^1.5) (Latapy 2008; the standard MapReduce triangle "
+        "recipe) instead of the naive sum of deg^2. Three equi-joins, "
+        "no cartesian; the per-node rollup is one explode+count. The "
+        "naive unordered 3-way join the oracle runs is the semantic "
+        "spec, not the plan."
+    ),
+    tags=("dedup", "graph", "llm"),
+)
+def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    # The edge list is referenced 4x below (degrees, orientation, both
+    # closure sides); without materialization Catalyst re-runs the
+    # shingle self-join per reference (measured: 40 Exchanges -> 10).
+    # localCheckpoint keeps only the tiny (a, b) pair list — the
+    # standard shape: candidate generation once, graph passes many.
+    edges = (
+        _blocked_jaccard_pairs(docs)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient every edge from the (deg, id)-smaller endpoint: u -> v
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    paths = e1.join(
+        e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v"))
+    ).select(
+        F.col("e1.u").alias("x"),
+        F.col("e1.v").alias("y"),
+        F.col("e2.v").alias("z"),
+    )
+    # closing edge between y and z in canonical (a < b) form
+    canon = edges.select(
+        F.least("a", "b").alias("ca"), F.greatest("a", "b").alias("cb")
+    )
+    tri = paths.join(
+        canon,
+        (F.least("y", "z") == F.col("ca")) & (F.greatest("y", "z") == F.col("cb")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@register(
     "pagerank_neardup_hubs",
     oracle=None,  # float power iteration: per-node neighbor sums have no
     # engine-independent fold order, and the drift compounds over 10

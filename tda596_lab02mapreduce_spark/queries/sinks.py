@@ -190,6 +190,51 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "source_binaryfile_scan",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(n_chars + 1 AS BIGINT) AS n_bytes,
+       md5(text || chr(10)) AS content_md5
+FROM documents
+""",
+    doc=(
+        "binaryFile format scan — Spark's whole-file binary source, the "
+        "ingestion path for image/audio/video corpora where each file is "
+        "one opaque blob (complements the multimodal_* band, which gets "
+        "its blobs from a column). Staging: each document is written to "
+        "its own file by a DISTRIBUTED partitionBy text write (no "
+        "driver-side file loop); the query then scans the directory tree "
+        "with binaryFile + recursiveFileLookup + pathGlobFilter, "
+        "recovers the id from the hive-style path, and md5/length-checks "
+        "every blob against the ORIGINAL table (text files carry one "
+        "trailing newline, hence n_chars+1 — fixture text is ASCII and "
+        "newline-free, pinned in tests/test_multimodal.py). At 100 TB "
+        "binaryFile is the listing-parallel scan for billions of media "
+        "files; content never rides a shuffle here — the aggregate-free "
+        "projection keeps blobs inside their scan tasks."
+    ),
+    tags=("source", "multimodal"),
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    path = _sink_path(sf_dir, "docs_binfiles")
+    docs.select(
+        F.col("text").alias("value"), F.col("doc_id")
+    ).write.mode("overwrite").partitionBy("doc_id").text(path)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return blobs.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("bigint").alias("media_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@register(
     "sink_orc_roundtrip",
     oracle="""
 SELECT p_brand,

@@ -1,0 +1,257 @@
+"""Statistical / ML-adjacent operators (SURVEY.md §2C extensions,
+round 3): group-wise linear regression, winsorized robust stats, and
+a Misra-Gries heavy-hitter sketch with an exact-output guarantee.
+
+All three follow the repo's cross-engine exactness discipline: every
+cross-row reduction happens in exact integer/decimal arithmetic (cents,
+epoch seconds, counts) and floating-point enters only in a final,
+identically-shaped expression both engines evaluate over identical
+exact inputs — so the driver's value hash matches bitwise with no
+tolerance band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.registry import register
+
+# Fixed regression epoch: 2024-01-01 00:00:00 UTC. Centering x keeps
+# every exact sum (Sx, Sxx, Sxy ≤ ~1e21 at sf0.1) far inside both
+# Spark's decimal(38) and DuckDB's HUGEINT.
+_EPOCH0 = 1704067200
+
+
+@register(
+    "regr_slope_by_type",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS HUGEINT) - {_EPOCH0} AS x,
+         CAST(ROUND(value * 100, 0) AS HUGEINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts GROUP BY event_type
+),
+sl AS (
+  SELECT event_type, n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           AS slope
+  FROM s
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       slope AS slope_cents_per_sec,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS intercept_cents
+FROM sl
+""",
+    doc=(
+        "Group-wise least-squares regression of event value (cents) on "
+        "time (seconds since a fixed epoch): the trend-feature / drift-"
+        "detection primitive. One partial+final aggregation computes the "
+        "five power sums (n, Sx, Sy, Sxx, Sxy) EXACTLY — x is centered "
+        "epoch seconds, y integer cents, sums in decimal(38)/HUGEINT — "
+        "then slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) and the intercept "
+        "are single identically-shaped double expressions over those "
+        "exact integers, so both engines round identically (the "
+        "agg_stats_moments 128-bit lesson applied to regression). "
+        "Single shuffle on the group key; no second pass, no windows; "
+        "built-in regr_slope is avoided precisely because its running "
+        "double sums are fold-order-dependent across engines."
+    ),
+    tags=("agg", "stats"),
+)
+def regr_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = io.load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts").cast("long") - F.lit(_EPOCH0)).cast("decimal(18,0)").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("decimal(18,0)").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    sl = s.select("event_type", "n", "sx", "sy", (num / den).alias("slope"))
+    return sl.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("slope").alias("slope_cents_per_sec"),
+        (
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+    )
+
+
+@register(
+    "winsorized_value_stats",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+bounds AS (
+  SELECT event_type,
+         min(n) AS n,
+         min(CASE WHEN rn = CAST((n + 19) // 20 AS BIGINT) THEN cents END) AS lo,
+         min(CASE WHEN rn = CAST((19 * n + 19) // 20 AS BIGINT) THEN cents END) AS hi
+  FROM r GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(min(b.n) AS BIGINT) AS n,
+       CAST(min(b.lo) AS BIGINT) AS lo_cents,
+       CAST(min(b.hi) AS BIGINT) AS hi_cents,
+       CAST(SUM(CAST(least(greatest(c.cents, b.lo), b.hi) AS DECIMAL(38,0)))
+            AS DOUBLE) / CAST(min(b.n) AS DOUBLE) AS winsorized_mean_cents
+FROM c JOIN bounds b USING (event_type)
+GROUP BY c.event_type
+""",
+    doc=(
+        "Winsorized (clamped) robust mean per group: values below the "
+        "5th / above the 95th percentile are clamped to those bounds "
+        "before averaging — the outlier-robust companion to "
+        "anomaly_zscore_events (z-scores FIND outliers; winsorization "
+        "bounds their leverage on training statistics). Percentiles are "
+        "exact ORDER STATISTICS (the k-th smallest cents value, k = "
+        "ceil(q*n) by integer math), not interpolated quantiles — the "
+        "multiset's k-th element is engine-independent even under ties, "
+        "where interpolated double quantiles are not. Shape: one "
+        "row_number window per group + a broadcast-back of per-group "
+        "(lo, hi) bounds, then one exact decimal clamp-sum; the global-"
+        "sort-free analogue at 100 TB swaps the window for "
+        "approx_percentile bounds (inventory: stats_approx_quantiles)."
+    ),
+    tags=("agg", "stats", "window"),
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = io.load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k_lo = ((F.col("n") + 19) / 20).cast("bigint")
+    k_hi = ((19 * F.col("n") + 19) / 20).cast("bigint")
+    bounds = r.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min(F.when(F.col("rn") == k_lo, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("cents"))).alias("hi"),
+    )
+    clamped = c.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+        .cast("decimal(38,0)")
+        .alias("cl"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min("lo").alias("lo_cents"),
+        F.min("hi").alias("hi_cents"),
+        (F.sum("cl").cast("double") / F.min("n").cast("double")).alias(
+            "winsorized_mean_cents"
+        ),
+    )
+
+
+@register(
+    "heavy_hitters_tokens",
+    oracle=r"""
+WITH t AS (
+  SELECT word AS token FROM (
+    SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word FROM documents
+  ) WHERE word <> ''
+),
+n AS (SELECT count(*) AS total FROM t)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM t, n
+GROUP BY token, total
+HAVING count(*) * 200 > total
+""",
+    doc=(
+        "Distributed heavy hitters: every token with frequency > n/200, "
+        "with EXACT counts, via a two-phase Misra-Gries sketch "
+        "(Misra & Gries 1982; the summary-then-verify shape of "
+        "count-min/space-saving deployments). Phase 1 is an Arrow-"
+        "batched mapInPandas pass keeping K=200 decremented counters "
+        "per batch — O(K) memory per task, no shuffle of the token "
+        "stream; by the pigeonhole bound any token with global freq > "
+        "n/(K+1) survives in >=1 batch summary, so the candidate union "
+        "(a few hundred strings) provably contains every heavy hitter. "
+        "Phase 2 broadcast-semi-joins the tiny candidate set against "
+        "the token stream for exact counts and filters cnt*200 > n in "
+        "integer math. Net shuffle: candidate tokens only — the full "
+        "(word, count) exchange of wordcount never happens, which is "
+        "the point at 100 TB where the distinct-token set itself is "
+        "shuffle-hostile. Output is deterministic (exact counts, exact "
+        "threshold), hence fully oracle-checkable against DuckDB's "
+        "exact HAVING count(*)*200 > total."
+    ),
+    tags=("agg", "sketch", "text", "udf"),
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+
+    K = 200  # MG counters per batch; guarantee threshold is n/(K+1)
+
+    docs = io.load(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(tokens_nonempty("text")).alias("token"))
+
+    def mg_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < K:
+                    counters[tok] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+            yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = tokens.mapInPandas(mg_partial, "token string").distinct()
+    total = tokens.count()
+    exact = (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.filter(F.col("cnt") * 200 > F.lit(total))

@@ -411,3 +411,113 @@ def dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
         )
     )
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(tk) AS token, len(tk) AS n_tokens
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+),
+uni AS (
+  SELECT doc_id, min(n_tokens) AS n_tokens,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+         CAST(max(cnt) AS BIGINT) AS top_token_cnt
+  FROM (SELECT doc_id, token, n_tokens, count(*) OVER (PARTITION BY doc_id, token) AS cnt
+        FROM tok)
+  GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_cnt
+  FROM (
+    SELECT doc_id, bg, count(*) AS cnt
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+            FROM documents)
+      WHERE len(tk) >= 2
+    ) GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT uni.doc_id,
+       CAST(uni.n_tokens AS BIGINT) AS n_tokens,
+       uni.n_distinct,
+       CAST(uni.n_distinct AS DOUBLE) / CAST(uni.n_tokens AS DOUBLE) AS type_token_ratio,
+       CAST(uni.top_token_cnt AS DOUBLE) / CAST(uni.n_tokens AS DOUBLE) AS top_token_frac,
+       CAST(big.top_bigram_cnt AS DOUBLE) / CAST(uni.n_tokens - 1 AS DOUBLE) AS top_bigram_frac
+FROM uni JOIN big USING (doc_id)
+WHERE uni.n_tokens >= 2
+""",
+    doc=(
+        "Per-document repetition quality signals — the Gopher-rules "
+        "band (Rae et al. 2021, 'Scaling Language Models: ... Gopher', "
+        "repetition filters C4/MassiveText pipelines apply before "
+        "training): type-token ratio, most-frequent-token fraction, "
+        "and most-frequent-bigram fraction. High top-n-gram fractions "
+        "flag template/boilerplate spam that survives dedup "
+        "(complements text_quality's length/punct/stopword gates). "
+        "All counts are exact integers and every fraction is one "
+        "final double division of exact integers, so the driver hash "
+        "matches with no tolerance. Shape: explode -> (doc_id, gram) "
+        "count -> per-doc max, i.e. two keyed aggregations per gram "
+        "order, everything partitioned by doc_id — no global state, "
+        "linear in corpus size, the per-doc cardinality is bounded by "
+        "doc length."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    tk = tokens_nonempty(F.col("text"))
+    base = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+
+    toks = base.select(
+        "doc_id", F.size("tk").alias("n_tokens"), F.explode("tk").alias("token")
+    )
+    uni = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.min("n_tokens").alias("n_tokens"), F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_token_cnt"),
+        )
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    big = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    )
+    return uni.join(big, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "type_token_ratio"
+        ),
+        (
+            F.col("top_token_cnt").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("top_token_frac"),
+        (
+            F.col("top_bigram_cnt").cast("double")
+            / (F.col("n_tokens") - 1).cast("double")
+        ).alias("top_bigram_frac"),
+    )

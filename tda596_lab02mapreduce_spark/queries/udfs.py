@@ -143,3 +143,56 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         kernel, "l_orderkey long, l_linenumber int, rev_c2 long"
     )
+
+
+@register(
+    "udtf_trigram_explode",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+  FROM documents
+),
+long AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+  FROM base
+  WHERE len(tk) >= 3
+)
+SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(tk[i:i+2], ' ') AS ngram
+FROM long
+""",
+    doc=(
+        "Python UDTF (Spark 4 user-defined TABLE function) in a LATERAL "
+        "join: one (pos, trigram) row per token window per document — "
+        "the closest Spark-native analogue of the reference's mapf slot "
+        "itself (mr/worker.go:36: one call emits MANY rows; scalar UDFs "
+        "cannot change cardinality, UDTFs can). Tokenization inside the "
+        "UDTF is apps._letter_runs — the unicode.IsLetter-exact run "
+        "splitter already parity-proven against the \\p{L} oracle split "
+        "(tests/test_tokenizer.py) — so the DuckDB mirror is the same "
+        "trigram windows via list slicing. Python-per-row is the honest "
+        "cost of the generalized-UDTF surface; the JVM fast path for "
+        "THIS specific shape (transform+sequence+explode) is what "
+        "doc_chunk_windows/text_repetition_metrics use — the inventory "
+        "carries both so the trade is explicit."
+    ),
+    tags=("udf", "text"),
+)
+def udtf_trigram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    from tda596_lab02mapreduce_spark.apps import _letter_runs
+
+    @udtf(returnType="pos int, ngram string")
+    class Trigrams:
+        def eval(self, text: str):
+            toks = _letter_runs(text or "")
+            for i in range(1, len(toks) - 1):
+                yield i, " ".join(toks[i - 1 : i + 2])
+
+    spark.udtf.register("q_trigrams", Trigrams)
+    io.register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.ngram "
+        "FROM documents d, LATERAL q_trigrams(d.text) t"
+    )
