@@ -51,6 +51,13 @@ HEADLINE = [
     "decontaminate_train_split",
     "embedding_quantize_int8",
     "anomaly_zscore_events",
+    # round-3 additions (BASELINE.md "Round-3 additions" table; the 26
+    # queries above remain comparable to their round-1/2 anchors)
+    "heavy_hitters_tokens",
+    "triangle_count_neardup",
+    "text_repetition_metrics",
+    "regr_slope_by_type",
+    "winsorized_value_stats",
 ]
 
 

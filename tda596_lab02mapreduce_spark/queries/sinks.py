@@ -235,6 +235,42 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_partition_pruning",
+    oracle="""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    doc=(
+        "Hive-style partition pruning: events written partitionBy("
+        "event_type), re-read with an event_type predicate — the scan "
+        "must prune to ONE directory via PartitionFilters (pinned in "
+        "tests/test_plans.py: the filter appears as a partition filter, "
+        "not a data filter, so non-matching files are never opened or "
+        "listed into tasks). At 100 TB partition layout is the coarsest "
+        "and cheapest pruning lever — metadata-only, ahead of row-group "
+        "stats and Bloom filters — and the thing that turns a full-"
+        "corpus scan into a per-slice one. Oracle aggregates the "
+        "filtered ORIGINAL table, so pruning that dropped or duplicated "
+        "a partition breaks the hash."
+    ),
+    tags=("source", "plan"),
+)
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    path = _sink_path(sf_dir, "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return back.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "sink_orc_roundtrip",
     oracle="""
 SELECT p_brand,

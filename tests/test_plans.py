@@ -296,3 +296,19 @@ def test_null_safe_join_stays_equi_join(spark, sf_correctness):
 def test_grouped_topk_uses_window_group_limit(spark, sf_correctness):
     df = get("topk_per_segment").spark_fn(spark, sf_correctness)
     assert plans.has_operator(df, "WindowGroupLimit"), plans.formatted_plan(df)
+
+
+def test_partition_pruning_is_metadata_only(spark, sf_correctness):
+    """source_partition_pruning's event_type predicate must surface as
+    a PartitionFilters entry on the scan (directory-level pruning,
+    decided from the listing — no file of another event_type is ever
+    opened), NOT as a post-scan data Filter over all partitions."""
+    df = get("source_partition_pruning").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), (
+        f"event_type not pruned at partition level:\n{plan[:2000]}"
+    )
+    # and the predicate must NOT linger as a row-level filter
+    data_filters = re.findall(r"Filter \(?[^\n]*event_type[^\n]*", plan)
+    assert not data_filters, f"predicate re-applied per row: {data_filters}"
