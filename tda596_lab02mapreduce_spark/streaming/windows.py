@@ -24,16 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # int64 nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """FileStreamSource needs an explicit schema, but the fixture's ts
+    physical type has drifted across generations (TIMESTAMP(NANOS) →
+    int64 under nanosAsLong; TIMESTAMP(MICROS, ntz) → TIMESTAMP_NTZ).
+    Read the footer via a one-file batch scan and reuse exactly what
+    the batch path sees, so batch-vs-stream invariance holds by
+    construction whatever the generation."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def _as_stream_dir(sf_dir: str, table: str, *, copies: int = 1) -> str:
@@ -70,11 +68,16 @@ def events_stream(spark: SparkSession, sf_dir: str, *, copies: int = 1) -> DataF
     every event twice — the duplicated-source shape the streaming
     dedup queries must collapse."""
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(spark, sf_dir))
         .format("parquet")
         .load(_as_stream_dir(sf_dir, "events", copies=copies))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) generation
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return raw
 
 
 def tumbling_agg(events: DataFrame, *, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
