@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+from tda596_lab02mapreduce_spark.functions.text import ngram_shingles, tokens_nonempty
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -37,14 +37,14 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings (row-local)."""
+    """Word k-shingles as strings (row-local). Short docs (< k tokens)
+    yield their whole token run as the single shingle. The zip_with
+    construction (functions/text.py:ngram_shingles) keeps the tokenize
+    subtree O(1)-per-row instead of re-evaluated per shingle."""
     toks = tokens_nonempty(text)
     n = F.size(toks)
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
+        ngram_shingles(toks, k)
     )
 
 

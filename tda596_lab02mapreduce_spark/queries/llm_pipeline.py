@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tda596_lab02mapreduce_spark import io
-from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+from tda596_lab02mapreduce_spark.functions.text import ngram_shingles, tokens_nonempty
 from tda596_lab02mapreduce_spark.functions.vector import cosine_sim  # noqa: F401 (re-export for docs)
 from tda596_lab02mapreduce_spark.operators import dedup as dd
 from tda596_lab02mapreduce_spark.operators import similarity as sim
@@ -27,17 +27,14 @@ def _blocked_jaccard_pairs(docs: DataFrame) -> DataFrame:
     first-3-token prefix — the deterministic pair source shared by
     `dedup_ngram_jaccard` (reports pairs) and `union_find_components`
     (collapses them to clusters)."""
-    tk = tokens_nonempty(F.col("text"))
-    sh = docs.select(
+    toked = docs.select(
+        "doc_id", tokens_nonempty(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    sh = toked.select(
         "doc_id",
-        F.concat_ws(" ", F.slice(tk, 1, 3)).alias("prefix"),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 2),
-                lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
-            )
-        ).alias("s"),
-    ).filter(F.size(tk) >= 3)
+        F.concat_ws(" ", F.slice("toks", 1, 3)).alias("prefix"),
+        F.array_distinct(ngram_shingles(F.col("toks"), 3)).alias("s"),
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
     return (

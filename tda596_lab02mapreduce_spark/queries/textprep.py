@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tda596_lab02mapreduce_spark import io
-from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+from tda596_lab02mapreduce_spark.functions.text import ngram_shingles, tokens_nonempty
 from tda596_lab02mapreduce_spark.registry import register
 
 _TOK_SQL = r"unnest(string_split_regex(text, '[^\p{L}]+'))"
@@ -207,10 +207,7 @@ HAVING count(*) >= 5
 def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
     tk = tokens_nonempty("text")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size("tk") - 1),
-        lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)),
-    )
+    bigrams = ngram_shingles(F.col("tk"), 2)
     return (
         docs.select(tk.alias("tk"))
         .filter(F.size("tk") >= 2)
@@ -261,12 +258,7 @@ def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load(spark, sf_dir, "documents")
     split = _split_col()
     tk = tokens_nonempty(F.col("text"))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("tk") - 7),
-            lambda i: F.concat_ws(" ", F.slice("tk", i, F.lit(8))),
-        )
-    )
+    shingles = F.array_distinct(ngram_shingles(F.col("tk"), 8))
     sh = (
         docs.select("doc_id", split.alias("split"), tk.alias("tk"))
         .filter(F.col("split").isin("train", "test") & (F.size("tk") >= 8))
@@ -491,14 +483,7 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bigrams = base.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("tk", i), F.element_at("tk", i + 1)
-                ),
-            )
-        ).alias("bg"),
+        F.explode(ngram_shingles(F.col("tk"), 2)).alias("bg"),
     )
     big = (
         bigrams.groupBy("doc_id", "bg")
