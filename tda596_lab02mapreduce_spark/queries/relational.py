@@ -83,9 +83,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp")
     )
-    # exact-decimal partials are the CPU cost here; widen them past the
-    # fixture's single-row-group scan (no-op on a many-split cluster)
-    li = io.widen_if_few_splits(li, "l_orderkey")
+    # No widening: the decimal partial-agg no longer beats the cost of
+    # shuffling full lineitem rows (sf0.1 best-of-3: 0.55 s narrow vs
+    # 0.76 s widened); on a many-split cluster scan the question is moot.
     dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"

@@ -78,8 +78,10 @@ GROUP BY word
     tags=("agg", "text"),
 )
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # tokenize+explode is the CPU stage; widen past the single-split scan
-    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
+    # No widening: like wordcount, the tokenize+explode+partial-agg is
+    # too cheap per row for a full-text-row shuffle to pay for itself
+    # (sf0.1 best-of-3: 0.37 s narrow vs 0.72 s widened).
+    docs = io.load(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.explode(tokens_nonempty("text")).alias("word"))
         .groupBy("word")
