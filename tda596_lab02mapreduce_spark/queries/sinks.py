@@ -368,3 +368,57 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_bal"),
     )
+
+
+@register(
+    "source_python_wholefile",
+    oracle=r"""
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
+  FROM documents
+) t
+WHERE word <> ''
+GROUP BY word
+""",
+    doc=(
+        "The reference's custom whole-file source (mr/coordinator.go:"
+        "86-97, one map task per file) rebuilt as a pluggable Spark 4 "
+        "Python DataSource (sources/pydatasource.py): partitions() "
+        "yields one InputPartition per staged file — nMap = len(files), "
+        "mr/coordinator.go:190 — and read() opens its file ON THE "
+        "EXECUTOR, unlike the reference's coordinator-reads-everything "
+        "RPC hop. The corpus is staged as 8 text files (the reference's "
+        "8 pg-*.txt inputs), read back whole via the plugin, and "
+        "word-counted with the exact wc.go tokenizer; the oracle "
+        "recomputes the count from the ORIGINAL table, so a file "
+        "dropped, duplicated, or truncated by the source breaks the "
+        "hash. Newlines introduced by the line-oriented staging write "
+        "are token separators just like any non-letter, so the token "
+        "multiset is invariant to the file layout."
+    ),
+    tags=("source", "text", "udf"),
+)
+def source_python_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        register_wholefile_source,
+    )
+
+    docs = io.load(spark, sf_dir, "documents")
+    path = _sink_path(sf_dir, "docs_wholefiles")
+    # Distributed staging: 8 part files, mirroring the reference's
+    # 8-file corpus; layout (which doc lands in which file) does not
+    # affect the aggregate, so round-robin repartition is fine.
+    docs.select("text").repartition(8).write.mode("overwrite").text(path)
+    register_wholefile_source(spark)
+    files = (
+        spark.read.format("wholefile_text")
+        .option("glob", os.path.join(path, "part-*"))
+        .load()
+    )
+    return (
+        files.select(F.explode(tokens_nonempty("content")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -199,3 +199,36 @@ def test_compact_parquet_refuses_in_place(spark, sf_smoke, tmp_path):
         sources.compact_parquet(spark, d, d)
     # and the data is untouched
     assert spark.read.parquet(d).count() == 5
+
+
+def test_python_wholefile_source_partition_per_file(spark, tmp_path):
+    """The pluggable Python DataSource schedules exactly one task per
+    input file — the reference's nMap = len(files) model
+    (mr/coordinator.go:190,196-205) — and returns each file whole."""
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        register_wholefile_source,
+    )
+
+    for i in range(5):
+        (tmp_path / f"in{i}.txt").write_text(f"alpha beta{i} gamma\nline two {i}")
+    (tmp_path / "_SUCCESS").write_text("")  # marker files must be skipped
+    register_wholefile_source(spark)
+    df = (
+        spark.read.format("wholefile_text")
+        .option("glob", str(tmp_path / "*"))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r.path: r.content for r in df.collect()}
+    assert set(rows) == {f"in{i}.txt" for i in range(5)}
+    assert rows["in3.txt"] == "alpha beta3 gamma\nline two 3"
+
+
+def test_python_wholefile_source_requires_glob(spark):
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        register_wholefile_source,
+    )
+
+    register_wholefile_source(spark)
+    with pytest.raises(Exception, match="glob"):
+        spark.read.format("wholefile_text").load().collect()
