@@ -422,3 +422,60 @@ def source_python_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "sink_python_textkv_roundtrip",
+    oracle=r"""
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
+  FROM documents
+) t
+WHERE word <> ''
+GROUP BY word
+""",
+    doc=(
+        "The reference's partitioned `key value` text sink (A10, "
+        "mr/worker.go:136-157) with its tmp+rename atomic commit (A11, "
+        "mr/coordinator.go:37-53) rebuilt on the pluggable Python "
+        "DataSourceWriter protocol (sources/pydatasource.py:"
+        "KVTextSinkDataSource): tasks write temp files and return "
+        "commit messages; the driver renames tmp-worker-*-out-<p> to "
+        "mr-out-<p> only after every task succeeds; abort() leaves no "
+        "committed output. The query word-counts the corpus, writes "
+        "through the custom sink at nReduce=10 (the reference's "
+        "hard-coded reduce fan-out, main/mrcoordinator.go:23), reads "
+        "the committed files back, and re-parses them — so a dropped, "
+        "double-committed, or mis-renamed partition breaks the hash "
+        "against the oracle recomputed from the original table."
+    ),
+    tags=("sink", "text", "udf"),
+)
+def sink_python_textkv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        register_textkv_sink,
+    )
+
+    docs = io.load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    path = _sink_path(sf_dir, "wc_textkv_pysink")
+    register_textkv_sink(spark)
+    (
+        wc.repartition(10, "word")  # nReduce=10, ihash(key)%nReduce ≙ repartition
+        .write.format("textkv_sink")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    lines = spark.read.text(os.path.join(path, "mr-out-*"))
+    parts = F.split(F.col("value"), " ")
+    return lines.select(
+        parts.getItem(0).alias("word"),
+        parts.getItem(1).cast("bigint").alias("cnt"),
+    )

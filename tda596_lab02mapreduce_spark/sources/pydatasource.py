@@ -35,9 +35,17 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import uuid
+from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 FORMAT_NAME = "wholefile_text"
 
@@ -91,3 +99,90 @@ class WholeFileTextReader(DataSourceReader):
 def register_wholefile_source(spark: SparkSession) -> None:
     """Idempotently register the source under ``wholefile_text``."""
     spark.dataSource.register(WholeFileTextDataSource)
+
+
+# --- Partitioned key/value text sink (A10) with atomic commit (A11) --
+
+
+@dataclass
+class _KVCommitMessage(WriterCommitMessage):
+    """One per finished task: where its temp file landed and what the
+    committed name should be — the payload of the reference's
+    piggybacked completion report (mr/worker.go:60-61)."""
+
+    tmp_path: str
+    final_name: str
+
+
+class KVTextSinkDataSource(DataSource):
+    """``df.write.format("textkv_sink").option("path", dir).save()``.
+
+    The reference's output contract rebuilt on the pluggable
+    DataSourceWriter protocol, which has the SAME commit shape the
+    reference hand-rolls:
+
+    - each task writes ``key value\\n`` lines (mr/worker.go:152) to a
+      temp file ``tmp-worker-<uid>-out-<partition>`` (mr/worker.go:136)
+      and returns a commit message;
+    - the driver's ``commit(messages)`` renames every temp file to its
+      final ``mr-out-<partition>`` name (mr/coordinator.go:46-53,
+      238-244) only after ALL tasks reported success — job-level
+      atomicity (strictly stronger than the reference, which renames
+      per-task as reports arrive);
+    - ``abort()`` removes temp files, so a failed job leaves NO
+      committed output — the property the reference gets from
+      stale-owner rejection + tmp naming (mr/coordinator.go:35).
+
+    Local/shared-filesystem sink (exactly the reference's assumption);
+    the production path for distributed storage remains the JVM
+    FileOutputCommitter formats. First two columns are written as
+    (key, value); keys must not contain the separator — the
+    reference's identical undocumented constraint (SURVEY.md §1.2).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "textkv_sink"
+
+    def writer(self, schema, overwrite: bool) -> "KVTextSinkWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("textkv_sink requires .option('path', <dir>)")
+        return KVTextSinkWriter(path, overwrite)
+
+
+class KVTextSinkWriter(DataSourceWriter):
+    def __init__(self, path: str, overwrite: bool) -> None:
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _KVCommitMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"tmp-worker-{uuid.uuid4().hex}-out-{pid}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row[0]} {row[1]}\n")
+        return _KVCommitMessage(tmp_path=tmp, final_name=f"mr-out-{pid}")
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("mr-out-"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except (OSError, TypeError):
+                pass
+
+
+def register_textkv_sink(spark: SparkSession) -> None:
+    """Idempotently register the sink under ``textkv_sink``."""
+    spark.dataSource.register(KVTextSinkDataSource)

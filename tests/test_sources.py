@@ -232,3 +232,48 @@ def test_python_wholefile_source_requires_glob(spark):
     register_wholefile_source(spark)
     with pytest.raises(Exception, match="glob"):
         spark.read.format("wholefile_text").load().collect()
+
+
+def test_python_textkv_sink_atomic_commit(spark, tmp_path):
+    """A10+A11 parity on the DataSourceWriter protocol: exactly
+    nReduce committed mr-out-<p> files, no temp debris, content
+    re-parseable (mr/worker.go:136-157, mr/coordinator.go:37-53)."""
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        register_textkv_sink,
+    )
+
+    register_textkv_sink(spark)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "k string, v long"
+    )
+    df.repartition(3, "k").write.format("textkv_sink").option("path", out).mode(
+        "append"
+    ).save()
+    names = sorted(os.listdir(out))
+    assert names == ["mr-out-0", "mr-out-1", "mr-out-2"]
+    lines = sorted(
+        ln
+        for n in names
+        for ln in open(os.path.join(out, n)).read().splitlines()
+    )
+    assert lines == ["a 1", "b 2", "c 3", "d 4"]
+
+
+def test_python_textkv_sink_abort_leaves_no_output(spark, tmp_path):
+    """A failing job must commit NOTHING — the atomicity the reference
+    gets from tmp naming + stale-owner rejection (mr/coordinator.go:35)."""
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        register_textkv_sink,
+    )
+
+    register_textkv_sink(spark)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([("a", 1), ("b", 0)], "k string, v long").select(
+        "k", (F.lit(10) / F.col("v")).cast("long").alias("v")
+    )
+    boom = df.select("k", F.when(F.col("v").isNull(), F.raise_error("boom")).otherwise(F.col("v")).alias("v"))
+    with pytest.raises(Exception):
+        boom.write.format("textkv_sink").option("path", out).mode("append").save()
+    committed = [f for f in os.listdir(out)] if os.path.exists(out) else []
+    assert not [f for f in committed if f.startswith("mr-out-")], committed
