@@ -765,3 +765,73 @@ def pagerank_neardup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load(spark, sf_dir, "documents")
     pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
     return pagerank(pairs, "id_a", "id_b", id_out="doc_id", rank_out="rank")
+
+
+@register(
+    "graph_reach_recursive",
+    oracle=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         array_to_string(tk[1:3], ' ') AS prefix,
+         list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+),
+p AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+),
+e AS (SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p),
+reach AS (
+  SELECT src, dst, 1 AS depth FROM e
+  UNION ALL
+  SELECT r.src, e.dst, r.depth + 1
+  FROM reach r JOIN e ON e.src = r.dst
+  WHERE r.depth < 3 AND e.dst <> r.src
+)
+SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_hops
+FROM reach WHERE src < dst
+GROUP BY src, dst
+""",
+    doc=(
+        "Depth-bounded transitive reachability over the near-dup "
+        "similarity graph via a RECURSIVE CTE — Spark 4's declarative "
+        "iterative-plan surface, so the fixpoint loop that "
+        "union_find_components drives from Python (operators/"
+        "components.py) here lives entirely inside one Catalyst plan. "
+        "Spark runs the IDENTICAL recursion (seed = symmetric edges, "
+        "step = one-hop extension, cycle-safe via the depth<=3 bound "
+        "and no-backtrack guard) over the same blocked-Jaccard pair "
+        "source as triangle/pagerank/union_find; min-hop aggregation "
+        "collapses the path multiset. At 100 TB each recursion round "
+        "is one equi-join shuffle keyed on the frontier — same cost "
+        "shape as the hand-driven loop, minus the driver round-trips; "
+        "the depth bound caps the frontier blowup exactly like the "
+        "fixed-round PageRank contract."
+    ),
+    tags=("graph", "dedup", "subquery"),
+)
+def graph_reach_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    edges.createOrReplaceTempView("__nd_edges")
+    return spark.sql(
+        """
+WITH RECURSIVE reach AS (
+  SELECT src, dst, 1 AS depth FROM __nd_edges
+  UNION ALL
+  SELECT r.src, e.dst, r.depth + 1
+  FROM reach r JOIN __nd_edges e ON e.src = r.dst
+  WHERE r.depth < 3 AND e.dst <> r.src
+)
+SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_hops
+FROM reach WHERE src < dst
+GROUP BY src, dst
+"""
+    )

@@ -225,3 +225,44 @@ def scalar_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.col("l_quantity"), 2.0).alias("qty_sq"),
         F.sin(F.col("l_tax")).alias("sin_tax"),
     )
+
+
+@register(
+    "scalar_variant_json",
+    oracle="""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS BIGINT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(*) FILTER (WHERE json_extract_string(props, '$.missing') IS NULL) AS BIGINT) AS n_no_extra
+FROM events
+GROUP BY 1
+""",
+    doc=(
+        "Semi-structured access via Spark 4's VARIANT type: parse_json "
+        "once into an open-schema value, then variant_get typed path "
+        "extraction — the schema-on-read alternative to scalar_json's "
+        "from_json(explicit schema). Unlike from_json, VARIANT keeps "
+        "the full document queryable without declaring its shape up "
+        "front (the training-metadata reality where every source adds "
+        "its own props keys); try_variant_get on an absent path yields "
+        "NULL instead of failing, counted here to pin that contract. "
+        "Binary-encoded and columnar at rest — no per-query re-parse "
+        "of the JSON text once materialized."
+    ),
+    tags=("scalar", "json"),
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+            F.expr("try_variant_get(v, '$.missing', 'string')").alias("extra"),
+        )
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("extra").isNull(), 1)).alias("n_no_extra"),
+        )
+    )
