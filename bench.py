@@ -58,6 +58,8 @@ HEADLINE = [
     "text_repetition_metrics",
     "regr_slope_by_type",
     "winsorized_value_stats",
+    # round-5 addition: recursive-CTE iterative plan (JVM-side)
+    "graph_reach_recursive",
 ]
 
 

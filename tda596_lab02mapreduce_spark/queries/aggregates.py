@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tda596_lab02mapreduce_spark import io
 from tda596_lab02mapreduce_spark.registry import register
@@ -404,4 +405,45 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("min_cents").alias("min_cents"),
             F.max("max_cents").alias("max_cents"),
         )
+    )
+
+
+@register(
+    "approx_topk_tokens",
+    oracle=r"""
+SELECT word AS token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rnk
+FROM (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word FROM documents) t
+  WHERE word <> ''
+  GROUP BY word
+)
+""",
+    doc=(
+        "approx_top_k (Spark 4.1 sketch aggregate) over the token "
+        "stream: one pass, bounded memory, mergeable partials — the "
+        "built-in alternative to the hand-built two-phase Misra-Gries "
+        "in heavy_hitters_tokens. Tracked capacity (50) exceeds this "
+        "corpus's distinct-token count, so the sketch is provably "
+        "EXACT here and carries a full oracle (the same pigeonhole "
+        "argument heavy_hitters uses); at open-vocabulary scale the "
+        "same query is approximate with identical plan shape. Rank "
+        "tie-broken on (count desc, token) so the output is "
+        "deterministic cross-engine."
+    ),
+    tags=("agg", "sketch", "text"),
+)
+def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+
+    docs = io.load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_nonempty("text")).alias("token"))
+    top = toks.selectExpr("approx_top_k(token, 50) AS tk").select(
+        F.explode("tk").alias("e")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        top.select(F.col("e.item").alias("token"), F.col("e.count").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
     )

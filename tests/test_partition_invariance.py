@@ -32,6 +32,9 @@ SLICE = [
     "decontaminate_train_split",
     "split_train_valid_test",
     "corpus_clean_pipeline",
+    # round-5 additions: in-plan recursion, custom-sink roundtrip
+    "graph_reach_recursive",
+    "sink_python_textkv_roundtrip",
 ]
 
 
