@@ -479,3 +479,72 @@ def sink_python_textkv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(0).alias("word"),
         parts.getItem(1).cast("bigint").alias("cnt"),
     )
+
+
+def _zvalue(a, b, bits: int = 16):
+    """Morton/Z-order interleave of the low ``bits`` of two keys — a
+    constant-size JVM expression chain (no UDF): bit i of a lands at
+    2i, bit i of b at 2i+1."""
+    a = F.pmod(a.cast("long"), F.lit(1 << bits))
+    b = F.pmod(b.cast("long"), F.lit(1 << bits))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    return z
+
+
+@register(
+    "source_zorder_clustering",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 200 AND l_suppkey BETWEEN 10 AND 20
+""",
+    doc=(
+        "Z-order clustered data layout: lineitem rewritten range-"
+        "partitioned + sorted on the Morton interleave of (l_partkey, "
+        "l_suppkey), then re-read with a 2-D predicate. Because the "
+        "z-curve keeps BOTH keys locally dense inside every file, the "
+        "parquet min/max stats of each file span narrow ranges of both "
+        "columns, and a conjunctive predicate skips most files/row-"
+        "groups — multi-dimensional data skipping that single-column "
+        "sort cannot give (sorting by partkey alone leaves suppkey "
+        "uniform in every file). This is the hand-rolled core of what "
+        "table formats call Z-ORDER clustering, one layer finer than "
+        "source_partition_pruning's directory-level pruning; the "
+        "locality factor is asserted in tests/test_sources.py (the 2-D "
+        "probe touches a strict subset of files under z-layout). "
+        "Oracle aggregates the same predicate on the ORIGINAL table, "
+        "so any row lost or duplicated by the rewrite breaks the hash."
+    ),
+    tags=("source", "plan"),
+)
+def source_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    path = _sink_path(sf_dir, "lineitem_zorder")
+    (
+        li.withColumn("__z", _zvalue(F.col("l_partkey"), F.col("l_suppkey")))
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(100, 200) & F.col("l_suppkey").between(10, 20)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

@@ -277,3 +277,41 @@ def test_python_textkv_sink_abort_leaves_no_output(spark, tmp_path):
         boom.write.format("textkv_sink").option("path", out).mode("append").save()
     committed = [f for f in os.listdir(out)] if os.path.exists(out) else []
     assert not [f for f in committed if f.startswith("mr-out-")], committed
+
+
+def test_zorder_layout_concentrates_2d_probe(spark, sf_smoke, tmp_path):
+    """The z-ordered rewrite must confine a 2-D predicate's matching
+    rows to a strict subset of files, while a round-robin layout
+    scatters them — the locality that lets parquet min/max stats skip
+    files/row-groups at scale."""
+    from tda596_lab02mapreduce_spark.queries.sinks import _zvalue
+
+    li = io.load(spark, sf_smoke, "lineitem")
+    # sf0.001 key ranges: l_partkey 0-199, l_suppkey 0-9 — probe a box
+    # that matches a small nonzero slice at smoke scale
+    pred = F.col("l_partkey").between(50, 90) & F.col("l_suppkey").between(2, 4)
+
+    zpath = str(tmp_path / "z")
+    (
+        li.withColumn("__z", _zvalue(F.col("l_partkey"), F.col("l_suppkey")))
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(zpath)
+    )
+    rpath = str(tmp_path / "rr")
+    li.repartition(16).write.parquet(rpath)
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    z_files, rr_files = files_touched(zpath), files_touched(rpath)
+    assert z_files < rr_files, (z_files, rr_files)
+    # sanity: the rewrite lost nothing
+    assert spark.read.parquet(zpath).count() == li.count()
