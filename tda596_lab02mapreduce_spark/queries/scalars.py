@@ -266,3 +266,61 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("extra").isNull(), 1)).alias("n_no_extra"),
         )
     )
+
+
+@register(
+    "scalar_map",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         map(['qty','gross','net'],
+             [CAST(l_quantity AS DOUBLE),
+              l_extendedprice,
+              l_extendedprice * (1 - l_discount)]) AS mp
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(map_extract(mp, 'net')[1] AS DECIMAL(18,6))) AS DOUBLE) AS net_sum,
+       CAST(min(cardinality(mp)) AS INTEGER) AS min_keys,
+       min(array_to_string(list_sort(map_keys(mp)), ',')) AS keys_str,
+       CAST(count(*) FILTER (
+            WHERE len(list_filter(map_values(mp), x -> x >= 1000)) > 0
+       ) AS BIGINT) AS n_any_big
+FROM m
+GROUP BY l_returnflag
+""",
+    doc=(
+        "MapType scalar surface (SURVEY.md §2B array/map/JSON row, the "
+        "map third): per-row map construction, typed element_at lookup, "
+        "map_keys/map_values introspection, and a lambda filter over "
+        "values — each reduced to flat scalars before aggregation so "
+        "the driver canonicalizer sees only hashable columns. The 'net' "
+        "entry is summed through the decimal-cast pattern (bitwise "
+        "double parity with DuckDB, queries/relational.py docstring); "
+        "key enumeration is sorted before joining because map iteration "
+        "order is an implementation detail on BOTH engines."
+    ),
+    tags=("scalar", "map"),
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    mp = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("gross"), F.col("l_extendedprice"),
+        F.lit("net"), F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    )
+    rows = li.select(
+        "l_returnflag",
+        F.element_at(mp, "net").alias("net"),
+        F.size(mp).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(mp)), ",").alias("keys_str"),
+        (F.size(F.filter(F.map_values(mp), lambda x: x >= 1000)) > 0).alias("any_big"),
+    )
+    return rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("net").cast("decimal(18,6)")).cast("double").alias("net_sum"),
+        F.min("n_keys").cast("int").alias("min_keys"),
+        F.min("keys_str").alias("keys_str"),
+        F.count(F.when(F.col("any_big"), 1)).alias("n_any_big"),
+    )
