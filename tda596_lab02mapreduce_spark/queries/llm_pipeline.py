@@ -817,8 +817,15 @@ GROUP BY src, dst
 def graph_reach_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load(spark, sf_dir, "documents")
     pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
-    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
-        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        # The recursion references the edge view in the seed AND in
+        # every iteration step; without materialization each round
+        # re-runs the full blocked-Jaccard corpus pass (measured 4.0 s
+        # -> 1.3 s at sf0.1). Same candidate-once/graph-passes-many
+        # shape as triangle_count_neardup.
+        .localCheckpoint(eager=True)
     )
     edges.createOrReplaceTempView("__nd_edges")
     return spark.sql(
