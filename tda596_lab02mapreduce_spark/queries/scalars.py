@@ -324,3 +324,47 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("keys_str").alias("keys_str"),
         F.count(F.when(F.col("any_big"), 1)).alias("n_any_big"),
     )
+
+
+@register(
+    "scalar_try_arith",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) FILTER (WHERE l_linenumber = 1) AS BIGINT) AS n_div_null,
+       CAST(SUM(CAST(CASE WHEN l_linenumber = 1 THEN NULL
+                          ELSE l_extendedprice / (l_linenumber - 1) END
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_unit_div,
+       CAST(count(TRY_CAST(l_returnflag AS INTEGER)) AS BIGINT) AS n_flag_numeric,
+       CAST(SUM(TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER)) AS BIGINT) AS sum_linenos
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc=(
+        "ANSI-mode error-safe arithmetic: under Spark 4's default ANSI "
+        "semantics a division by zero or an invalid cast THROWS (the "
+        "correct default for a pipeline — silent nulls hide data bugs); "
+        "try_divide / try_cast are the explicit opt-in to NULL-on-error "
+        "for the rows where failure is expected. Here l_linenumber=1 "
+        "rows produce a zero denominator (counted NULL, excluded from "
+        "the decimal-cast sum) and the alphabetic return flag never "
+        "parses as an integer (count = 0), while a numeric round-trip "
+        "cast always succeeds. The oracle mirrors try_cast with "
+        "DuckDB's TRY_CAST and guards the division with CASE — DuckDB "
+        "division by zero also errors, so both engines are exercising "
+        "their error path, not a silently-null one."
+    ),
+    tags=("scalar", "conditional"),
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    unit_div = F.try_divide(
+        F.col("l_extendedprice"), (F.col("l_linenumber") - 1).cast("double")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_linenumber") == 1, 1)).alias("n_div_null"),
+        F.sum(unit_div.cast("decimal(18,6)")).cast("double").alias("sum_unit_div"),
+        F.count(F.col("l_returnflag").try_cast("int")).alias("n_flag_numeric"),
+        F.sum(F.col("l_linenumber").cast("string").try_cast("int")).alias(
+            "sum_linenos"
+        ),
+    )

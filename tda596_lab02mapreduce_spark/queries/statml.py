@@ -255,3 +255,79 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return exact.filter(F.col("cnt") * 200 > F.lit(total))
+
+
+@register(
+    "stats_column_profile",
+    oracle="""
+WITH p AS (
+  SELECT
+    CAST(count(*) - count(o_orderkey) AS BIGINT) AS k_nulls,
+    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS k_distinct,
+    CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+    CAST(count(*) - count(o_orderstatus) AS BIGINT) AS s_nulls,
+    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_distinct,
+    min(o_orderstatus) AS s_min, max(o_orderstatus) AS s_max,
+    CAST(count(*) - count(o_totalprice) AS BIGINT) AS p_nulls,
+    CAST(count(DISTINCT o_totalprice) AS BIGINT) AS p_distinct,
+    CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS p_min,
+    CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS p_max,
+    CAST(count(*) - count(o_orderpriority) AS BIGINT) AS o_nulls,
+    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS o_distinct,
+    min(o_orderpriority) AS o_min, max(o_orderpriority) AS o_max
+  FROM orders
+)
+SELECT 'o_orderkey' AS col, k_nulls AS n_nulls, k_distinct AS n_distinct, k_min AS min_s, k_max AS max_s FROM p
+UNION ALL
+SELECT 'o_orderstatus', s_nulls, s_distinct, s_min, s_max FROM p
+UNION ALL
+SELECT 'o_totalprice', p_nulls, p_distinct, p_min, p_max FROM p
+UNION ALL
+SELECT 'o_orderpriority', o_nulls, o_distinct, o_min, o_max FROM p
+""",
+    doc=(
+        "Data-profiling operator (the ingest-time health check every "
+        "training pipeline runs before trusting a new drop): per-column "
+        "null count, exact distinct count, and min/max, computed in ONE "
+        "scan of the table and unpivoted to a row per column. Multiple "
+        "exact COUNT(DISTINCT) aggregates plan as a single Expand — a "
+        "deliberate, documented cost (rows × profiled columns); the "
+        "approx_count_distinct swap drops the Expand when estimates "
+        "suffice at open scale. Numeric min/max rendered through "
+        "DECIMAL(18,2) before stringifying so both engines format "
+        "identically; column set is fixed — profiling 100 TB never "
+        "requires schema inference."
+    ),
+    tags=("agg", "stats"),
+)
+def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = io.load(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+
+    def prof(c, render):
+        return [
+            (n - F.count(F.col(c))).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            render(F.min(F.col(c))).alias(f"{c}__min"),
+            render(F.max(F.col(c))).alias(f"{c}__max"),
+        ]
+
+    as_str = lambda x: x.cast("string")  # noqa: E731
+    as_dec = lambda x: x.cast("decimal(18,2)").cast("string")  # noqa: E731
+    agg = od.agg(
+        *prof("o_orderkey", as_str),
+        *prof("o_orderstatus", as_str),
+        *prof("o_totalprice", as_dec),
+        *prof("o_orderpriority", as_str),
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_s"),
+            F.col(f"{c}__max").alias("max_s"),
+        )
+        for c in ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -305,3 +305,59 @@ def cdc_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "value", "ts")
     )
+
+
+@register(
+    "window_session_builtin",
+    oracle="""
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS t_start,
+       max(ts) AS t_end,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
+FROM numbered
+GROUP BY user_id, sid
+""",
+    doc=(
+        "Sessionization via the BUILT-IN session_window aggregate — the "
+        "declarative twin of sessionize_events's lag+cumsum formulation. "
+        "session_window merges events while each arrives strictly within "
+        "30 min of the previous, i.e. a new session starts when the gap "
+        "is >= the threshold (half-open [ts, ts+gap) windows); the "
+        "oracle's lag recursion uses >= to match that boundary exactly, "
+        "where sessionize_events deliberately uses the strict-> variant "
+        "— the two queries pin BOTH boundary conventions. In batch mode "
+        "Catalyst plans session_window as UpdatingSessionsExec + merge, "
+        "one user_id exchange; on a stream the identical expression is "
+        "the watermarked session aggregation (stream_session_10m)."
+    ),
+    tags=("timeseries", "window", "agg"),
+)
+def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .drop("w")
+    )
