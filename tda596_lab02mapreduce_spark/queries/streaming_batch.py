@@ -290,3 +290,57 @@ def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_segment_agg(
         io.load(spark, sf_dir, "events"), io.load(spark, sf_dir, "customer")
     )
+
+
+@register(
+    "stream_state_inspect",
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc=(
+        "State-store introspection: run a stateful streaming aggregation "
+        "to a checkpoint (AvailableNow drain, noop sink), then read the "
+        "checkpoint back with the statestore data source — the "
+        "operability path for debugging a production stateful pipeline "
+        "(what keys is it carrying? how big is each aggregate buffer?) "
+        "without touching the running query. The agg is deliberately "
+        "unwatermarked so the drained state holds EVERY window and the "
+        "reconstructed (window, event_type, count, sum) rows hash-match "
+        "the batch aggregate of the original table — proving the "
+        "checkpoint contains exactly the right state, no more, no less. "
+        "A production unbounded stream would watermark (state then holds "
+        "only open windows); stream_tumbling_hourly pins that variant."
+    ),
+    tags=("streaming", "source"),
+)
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tda596_lab02mapreduce_spark.streaming.windows import events_stream
+
+    ck = tempfile.mkdtemp(prefix="tda596-state-inspect-")
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(ck)
+    return st.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").cast("double").alias("sum_value"),
+    )
