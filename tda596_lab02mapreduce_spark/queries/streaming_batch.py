@@ -344,3 +344,59 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_events"),
         F.col("value.sum").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "stream_python_wholefile_wc",
+    oracle=r"""
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
+  FROM documents
+) t
+WHERE word <> ''
+GROUP BY word
+""",
+    doc=(
+        "The pluggable whole-file source on the STREAMING plane: the "
+        "staged 8-file corpus is served by a Python "
+        "DataSourceStreamReader (sources/pydatasource.py — offsets are "
+        "indices into the sorted listing, one file per partition, "
+        "committed prefix never re-served on restart), word-counted "
+        "with the exact wc.go tokenizer, and drained with AvailableNow; "
+        "the oracle recomputes the count from the ORIGINAL table, so a "
+        "file skipped or double-served by the offset bookkeeping breaks "
+        "the hash. Together with source_python_wholefile (batch read) "
+        "and sink_python_textkv_roundtrip (atomic write) this completes "
+        "the pluggable-format matrix the reference exposes through its "
+        "single custom source."
+    ),
+    tags=("streaming", "source", "text"),
+)
+def stream_python_wholefile_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+    from tda596_lab02mapreduce_spark.queries.sinks import _sink_path
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        register_wholefile_stream,
+    )
+    from tda596_lab02mapreduce_spark.streaming.windows import run_available_now
+
+    docs = io.load(spark, sf_dir, "documents")
+    path = _sink_path(sf_dir, "docs_wholefiles_stream")
+    docs.select("text").repartition(8).write.mode("overwrite").text(path)
+    register_wholefile_stream(spark)
+    st = (
+        spark.readStream.format("wholefile_stream")
+        .option("glob", os.path.join(path, "part-*"))
+        .load()
+    )
+    counts = (
+        st.select(F.explode(tokens_nonempty("content")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_available_now(
+        counts, "stream_python_wholefile_wc", output_mode="complete"
+    )

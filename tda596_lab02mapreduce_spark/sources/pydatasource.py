@@ -42,6 +42,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -186,3 +187,77 @@ class KVTextSinkWriter(DataSourceWriter):
 def register_textkv_sink(spark: SparkSession) -> None:
     """Idempotently register the sink under ``textkv_sink``."""
     spark.dataSource.register(KVTextSinkDataSource)
+
+
+# --- Streaming read: whole-file micro-batch replay ------------------
+
+
+class WholeFileStreamDataSource(DataSource):
+    """``spark.readStream.format("wholefile_stream")`` — the pluggable
+    STREAMING quadrant of the whole-file contract: the staged file set
+    is replayed one file per micro-batch in sorted-name order, each
+    batch carrying (path, content) rows exactly like the batch reader.
+
+    Offsets are file indices into the sorted listing, so the replay is
+    deterministic and resumable: after a restart the checkpointed
+    offset re-enters at the same index (the committed prefix is never
+    re-served) — the Structured Streaming source contract
+    (initialOffset/latestOffset/partitions/commit) implemented in
+    ~30 lines of Python, with one file per partition inside the batch
+    (the reference's task-per-file model on the streaming plane). An
+    unbounded deployment would re-list and serve the growing suffix;
+    the fixture staging is bounded, which is what lets AvailableNow
+    drain it for the batch-equivalence check.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "wholefile_stream"
+
+    def schema(self) -> str:
+        return "path string, content string"
+
+    def streamReader(self, schema) -> "WholeFileStreamReader":
+        return WholeFileStreamReader(self.options)
+
+
+class WholeFileStreamReader(DataSourceStreamReader):
+    def __init__(self, options) -> None:
+        pattern = options.get("glob")
+        if not pattern:
+            raise ValueError("wholefile_stream requires .option('glob', <pattern>)")
+        self._files = [
+            p
+            for p in sorted(_glob.glob(pattern))
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # the full listing: AvailableNow snapshots this once and drains
+        # to it (per-file batching would need the source to hold back
+        # the offset, which AvailableNow's fixed endpoint ignores — it
+        # would silently truncate the drain to the first increment)
+        return {"index": len(self._files)}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            InputPartition(self._files[i])
+            for i in range(start["index"], end["index"])
+        ]
+
+    def read(self, partition):
+        path = partition.value
+        with open(path, "r", encoding="utf-8") as fh:
+            yield (os.path.basename(path), fh.read())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are positional into an immutable listing
+
+
+def register_wholefile_stream(spark: SparkSession) -> None:
+    """Idempotently register the streaming source under
+    ``wholefile_stream``."""
+    spark.dataSource.register(WholeFileStreamDataSource)
