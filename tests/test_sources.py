@@ -315,3 +315,40 @@ def test_zorder_layout_concentrates_2d_probe(spark, sf_smoke, tmp_path):
     assert z_files < rr_files, (z_files, rr_files)
     # sanity: the rewrite lost nothing
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_python_stream_source_checkpoint_resume(spark, tmp_path):
+    """Resumability contract of the Python streaming source: a second
+    run over the SAME checkpoint starts from the committed offset and
+    re-serves nothing — restart-safety the reference engine gets from
+    its done-task bookkeeping (mr/coordinator.go:54-57)."""
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        register_wholefile_stream,
+    )
+
+    for i in range(3):
+        (tmp_path / f"in{i}.txt").write_text(f"w{i} common")
+    register_wholefile_stream(spark)
+    ck = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        st = (
+            spark.readStream.format("wholefile_stream")
+            .option("glob", str(tmp_path / "in*.txt"))
+            .load()
+        )
+        q = (
+            st.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    first = drain()
+    assert first == 3
+    second = drain()  # same checkpoint: offset already at end
+    assert second == 3, "restart re-served already-committed files"
