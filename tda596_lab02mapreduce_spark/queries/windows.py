@@ -276,3 +276,55 @@ def topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "window_nth_ignore_nulls",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+         CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS settled_price
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       first_value(settled_price IGNORE NULLS) OVER w AS first_settled,
+       lead(settled_price, 1) OVER w AS next_any,
+       lead(settled_price, 1 IGNORE NULLS) OVER w AS next_settled
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc=(
+        "The null-aware window surface: nth_value over the full frame, "
+        "first_value IGNORE NULLS, and lead with and without IGNORE "
+        "NULLS side by side (open orders carry a NULL settled price, so "
+        "the two leads genuinely differ). Ordering is (o_orderdate, "
+        "o_orderkey) — the unique tiebreak that makes every windowed "
+        "value engine-deterministic, same discipline as the other "
+        "window queries. One o_custkey exchange serves the whole frame. "
+        "Dialect note: PySpark's F.lead has no ignoreNulls parameter "
+        "and the two engines place IGNORE NULLS differently (Spark "
+        "after the call, DuckDB inside the argument list), so the "
+        "Spark side is spark.sql text rather than the Column API."
+    ),
+    tags=("window",),
+)
+def window_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+WITH base AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+         CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS settled_price
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       first_value(settled_price) IGNORE NULLS OVER w AS first_settled,
+       lead(settled_price, 1) OVER wl AS next_any,
+       lead(settled_price, 1) IGNORE NULLS OVER wl AS next_settled
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       wl AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")

@@ -312,3 +312,52 @@ def test_partition_pruning_is_metadata_only(spark, sf_correctness):
     # and the predicate must NOT linger as a row-level filter
     data_filters = re.findall(r"Filter \(?[^\n]*event_type[^\n]*", plan)
     assert not data_filters, f"predicate re-applied per row: {data_filters}"
+
+
+def test_join_strategy_hints_are_honored(spark, sf_correctness):
+    """Strategy hints override the planner's size-based choice — the
+    escape hatch when statistics mislead at scale (a 'small' dim that
+    is small in bytes but explodes in the join). nation is far below
+    the broadcast threshold, so broadcast is the default; MERGE and
+    SHUFFLE_HASH hints must force the other two strategies on the
+    identical query."""
+    from tda596_lab02mapreduce_spark import io
+
+    cust = io.load(spark, sf_correctness, "customer")
+    nation = io.load(spark, sf_correctness, "nation")
+
+    def joined(hinted):
+        return cust.join(hinted, cust.c_nationkey == hinted.n_nationkey).groupBy(
+            "n_name"
+        ).count()
+
+    assert plans.has_operator(joined(nation), "BroadcastHashJoin")
+    assert plans.has_operator(joined(nation.hint("merge")), "SortMergeJoin")
+    assert plans.has_operator(
+        joined(nation.hint("shuffle_hash")), "ShuffledHashJoin"
+    )
+
+
+def test_observe_metrics_on_query_run(spark, sf_correctness):
+    """df.observe: accumulator-style metrics collected DURING the run,
+    no second scan — how a production pipeline watches row counts and
+    quality gates at 100 TB without paying an extra aggregation job."""
+    from pyspark.sql import Observation
+
+    from tda596_lab02mapreduce_spark import io
+
+    li = io.load(spark, sf_correctness, "lineitem")
+    obs = Observation("li_metrics")
+    from pyspark.sql import functions as F
+
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+    )
+    out = observed.groupBy("l_returnflag").count()
+    rows = out.collect()
+    assert rows
+    m = obs.get
+    assert m["n_rows"] == li.count()
+    assert float(m["sum_qty"]) > 0
