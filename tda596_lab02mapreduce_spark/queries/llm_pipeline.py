@@ -842,3 +842,94 @@ FROM reach WHERE src < dst
 GROUP BY src, dst
 """
     )
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         array_to_string(tk[1:3], ' ') AS prefix,
+         list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id) AS rk
+  FROM labeled
+)
+SELECT cluster_id,
+       doc_id AS survivor_id,
+       CAST((SELECT count(*) FROM labeled l WHERE l.cluster_id = ranked.cluster_id) AS BIGINT) AS cluster_size,
+       CAST(n_chars AS BIGINT) AS survivor_chars
+FROM ranked WHERE rk = 1
+""",
+    doc=(
+        "The production dedup DECISION end-to-end: near-dup pairs -> "
+        "transitive clusters (iterative min-label components, "
+        "operators/components.py) -> one survivor per cluster chosen "
+        "by QUALITY (longest document, doc_id tiebreak) rather than "
+        "the naive min-id — the policy that keeps the best copy of a "
+        "template family instead of an arbitrary one. Docs in no pair "
+        "survive as their own singleton cluster via a left join + "
+        "coalesce, so the output is exactly the post-dedup corpus "
+        "roster. The DuckDB oracle recomputes the ENTIRE pipeline — "
+        "recursive fixpoint, singleton fill, quality argmax — so the "
+        "composed decision is hash-checked, not just the parts. Scale: "
+        "survivor choice is a WindowGroupLimit-shaped top-1 per "
+        "cluster; everything shuffles on cluster_id once."
+    ),
+    tags=("dedup", "llm"),
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = io.load(spark, sf_dir, "documents")
+    pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        pairs, "id_a", "id_b", id_out="doc_id", comp_out="cluster_id"
+    )
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            "cluster_size",
+            F.col("n_chars").cast("long").alias("survivor_chars"),
+        )
+    )
