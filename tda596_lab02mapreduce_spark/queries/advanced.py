@@ -532,3 +532,169 @@ FROM region r, LATERAL (
 def lateral_top2_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     io.register_views(spark, sf_dir, ("region", "nation", "customer"))
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "subquery_global_share",
+    oracle="""
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
+       (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001 FROM lineitem)
+""",
+    doc=(
+        "TPC-H Q11 shape (adapted to the fixture schema): per-part "
+        "value totals kept only when they exceed a FRACTION OF THE "
+        "GLOBAL total — a scalar subquery inside HAVING. Catalyst "
+        "evaluates the global sum once and broadcasts the one-row "
+        "result into the post-aggregation filter; at 100 TB that is "
+        "one extra reduction, never a per-group rescan. Decimal sums "
+        "both sides; the 0.001 threshold multiply is exact in decimal."
+    ),
+    tags=("subquery", "agg"),
+)
+def subquery_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    io.register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
+       (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001 FROM lineitem)
+""")
+
+
+@register(
+    "agg_count_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+    doc=(
+        "TPC-H Q13 shape: the distribution of per-customer order "
+        "counts, INCLUDING zero-order customers — which forces a LEFT "
+        "join with the filter in the JOIN CONDITION (moving it to "
+        "WHERE would silently drop the zero bucket, the classic "
+        "outer-join predicate-placement bug). Two aggregations: "
+        "count per customer, then the histogram of those counts — "
+        "second shuffle is on the tiny count domain."
+    ),
+    tags=("join", "agg"),
+)
+def agg_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.load(spark, sf_dir, "customer")
+    orders = io.load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "subquery_in_agg",
+    oracle="""
+SELECT c.c_name, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+""",
+    doc=(
+        "TPC-H Q18 shape (large-volume orders): IN over an AGGREGATED "
+        "subquery — membership is decided by a grouped HAVING, not a "
+        "base-table predicate. Catalyst plans the subquery as its own "
+        "aggregation and the IN as a left-semi join on o_orderkey; the "
+        "outer three-way join then re-aggregates only surviving "
+        "orders. Decimal quantity sums on both engines."
+    ),
+    tags=("subquery", "join", "agg"),
+)
+def subquery_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql("""
+SELECT c.c_name, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+""")
+
+
+@register(
+    "join_disjunctive_pred",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 40)
+""",
+    doc=(
+        "TPC-H Q19 shape: an OR of predicate conjunctions spanning "
+        "BOTH join sides. The equi-join key (p_partkey) must still be "
+        "extracted so the join stays hash-partitionable — the OR "
+        "lands as a post-join filter with the single-side fragments "
+        "(brand/size, quantity ranges) pushed beneath their scans by "
+        "CNF conversion. The plan-shape trap this pins: a naive "
+        "engine turns disjunctive join predicates into a cartesian."
+    ),
+    tags=("join",),
+)
+def join_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    part = io.load(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond1 | cond2)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
