@@ -541,8 +541,10 @@ SELECT l_partkey,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
 FROM lineitem
 GROUP BY l_partkey
-HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
-       (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001 FROM lineitem)
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+       (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 1.5
+               / COUNT(DISTINCT l_partkey)
+        FROM lineitem)
 """,
     doc=(
         "TPC-H Q11 shape (adapted to the fixture schema): per-part "
@@ -563,8 +565,10 @@ SELECT l_partkey,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
 FROM lineitem
 GROUP BY l_partkey
-HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
-       (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001 FROM lineitem)
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+       (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 1.5
+               / COUNT(DISTINCT l_partkey)
+        FROM lineitem)
 """)
 
 
