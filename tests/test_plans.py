@@ -361,3 +361,31 @@ def test_observe_metrics_on_query_run(spark, sf_correctness):
     m = obs.get
     assert m["n_rows"] == li.count()
     assert float(m["sum_qty"]) > 0
+
+
+def test_disjunctive_join_pred_stays_equi_join(spark, sf_correctness):
+    """Q19 shape: the OR-of-conjunctions must NOT degrade the join to a
+    nested-loop/cartesian — the equi key is extracted and the
+    disjunction filters after (or under) the hash join."""
+    df = get("join_disjunctive_pred").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "BroadcastNestedLoopJoin|CartesianProduct"), (
+        plans.formatted_plan(df)[:2000]
+    )
+
+
+def test_in_over_aggregate_plans_semi_join(spark, sf_correctness):
+    """Q18 shape: IN over a grouped HAVING must become a (semi) hash
+    join against the aggregated subquery, never a per-row probe."""
+    df = get("subquery_in_agg").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert re.search(r"(?i)(LeftSemi|semi)", plan), plan[:2000]
+
+
+def test_global_share_subquery_evaluated_once(spark, sf_correctness):
+    """Q11 shape: the HAVING's global-total scalar subquery is one
+    extra reduction (a Subquery/scalar-subquery node), not a rescan
+    joined per group."""
+    df = get("subquery_global_share").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert re.search(r"(?i)subquery", plan), plan[:1500]
+    assert not plans.has_operator(df, "CartesianProduct"), plan[:1500]
