@@ -180,3 +180,39 @@ def frame_sample(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def audio_frame_energy(audio: DataFrame, *, frame: int = 256) -> DataFrame:
+    """mapInPandas audio framing: fake-decode each blob as raw 8-bit
+    samples (the deterministic stand-in for a PCM decoder — swap in
+    soundfile/ffmpeg at the SAME signature), window into fixed
+    ``frame``-sample frames, and emit per-frame sample count + exact
+    integer energy (sum of squared sample values). Map-only — blobs
+    never shuffle; output is O(len/frame) small rows per clip, which
+    is what downstream VAD/segmentation joins consume at corpus scale.
+    Empty blobs produce zero frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_id": [], "n_samples": [], "energy": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob) if blob is not None else b""
+                for f0 in range(0, len(b), frame):
+                    chunk = b[f0 : f0 + frame]
+                    out["media_id"].append(mid)
+                    out["frame_id"].append(f0 // frame)
+                    out["n_samples"].append(len(chunk))
+                    out["energy"].append(sum(x * x for x in chunk))
+            yield pd.DataFrame(out)
+
+    return audio.select("media_id", "blob").mapInPandas(run, AUDIO_FRAME_SCHEMA)

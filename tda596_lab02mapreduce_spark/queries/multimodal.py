@@ -91,3 +91,40 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("blob").cast("bigint").alias("out_bytes"),
         F.md5("blob").alias("resized_md5"),
     )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+WITH b AS (
+  SELECT doc_id AS media_id,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS s
+  FROM documents WHERE length(text) > 0
+)
+SELECT media_id,
+       CAST(f AS BIGINT) AS frame_id,
+       CAST(len(s[f*256+1 : f*256+256]) AS INTEGER) AS n_samples,
+       CAST(list_reduce(list_prepend(0, list_transform(s[f*256+1 : f*256+256], x -> x*x)),
+                        (a, x) -> a + x) AS BIGINT) AS energy
+FROM b, unnest(range(0, CAST(ceil(len(s)/256.0) AS INTEGER))) AS t(f)
+""",
+    doc=(
+        "The audio third of the multimodal band: blobs fake-decoded as "
+        "8-bit PCM (documents' ASCII bytes — pinned elsewhere — so the "
+        "DuckDB oracle can recompute the identical samples from the "
+        "text), framed into 256-sample windows by an Arrow-batched "
+        "mapInPandas (operators/multimodal.py:audio_frame_energy), "
+        "with EXACT integer per-frame energy so the hash compare has "
+        "no float tolerance. The real-decoder swap point is the same "
+        "as the image path: replace the byte interpretation, keep the "
+        "framing/aggregation plumbing. Map-only; blobs never shuffle."
+    ),
+    tags=("multimodal",),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    audio = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("blob"),
+    )
+    return mm.audio_frame_energy(audio, frame=256)
