@@ -34,9 +34,15 @@ def asof_join(
     tolerance: Column | None = None,
     how: str = "inner",
     right_order: Sequence[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
     """For each ``left`` row, attach the payload of the latest
-    ``right`` row with ``right.ts <= left.ts`` sharing the join keys.
+    ``right`` row with ``right.ts <= left.ts`` sharing the join keys
+    (``direction="backward"``, the default), or of the EARLIEST right
+    row with ``right.ts >= left.ts`` (``direction="forward"`` — the
+    next-event attribution shape). Forward is the same one-shuffle
+    union+window walk run in descending ts order; with a tolerance it
+    drops matches further than ``left.ts + tolerance`` in the future.
 
     right_payload columns appear on the output prefixed ``asof_``.
     ``right_order`` breaks ties among right rows at the same ts
@@ -47,6 +53,8 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
 
     payload = F.struct(
@@ -76,26 +84,39 @@ def asof_join(
     left_cols = [c for c in left.columns]
     unioned = l.unionByName(r, allowMissingColumns=True)
 
+    # Backward walks ascending ts; forward walks DESCENDING ts so the
+    # carried payload is the nearest FUTURE right row. Right rows still
+    # sort before left at equal ts (prio 0 first) — a simultaneous
+    # right row matches in either direction. right_order ties flip with
+    # the walk so "earliest future" keeps the same deterministic pick.
+    ts_ord = (
+        F.col("__event_ts").asc()
+        if direction == "backward"
+        else F.col("__event_ts").desc()
+    )
+    ord_cols = [
+        (
+            F.col(f"__ord_{i}").asc_nulls_first()
+            if direction == "backward"
+            else F.col(f"__ord_{i}").desc_nulls_first()
+        )
+        for i in range(len(right_order))
+    ]
     w = (
         Window.partitionBy(*on)
-        .orderBy(
-            F.col("__event_ts").asc(),
-            F.col("__prio").asc(),
-            *[F.col(f"__ord_{i}").asc_nulls_first() for i in range(len(right_order))],
-        )
+        .orderBy(ts_ord, F.col("__prio").asc(), *ord_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
 
     out = matched.filter(F.col("__prio") == 1)
     if tolerance is not None:
-        out = out.withColumn(
-            "__match",
-            F.when(
-                F.col("__match.__ts") >= F.col("__event_ts") - tolerance,
-                F.col("__match"),
-            ),
+        in_range = (
+            F.col("__match.__ts") >= F.col("__event_ts") - tolerance
+            if direction == "backward"
+            else F.col("__match.__ts") <= F.col("__event_ts") + tolerance
         )
+        out = out.withColumn("__match", F.when(in_range, F.col("__match")))
     if how == "inner":
         out = out.filter(F.col("__match").isNotNull())
     sel = [F.col(c) for c in left_cols]

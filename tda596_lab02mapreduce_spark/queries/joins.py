@@ -589,3 +589,51 @@ def join_null_safe_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.cohort").alias("cohort"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_asof_forward_click",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS next_click_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+""",
+    doc=(
+        "FORWARD as-of join: each purchase matched to the user's "
+        "EARLIEST subsequent click — the next-event attribution shape "
+        "(post-purchase behavior, conversion-to-return intervals). "
+        "Same one-shuffle union+window operator as the backward "
+        "variant, walked in descending ts order "
+        "(operators/asof.py:asof_join direction='forward'); DuckDB's "
+        "native ASOF JOIN with p.ts <= c.ts is the oracle. Timestamps "
+        "projected as epoch microseconds for representation-stable "
+        "hashing."
+    ),
+    tags=("join", "asof"),
+)
+def join_asof_forward_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = io.load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=[],
+        how="inner",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("asof_ts").alias("next_click_us"),
+    )
