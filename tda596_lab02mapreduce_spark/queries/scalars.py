@@ -14,6 +14,7 @@ whole-stage codegen. Cross-engine determinism rules:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -367,4 +368,96 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_linenumber").cast("string").try_cast("int")).alias(
             "sum_linenos"
         ),
+    )
+
+
+@register(
+    "scalar_url_parse",
+    oracle=r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || doc_id || '?lang=' || lang AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+       regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\?lang=([a-z]+)', 1) AS lang_param
+FROM u
+""",
+    doc=(
+        "URL dissection for web-corpus curation (domain-level source "
+        "mixing, per-host dedup, crawl filtering): deterministic URLs "
+        "synthesized from doc fields, then host / path / query-param "
+        "extracted with Spark's parse_url — the JVM java.net parser, "
+        "not regex — while the oracle recomputes the same pieces with "
+        "RE2 regexes. Structural parser vs regex agreeing on every row "
+        "is the point: it pins that the synthesized URLs stay inside "
+        "the subset where both readings coincide. Row-local, zero "
+        "shuffle."
+    ),
+    tags=("scalar", "text"),
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "text_unicode_nfc",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text || ' cafe' || chr(769) AS raw FROM documents
+)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS n_before,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after,
+       md5(nfc_normalize(raw)) AS norm_md5
+FROM aug
+""",
+    doc=(
+        "Unicode NFC normalization — the text-cleaning step that makes "
+        "byte-level dedup see 'cafe\\u0301' (decomposed) and 'caf\\u00e9' "
+        "(composed) as the same document. The fixture corpus is ASCII "
+        "(where NFC is the identity), so every row gets a DECOMPOSED "
+        "suffix appended first; the normalized text must then be one "
+        "code point shorter and hash equal across engines. Spark has "
+        "no NFC builtin, so this is an Arrow-batched pandas UDF over "
+        "unicodedata.normalize — the documented slow-path exception "
+        "(SURVEY.md §2B UDF row); DuckDB's native nfc_normalize is the "
+        "oracle, pinning that both Unicode implementations agree."
+    ),
+    tags=("scalar", "text", "udf"),
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    docs = io.load(spark, sf_dir, "documents")
+    # decomposed on purpose (e + U+0301), spelled as an escape so an
+    # editor NFC pass cannot silently compose it and blank the test
+    raw = F.concat(F.col("text"), F.lit(" cafe\u0301"))
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("n_before"),
+        F.length(nfc(raw)).cast("long").alias("n_after"),
+        F.md5(F.encode(nfc(raw), "utf-8")).alias("norm_md5"),
     )
