@@ -38,6 +38,7 @@ NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 # r4 = NTZ generation (asof join, unix_micros rejection).
 RED_EVENTS_QUERIES = [
     "join_asof_purchase_click",
+    "join_asof_forward_click",
     "scalar_json",
     "set_intersect",
     "set_except",
