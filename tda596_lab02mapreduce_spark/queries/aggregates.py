@@ -447,3 +447,43 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.select(F.col("e.item").alias("token"), F.col("e.count").alias("cnt"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
+
+
+@register(
+    "agg_bitwise_ops",
+    oracle="""
+SELECT l_returnflag,
+       CAST(xor(l_partkey, l_suppkey) & 255 AS BIGINT) AS key_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_and(l_orderkey) AS BIGINT) AS keys_and,
+       CAST(bit_or(l_orderkey) AS BIGINT) AS keys_or,
+       CAST(bit_xor(l_orderkey) AS BIGINT) AS keys_xor
+FROM lineitem
+GROUP BY l_returnflag, 2
+""",
+    doc=(
+        "Bitwise scalar + aggregate surface: XOR-derived bucket keys "
+        "(the flag-packing / permission-mask idiom) and the bit_and / "
+        "bit_or / bit_xor aggregates — order-insensitive and "
+        "partition-count-invariant by algebra (AND/OR/XOR are "
+        "commutative-associative), so partial+final aggregation is "
+        "exactly lossless; bit_xor is also the classic O(1)-state "
+        "set-membership checksum (a changelog that XORs to nonzero "
+        "lost or duplicated a key)."
+    ),
+    tags=("agg", "scalar"),
+)
+def agg_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    bucket = (
+        F.col("l_partkey").bitwiseXOR(F.col("l_suppkey")).bitwiseAND(F.lit(255))
+    ).cast("long")
+    return (
+        li.groupBy("l_returnflag", bucket.alias("key_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_and("l_orderkey").alias("keys_and"),
+            F.bit_or("l_orderkey").alias("keys_or"),
+            F.bit_xor("l_orderkey").alias("keys_xor"),
+        )
+    )
