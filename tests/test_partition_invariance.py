@@ -32,9 +32,13 @@ SLICE = [
     "decontaminate_train_split",
     "split_train_valid_test",
     "corpus_clean_pipeline",
-    # round-5 additions: in-plan recursion, custom-sink roundtrip
+    # round-5 additions: in-plan recursion, custom-sink roundtrip,
+    # bitwise-aggregate algebra, sketch top-k, audio framing
     "graph_reach_recursive",
     "sink_python_textkv_roundtrip",
+    "agg_bitwise_ops",
+    "approx_topk_tokens",
+    "multimodal_audio_energy",
 ]
 
 
