@@ -19,6 +19,32 @@ from pyspark.sql.window import Window
 
 from tda596_lab02mapreduce_spark.functions.text import ngram_shingles, tokens_nonempty
 
+# --- Portable (oracle-replayable) hash family -------------------------
+#
+# The default signature family is xxhash64 (fastest JVM path), but
+# xxhash64 has no DuckDB equivalent, so queries built on it can only be
+# rows-only-checked. The "md5lin" family is designed for end-to-end
+# differential testing: ONE md5 per shingle → 32-bit base hash
+# (first 8 hex digits, i.e. conv(substr(md5(s),1,8),16,10)), then
+# num_perm universal-hash draws h_i = (A[i]*base + B[i]) mod (2^31-1).
+# Every step is replayable verbatim in ANSI-ish SQL
+# (`CAST('0x' || substr(md5(s),1,8) AS BIGINT)` in DuckDB), which turns
+# the whole signature→banding→verify pipeline into a hash-checkable
+# oracle query. A[i] < 2^30 and base < 2^32 keep A[i]*base < 2^62 —
+# no 64-bit overflow in either engine. Constants are frozen literals
+# (random.Random(596)) so plan and oracle can never drift.
+MINHASH_MOD = 2147483647  # 2^31 - 1
+MINHASH_A = (
+    434082315, 163403779, 996104193, 187574693, 828541699, 153631863,
+    184651553, 721964931, 230765981, 794731413, 253620177, 457890173,
+    246419321, 37349299, 47200267, 575090957,
+)
+MINHASH_B = (
+    1950075830, 2130620151, 657799218, 1485867022, 694782011, 2030128507,
+    939989466, 1322209147, 36593445, 2128305279, 1058056026, 702721062,
+    141520145, 1865406985, 1601591641, 1264444580,
+)
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact content dedup: keep the lowest-id row per distinct text.
@@ -48,30 +74,92 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_perm: int) -> Column:
+def minhash_signature(
+    shingle_col: Column, num_perm: int, *, family: str = "xxh64"
+) -> Column:
     """num_perm-wide MinHash signature as ONE fold over the shingle
     array: the accumulator is the running element-wise min of the
     num_perm hash family (seed = permutation index folded into
-    xxhash64). Row-local.
+    xxhash64, or the A/B universal draws for family="md5lin").
+    Row-local.
 
     Single-pass matters: the naive per-permutation form
     ``array(array_min(transform(shingles, h_i)) for i in ...)`` embeds
     the shingle-construction subtree num_perm times, and Catalyst's
     projection collapse multiplies that again at every consumer —
     measured 100×+ slowdown at sf0.1. Here the shingle subtree occurs
-    exactly once."""
-    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_perm)
-    return F.aggregate(
+    exactly once.
+
+    family="md5lin" additionally evaluates the (cryptographic, slower)
+    md5 exactly ONCE per shingle: the fold walks a pre-transformed
+    base-hash array, and the per-permutation work is two integer ops —
+    the inner `h` is a lambda VARIABLE, so referencing it num_perm
+    times does not re-inline the md5 subtree."""
+    if family == "xxh64":
+        init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_perm)
+        return F.aggregate(
+            shingle_col,
+            init,
+            lambda acc, s: F.zip_with(
+                acc,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                    lambda i: F.xxhash64(s, i),
+                ),
+                lambda a, h: F.least(a, h),
+            ),
+        )
+    if family != "md5lin":
+        raise ValueError(f"unknown minhash family {family!r}")
+    if num_perm > len(MINHASH_A):
+        raise ValueError(f"md5lin family supports ≤{len(MINHASH_A)} perms")
+    a_lit = F.array(*[F.lit(a).cast("long") for a in MINHASH_A[:num_perm]])
+    b_lit = F.array(*[F.lit(b).cast("long") for b in MINHASH_B[:num_perm]])
+    bases = F.transform(
         shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    init = F.array_repeat(F.lit(MINHASH_MOD).cast("long"), num_perm)
+    return F.aggregate(
+        bases,
         init,
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_perm - 1)),
-                lambda i: F.xxhash64(s, i),
+                lambda i: (
+                    F.element_at(a_lit, (i + 1).cast("int")) * h
+                    + F.element_at(b_lit, (i + 1).cast("int"))
+                )
+                % F.lit(MINHASH_MOD),
             ),
-            lambda a, h: F.least(a, h),
+            lambda a, h2: F.least(a, h2),
         ),
+    )
+
+
+def _banded_entries(sig: Column, bands: int, rows_per_band: int, family: str) -> Column:
+    """array<struct<band, band_hash>> for one signature — the banding
+    generator shared by the LSH pair builders. ONE expression (explode
+    happens at the caller) so the signature subtree is evaluated once
+    per row, not once per band.
+
+    xxh64 compresses each band slice to a 8-byte hash (narrowest
+    shuffle key); md5lin joins the slice to a decimal string — equal
+    slices ⟺ equal strings, so banding semantics are identical AND the
+    key is replayable in the SQL oracle (array_to_string(slice, ','))
+    with zero collision risk."""
+    slice_str = lambda b: F.concat_ws(  # noqa: E731
+        ",",
+        F.transform(
+            F.slice(sig, b * rows_per_band + 1, F.lit(rows_per_band)),
+            lambda x: x.cast("string"),
+        ),
+    )
+    key = (lambda b: F.xxhash64(slice_str(b))) if family == "xxh64" else slice_str
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(b.alias("band"), key(b).alias("band_hash")),
     )
 
 
@@ -84,6 +172,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     n_partitions: int | None = None,
+    family: str = "xxh64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -106,26 +195,12 @@ def minhash_lsh_pairs(
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
     if n_partitions:
         src = src.repartition(n_partitions, "__id")
-    sig = minhash_signature(shingles(F.col("__text"), shingle_k), num_perm)
+    sig = minhash_signature(
+        shingles(F.col("__text"), shingle_k), num_perm, family=family
+    )
     banded = src.select(
         "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(sig, b * rows_per_band + 1, F.lit(rows_per_band)),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bh"),
+        F.explode(_banded_entries(sig, bands, rows_per_band, family)).alias("bh"),
     ).select("__id", "bh.band", "bh.band_hash")
     # Explicit repartition on the join key makes both self-join sides an
     # IDENTICAL exchange, so the signature projection runs ONCE and the
@@ -158,6 +233,7 @@ def minhash_near_dup_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     n_partitions: int | None = None,
+    family: str = "xxh64",
 ) -> DataFrame:
     """Fused MinHash-LSH + Jaccard verify in ONE corpus pass.
 
@@ -186,27 +262,11 @@ def minhash_near_dup_pairs(
     sets = src.select(
         "__id", F.array_distinct(shingles(F.col("__text"), shingle_k)).alias("__set")
     )
-    sig = minhash_signature(F.col("__set"), num_perm)
+    sig = minhash_signature(F.col("__set"), num_perm, family=family)
     banded = sets.select(
         "__id",
         "__set",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(sig, b * rows_per_band + 1, F.lit(rows_per_band)),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bh"),
+        F.explode(_banded_entries(sig, bands, rows_per_band, family)).alias("bh"),
     ).select("__id", "__set", "bh.band", "bh.band_hash")
     banded = banded.repartition(
         *([n_partitions] if n_partitions else []), "band", "band_hash"
@@ -275,11 +335,44 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def _token_votes(t: Column, bits: int) -> Column:
-    """±1 vote vector for one token. ONE xxhash64 call rendered to a
-    two's-complement bit string by bin(), not 64 shiftright probes of
-    64 separate hash calls (expression-blowup trap, measured 10-100×
-    at sf0.1 — see minhash_signature note)."""
+def _hex_vote_map() -> Column:
+    """Literal map hex-char → array of 4 ±1 votes (MSB of the nibble
+    first). Built per-call because F.lit needs an active session;
+    Catalyst constant-folds the map, so lookups are O(1) codegen."""
+    items: list[Column] = []
+    for ch in "0123456789abcdef":
+        d = int(ch, 16)
+        items.append(F.lit(ch))
+        items.append(
+            F.array(
+                *[F.lit(1 if (d >> j) & 1 else -1).cast("long") for j in (3, 2, 1, 0)]
+            )
+        )
+    return F.create_map(*items)
+
+
+def _token_votes(t: Column, bits: int, family: str = "xxh64") -> Column:
+    """±1 vote vector for one token. ONE hash call rendered to bit
+    votes, not `bits` shiftright probes of `bits` separate hash calls
+    (expression-blowup trap, measured 10-100× at sf0.1 — see
+    minhash_signature note).
+
+    xxh64: two's-complement bit string via bin().
+    md5: first 16 hex chars of md5(t) — 64 bits, MSB first — expanded
+    4 votes per char through a literal lookup map. Replayable in the
+    SQL oracle as bit probes of '0x'-parsed hex chars."""
+    if family == "md5":
+        if bits != 64:
+            raise ValueError("md5 simhash family is 64-bit only")
+        hexmap = _hex_vote_map()
+        return F.flatten(
+            F.transform(
+                F.split(F.substring(F.md5(t), 1, 16), ""),
+                lambda c: F.element_at(hexmap, c),
+            )
+        )
+    if family != "xxh64":
+        raise ValueError(f"unknown simhash family {family!r}")
     return F.transform(
         F.split(F.lpad(F.bin(F.xxhash64(t)), bits, "0"), ""),
         lambda c: F.when(c == "1", F.lit(1)).otherwise(F.lit(-1)).cast("long"),
@@ -309,7 +402,9 @@ def _pack_counters(counters: Column, bits: int) -> Column:
     )
 
 
-def _simhash_occurrence_fold(text: Column, *, bits: int = 64) -> Column:
+def _simhash_occurrence_fold(
+    text: Column, *, bits: int = 64, family: str = "xxh64"
+) -> Column:
     """Reference SimHash fold: one vote fold per token OCCURRENCE.
     Kept as the semantic baseline for the parity test of the
     run-length-optimized simhash() below."""
@@ -317,12 +412,14 @@ def _simhash_occurrence_fold(text: Column, *, bits: int = 64) -> Column:
     counters = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(acc, _token_votes(t, bits), lambda a, v: a + v),
+        lambda acc, t: F.zip_with(
+            acc, _token_votes(t, bits, family), lambda a, v: a + v
+        ),
     )
     return _pack_counters(counters, bits)
 
 
-def simhash(text: Column, *, bits: int = 64) -> Column:
+def simhash(text: Column, *, bits: int = 64, family: str = "xxh64") -> Column:
     """64-bit SimHash of the token multiset — entirely row-local
     (one aggregate fold over the token array, no explode/shuffle).
 
@@ -347,7 +444,7 @@ def simhash(text: Column, *, bits: int = 64) -> Column:
         # re-inline the accumulated subtree, unlike a computed Column)
         return F.zip_with(
             st.getField("acc"),
-            _token_votes(st.getField("prev"), bits),
+            _token_votes(st.getField("prev"), bits, family),
             lambda a, v: a + v * st.getField("cnt"),
         )
 
@@ -393,6 +490,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     chunks: int = 4,
     n_partitions: int | None = None,
+    family: str = "xxh64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     `chunks` 16-bit pieces (pigeonhole: hamming ≤ chunks-1 guarantees
@@ -405,7 +503,7 @@ def simhash_pairs(
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
     if n_partitions:
         src = src.repartition(n_partitions, "__id")
-    sh = src.select("__id", simhash(F.col("__text")).alias("__sh"))
+    sh = src.select("__id", simhash(F.col("__text"), family=family).alias("__sh"))
     if n_partitions:
         sh = sh.repartition(n_partitions, "__id")
     width = 64 // chunks
@@ -441,7 +539,9 @@ def simhash_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
     )

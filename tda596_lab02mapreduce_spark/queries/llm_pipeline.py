@@ -103,17 +103,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blocked_jaccard_pairs(docs)
 
 
+# DuckDB literal rendering of the frozen md5lin constants — the oracle
+# replays the ENTIRE minhash pipeline (tokenize → shingle → base md5
+# hash → 16 universal draws → band → self-join → exact Jaccard) with
+# the same arithmetic, so the driver hash-checks every output value.
+_MH_A_SQL = "[" + ",".join(str(a) for a in dd.MINHASH_A) + "]"
+_MH_B_SQL = "[" + ",".join(str(b) for b in dd.MINHASH_B) + "]"
+
+_MINHASH_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[^\p{{L}}]+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+  FROM toks
+),
+bh AS (
+  SELECT doc_id, s,
+         list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS b
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, s,
+         list_transform(range(0, 16), i ->
+           list_min(list_transform(b, h -> ({_MH_A_SQL}[i+1]*h + {_MH_B_SQL}[i+1]) % {dd.MINHASH_MOD}))) AS sg
+  FROM bh
+),
+banded AS (
+  SELECT doc_id, sig.s, bnd.band,
+         array_to_string(sg[bnd.band*4+1 : bnd.band*4+4], ',') AS band_key
+  FROM sig, (SELECT UNNEST(range(0, 4)) AS band) bnd
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+       / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jaccard
+FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b
+WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) >= 0.5
+"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 family not reproducible in DuckDB; invariants pytest-checked
+    oracle=_MINHASH_ORACLE,
     doc=(
         "MinHash(16 perms) + LSH(4 bands) candidate pairs verified by exact "
         "shingle Jaccard ≥ 0.5, fused into one corpus pass (shingle set "
         "computed once, signature derived from it, set rides the band "
         "exchange — operators/dedup.py:minhash_near_dup_pairs). "
         "Sub-quadratic by construction: pair discovery is an equi-join on "
-        "band hashes. Property tests: candidates ⊇ all exact-duplicate "
-        "pairs; fused ≡ composable pipeline (tests/test_dedup.py)."
+        "band keys. Signature family is the portable md5lin draw "
+        "(one md5 per shingle + 16 universal hashes mod 2^31-1), so the "
+        "ENTIRE pipeline is replayed value-exactly by the DuckDB oracle; "
+        "the xxhash64 fast path stays available via family='xxh64' and is "
+        "parity-property-tested (tests/test_dedup.py)."
     ),
     tags=("dedup",),
 )
@@ -124,16 +175,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism
     return dd.minhash_near_dup_pairs(
         docs, "text", "doc_id", num_perm=16, bands=4, threshold=0.5,
-        n_partitions=n_part,
+        n_partitions=n_part, family="md5lin",
     )
+
+
+# SimHash oracle: counters replayed per bit from the md5 hex string
+# (2·|tokens with bit set| − |tokens|), chunk keys re-derived from the
+# counter signs, hamming = #sign-disagreements ≡ popcount(a XOR b).
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, list_transform(tk, t -> substr(md5(t), 1, 16)) AS hs FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), b ->
+           2*len(list_filter(hs, h -> ((CAST('0x' || h[(b//4)+1] AS INTEGER) >> (3 - (b%4))) & 1) = 1)) - len(hs)) AS counters
+  FROM hx
+),
+banded AS (
+  SELECT doc_id, counters, c.chunk,
+         list_sum(list_transform(range(0, 16), j ->
+           CASE WHEN counters[64 - 16*c.chunk - j] > 0 THEN 1<<j ELSE 0 END)) AS chunk_val
+  FROM sig, (SELECT UNNEST(range(0, 4)) AS chunk) c
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(range(1, 65), i -> (a.counters[i] > 0) <> (b.counters[i] > 0))) AS hamming
+  FROM banded a JOIN banded b
+    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12
+"""
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based signature; invariants pytest-checked
+    oracle=_SIMHASH_ORACLE,
     doc=(
         "SimHash(64-bit, row-local fold — zero shuffle to build signatures) "
-        "with 16-bit chunk banding; pairs kept at hamming ≤ 12."
+        "with 16-bit chunk banding; pairs kept at hamming ≤ 12. Signature "
+        "family is the portable md5 bit-vote draw (4 votes per hex char of "
+        "one md5 per distinct token), so the DuckDB oracle re-derives the "
+        "counters, chunk keys, and hamming distances value-exactly; "
+        "family='xxh64' remains the fast path, parity-property-tested."
     ),
     tags=("dedup",),
 )
@@ -146,6 +234,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=12,
         chunks=4,
         n_partitions=spark.sparkContext.defaultParallelism,
+        family="md5",
     )
 
 

@@ -4,6 +4,7 @@ operators — the invariants the DuckDB oracle can't check
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tda596_lab02mapreduce_spark import io
@@ -35,9 +36,12 @@ def test_exact_dedup_keeps_min_id(spark, sf_smoke):
     assert out.count() == df.select("text").distinct().count()
 
 
-def test_minhash_catches_exact_dups(spark, sf_smoke):
+@pytest.mark.parametrize("family", ["xxh64", "md5lin"])
+def test_minhash_catches_exact_dups(spark, sf_smoke, family):
     df = _docs_with_dups(spark, sf_smoke)
-    pairs = dd.minhash_lsh_pairs(df, "text", "doc_id", num_perm=16, bands=4)
+    pairs = dd.minhash_lsh_pairs(
+        df, "text", "doc_id", num_perm=16, bands=4, family=family
+    )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     # identical text ⇒ identical signature ⇒ must collide in every band
     for i in range(5):
@@ -53,9 +57,12 @@ def test_minhash_jaccard_verify_scores_exact_dups_1(spark, sf_smoke):
         assert got.get((i, i + 100000)) == 1.0
 
 
-def test_simhash_exact_dups_hamming_zero(spark, sf_smoke):
+@pytest.mark.parametrize("family", ["xxh64", "md5"])
+def test_simhash_exact_dups_hamming_zero(spark, sf_smoke, family):
     df = _docs_with_dups(spark, sf_smoke)
-    pairs = dd.simhash_pairs(df, "text", "doc_id", max_hamming=0, chunks=4)
+    pairs = dd.simhash_pairs(
+        df, "text", "doc_id", max_hamming=0, chunks=4, family=family
+    )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     for i in range(5):
         assert (i, i + 100000) in got
@@ -136,10 +143,11 @@ def test_ivf_sampled_training_recall(spark, sf_smoke):
     assert a == b
 
 
-def test_simhash_runlength_equals_occurrence_fold(spark, sf_smoke):
+@pytest.mark.parametrize("family", ["xxh64", "md5"])
+def test_simhash_runlength_equals_occurrence_fold(spark, sf_smoke, family):
     """The run-length simhash must be BIT-IDENTICAL to the plain
     per-occurrence fold on every fixture document (sum over multiset
-    == count x vote over distinct runs)."""
+    == count x vote over distinct runs) — for both hash families."""
     from tda596_lab02mapreduce_spark.operators.dedup import (
         _simhash_occurrence_fold,
         simhash,
@@ -148,8 +156,8 @@ def test_simhash_runlength_equals_occurrence_fold(spark, sf_smoke):
     docs = io.load(spark, sf_smoke, "documents")
     mismatch = (
         docs.select(
-            simhash(F.col("text")).alias("fast"),
-            _simhash_occurrence_fold(F.col("text")).alias("ref"),
+            simhash(F.col("text"), family=family).alias("fast"),
+            _simhash_occurrence_fold(F.col("text"), family=family).alias("ref"),
         )
         .filter(F.col("fast") != F.col("ref"))
         .count()
@@ -186,14 +194,18 @@ def test_ivf_fit_probe_split_caches_model(spark, sf_smoke, tmp_path, monkeypatch
     assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, inline.collect()))
 
 
-def test_fused_minhash_equals_composable_pipeline(spark, sf_correctness):
+@pytest.mark.parametrize("family", ["xxh64", "md5lin"])
+def test_fused_minhash_equals_composable_pipeline(spark, sf_correctness, family):
     """The fused one-pass operator must return exactly the pairs the
-    composable (pairs → verify) pipeline returns, jaccard included."""
+    composable (pairs → verify) pipeline returns, jaccard included —
+    for both hash families."""
     docs = io.load(spark, sf_correctness, "documents")
     fused = dd.minhash_near_dup_pairs(
-        docs, "text", "doc_id", num_perm=16, bands=4, threshold=0.5
+        docs, "text", "doc_id", num_perm=16, bands=4, threshold=0.5, family=family
     )
-    pairs = dd.minhash_lsh_pairs(docs, "text", "doc_id", num_perm=16, bands=4)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=16, bands=4, family=family
+    )
     composed = dd.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.5)
     f = sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in fused.collect())
     c = sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in composed.collect())
