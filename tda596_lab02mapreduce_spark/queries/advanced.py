@@ -428,7 +428,8 @@ def upsert_customer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agg stays partial+final with bounded state. Rows-only by "
         "contract; tests/test_aggregates.py asserts every sketch "
         "quantile lands within the documented rank-error window of the "
-        "exact percentile on the same data."
+        "exact percentile on the same data, and stats_exact_quantiles "
+        "is the hash-checked exact twin of this query."
     ),
     tags=("agg", "stats", "sketch"),
 )
@@ -438,6 +439,37 @@ def stats_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.25), F.lit(10000)).alias("p25_price"),
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_price"),
         F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95_price"),
+    )
+
+
+@register(
+    "stats_exact_quantiles",
+    # Exact interpolated quantiles match bitwise: both engines use the
+    # R-7 definition (idx = (n-1)p, result = a + (b-a)*frac) over the
+    # same doubles, so the interpolation arithmetic is IEEE-identical.
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25_price,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS p50_price,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "Exact per-group quantiles (percentile = full-sort R-7 "
+        "interpolation) — the hash-checked twin of "
+        "stats_approx_quantiles. At 100 TB the sketch form is the one "
+        "to run (bounded state); this exact form is the correctness "
+        "anchor the sketch's error bound is asserted against."
+    ),
+    tags=("agg", "stats"),
+)
+def stats_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(price, F.lit(0.25)).alias("p25_price"),
+        F.percentile(price, F.lit(0.5)).alias("p50_price"),
+        F.percentile(price, F.lit(0.95)).alias("p95_price"),
     )
 
 

@@ -270,11 +270,46 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_lsh_topk",
-    oracle=None,  # approximate by design; recall@k vs brute force pytest-checked
+    # The hyperplane tensor is DETERMINISTIC (sha256(t:p:j)-derived
+    # literals, operators/similarity.py:_plane_component), so although
+    # the operator is approximate w.r.t. brute force, it is exactly
+    # replayable: DuckDB re-derives the same planes with its own
+    # sha256, re-folds the same left-to-right dot products (list_reduce
+    # seeds with x1, and 0.0+x1 == x1 bitwise), and re-ranks with the
+    # same (cosine DESC, neighbor_id) tie-break. Recall@k vs brute
+    # force is additionally pytest-checked.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (
+  SELECT t.t, p.p,
+         list_transform(range(0, 64), j ->
+           CAST(CAST('0x' || substr(sha256(t.t || ':' || p.p || ':' || j), 1, 16) AS UBIGINT) % 100003 AS DOUBLE)/100003.0 - 0.5) AS h
+  FROM (SELECT UNNEST(range(0, 4)) AS t) t, (SELECT UNNEST(range(0, 8)) AS p) p
+),
+sb AS (
+  SELECT e.vec_id, pl.t AS tbl,
+         SUM(CASE WHEN list_reduce(list_transform(range(1, 65), j -> e.v[j]*pl.h[j]), (a,b) -> a+b) > 0
+             THEN 1<<pl.p ELSE 0 END) AS bucket
+  FROM e, pl GROUP BY e.vec_id, pl.t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sb q JOIN sb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qe.v, ce.v) AS cosine
+  FROM cand JOIN e qe ON qe.vec_id = cand.query_id JOIN e ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(nbr_rank AS BIGINT) AS nbr_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nbr_rank
+      FROM scored)
+WHERE nbr_rank <= 5
+""",
     doc=(
-        "LSH (8 random-hyperplane sign bits) bucketed cosine top-5: only "
-        "same-bucket rows scored — the 100 TB path (bucket join instead of "
-        "full scan per query)."
+        "LSH (8 random-hyperplane sign bits × 4 OR-construction tables) "
+        "bucketed cosine top-5: only same-bucket rows scored — the 100 TB "
+        "path (bucket join instead of full scan per query)."
     ),
     tags=("similarity",),
 )
