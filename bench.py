@@ -6,8 +6,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Execution is measured to a noop sink (full compute + shuffle, no
 driver collect) — the number reflects engine throughput, not py4j
-transfer. BENCH_REPS (default 2) runs per query; min is reported
-(cold JVM/JIT noise lands in rep 1).
+transfer. Each query gets ONE untimed warm-up execution before
+BENCH_REPS (default 2) timed runs; min is reported. The warm-up
+absorbs JIT/codegen compilation of the query's operators, which
+otherwise lands in whichever query runs a plan shape first and made
+round-over-round per-query ratios position-dependent (VERDICT r5
+"what's wrong" #2).
 """
 
 from __future__ import annotations
@@ -75,6 +79,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # untimed warm-up: JIT/codegen compile outside the timed region
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
