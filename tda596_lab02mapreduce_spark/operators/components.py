@@ -14,11 +14,14 @@ min id reachable in its component.  One round is one shuffle
 (join on dst + groupBy src), so total cost is O(diameter) shuffles.
 Near-dup graphs are overwhelmingly tiny star/clique clusters
 (diameter ≤ 3 observed on the documents corpus), so the loop ends in
-a handful of rounds; for adversarially deep graphs the public
-alternating large-star/small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) converges in
-O(log n) rounds with the same per-round join shape — the swap is
-local to `_propagate`.
+a handful of rounds; for adversarially deep graphs pass
+``algorithm="star"`` to get the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14): O(log n) rounds regardless of diameter, each round
+two groupBy+join shuffles over the (shrinking) edge list. Equality of
+the two algorithms is property-tested on the near-dup graph and on a
+10k-node path graph where min-label would need O(n) rounds
+(tests/test_components.py).
 
 Scale notes (100 TB posture):
 - the edge list is cached pre-partitioned on the join key, so every
@@ -47,6 +50,7 @@ def connected_components(
     max_iter: int = 50,
     id_out: str = "id",
     comp_out: str = "component",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Collapse an undirected edge list to components.
 
@@ -54,8 +58,20 @@ def connected_components(
     label = the minimum node id reachable from it.  Singletons (nodes
     with no edges) are by definition absent — callers union them back
     if they need total coverage.
+
+    ``algorithm="label"`` (default): min-label propagation, O(diameter)
+    rounds — right for the shallow star/clique graphs near-dup pairs
+    form. ``algorithm="star"``: Kiveris et al.'s alternating
+    large-star/small-star, O(log n) rounds — right for adversarially
+    deep graphs (chain-shaped template spam).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if algorithm == "star":
+        return _star_components(
+            e, max_iter=max_iter, id_out=id_out, comp_out=comp_out
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown components algorithm {algorithm!r}")
     # Convergence below is sum(comp)-based, which is only sound for
     # numeric ids: with string ids F.sum yields NULL, NULL == NULL
     # compares true in Python, and the loop would silently exit after
@@ -93,6 +109,91 @@ def connected_components(
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
     sym.unpersist()
+    return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris SoCC'14): every node v links each
+    STRICTLY LARGER neighbor to m(v) = min(Γ(v) ∪ {v}). One groupBy +
+    one join on the symmetric edge list; no neighbor lists are ever
+    collected — m(v) is an aggregate. Output is canonical (src > dst),
+    self-loop-free by construction (w > v ≥ m)."""
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = sym.groupBy("src").agg(F.least(F.first("src"), F.min("dst")).alias("_m"))
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node v links each neighbor ≤ v (and
+    itself) to m(v) = min of those. Keyed on the LARGER endpoint, so
+    m(v) = min(dst) < v and the emitted (neighbor, m) ∪ {(v, m)} edges
+    stay canonical; the (m, m) self-loop is filtered."""
+    keyed = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    m = keyed.groupBy("src").agg(F.min("dst").alias("_m"))
+    nbr = (
+        keyed.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    self_edge = m.select("src", F.col("_m").alias("dst"))  # src > _m always
+    return nbr.unionByName(self_edge).distinct()
+
+
+def _star_components(
+    e: DataFrame, *, max_iter: int, id_out: str, comp_out: str
+) -> DataFrame:
+    """Alternating large-star/small-star to fixpoint.
+
+    Fixpoint ⟺ the edge set is a union of stars rooted at each
+    component's minimum (paper Thm 1); detected EXACTLY by set equality
+    (count + subtract-empty) rather than a lossy checksum — two extra
+    O(m) actions per round, O(log n) rounds total. Lineage is broken
+    per round with localCheckpoint (same iterative-Spark trap as the
+    label loop). Works for any orderable id type: no sum-based
+    convergence, so the numeric-id restriction of the label algorithm
+    does not apply."""
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = (
+        e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cnt = cur.count()
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nxt_cnt = nxt.count()
+        if nxt_cnt == cnt and nxt.subtract(cur).isEmpty():
+            cur = nxt
+            break
+        cur, cnt = nxt, nxt_cnt
+    else:
+        raise RuntimeError(f"star components: no fixpoint in {max_iter} rounds")
+
+    # stars: every edge is (member, root); roots label themselves.
+    # Left-join from the node set so isolated canonical roots that no
+    # longer appear as src still get a row.
+    labels = nodes.join(
+        cur.select(F.col("src").alias("id"), F.col("dst").alias("comp")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("comp", "id").alias("comp"))
     return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))
 
 

@@ -75,6 +75,79 @@ def test_pagerank_neardup_mass_and_coverage(spark, sf_correctness):
     assert all(r.rank >= 0.15 - 1e-12 for r in out)
 
 
+def test_star_equals_label_on_synthetic_graphs(spark):
+    """Kiveris large-star/small-star must agree with min-label
+    propagation wherever both run: chain, cliques, disjoint mix."""
+    cases = [
+        [(i, i + 1) for i in range(9)],
+        [(1, 2), (2, 3), (1, 3), (10, 11), (21, 20), (21, 22)],
+        [(5, 1), (1, 9)],
+    ]
+    for edges in cases:
+        assert _cc(spark, edges, algorithm="star") == _cc(spark, edges)
+
+
+def test_star_equals_label_on_neardup_graph(spark, sf_smoke):
+    """Equality on the real near-dup pair graph (the production input
+    shape: tiny stars/cliques from blocked-Jaccard pairs)."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark import io
+    from tda596_lab02mapreduce_spark.queries.llm_pipeline import (
+        _blocked_jaccard_pairs,
+    )
+
+    docs = io.load(spark, sf_smoke, "documents")
+    pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    label = {
+        r["id"]: r["component"] for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, "id_a", "id_b", algorithm="star").collect()
+    }
+    assert label == star and len(star) > 0
+
+
+def test_star_path_graph_logn_rounds(spark):
+    """The adversarial case min-label propagation cannot handle: a
+    10k-node path needs O(n) label rounds (max_iter=50 would blow up),
+    but large-star/small-star must converge within O(log n) rounds —
+    asserted by running with max_iter = 2·ceil(log2 n) + 4 = 32 and
+    requiring the exact ground truth (every node labeled 0)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = connected_components(
+        edges, max_iter=2 * math.ceil(math.log2(n)) + 4, algorithm="star"
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("ncomp"),
+        F.max("component").alias("maxc"),
+    ).first()
+    assert (agg["n"], agg["ncomp"], agg["maxc"]) == (n, 1, 0)
+
+
+def test_star_accepts_string_ids(spark):
+    """Star convergence is exact set equality, not a numeric checksum —
+    string ids are legal there (and must still produce min-id labels
+    lexicographically)."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_string_ids_rejected_up_front(spark):
     """sum(comp)-based convergence is NULL-blind for string ids (SUM of
     strings is NULL, NULL == NULL → loop exits after one round with
