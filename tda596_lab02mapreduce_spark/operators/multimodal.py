@@ -3,12 +3,15 @@
 Arrow-batched ``mapInPandas`` operators.
 
 The Spark-side plumbing — schema, partition sizing, UDF signatures,
-batch shapes — is real and tested. The actual codec step is stubbed
-(this container ships no image/audio libraries): ``decode=\"fake\"``
-derives deterministic pseudo-features from the bytes (md5-seeded), and
-``decode=\"strict\"`` raises NotImplementedError where a real
-Pillow/ffmpeg call would go. Swapping in a real decoder changes ONE
-function, no plan changes.
+batch shapes — is real and tested. The codec step has three modes:
+``decode=\"fake\"`` derives deterministic pseudo-features from the
+bytes (md5-seeded); ``decode=\"auto\"`` uses Pillow per blob when it
+is importable ON THE EXECUTOR and the blob decodes, falling back to
+the fake path otherwise (so the same job runs in codec-less and
+codec-full containers); ``decode=\"strict\"`` requires the real codec
+— NotImplementedError when Pillow is absent (this container),
+decode errors propagate when present. The real-decode functions are
+unit-tested behind ``pytest.importorskip(\"PIL\")``.
 
 Scale notes: media bytes are the dominant payload — the operators
 never shuffle them (feature extraction is map-only; metadata-only
@@ -87,6 +90,43 @@ def _fake_decode(blob: bytes, n_features: int) -> list[float]:
     ]
 
 
+def _pillow():
+    """Import Pillow on the EXECUTOR, or None. Cheap to call per batch
+    (module import is cached by the interpreter)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _real_decode_features(blob: bytes, n_features: int) -> list[float]:
+    """The real codec path: Pillow decode → grayscale → resample to
+    n_features pixels → [0,1] floats. Raises if Pillow is absent or
+    the blob is not a decodable image (strict-mode contract)."""
+    import io as _io  # noqa: PLC0415
+
+    from PIL import Image  # noqa: PLC0415
+
+    img = Image.open(_io.BytesIO(blob)).convert("L").resize((n_features, 1))
+    return [p / 255.0 for p in img.getdata()]
+
+
+def _real_resize(blob: bytes, target_w: int, target_h: int) -> bytes:
+    """Real resize: Pillow decode → resize → re-encode (PNG when the
+    source format is unknown). Raises on absent Pillow / bad blob."""
+    import io as _io  # noqa: PLC0415
+
+    from PIL import Image  # noqa: PLC0415
+
+    img = Image.open(_io.BytesIO(blob))
+    fmt = img.format or "PNG"
+    out = _io.BytesIO()
+    img.resize((target_w, target_h)).save(out, format=fmt)
+    return out.getvalue()
+
+
 def extract_features(
     media: DataFrame, *, n_features: int = 8, decode: str = "fake"
 ) -> DataFrame:
@@ -95,23 +135,33 @@ def extract_features(
     Arrow-batched: each batch arrives as a pandas DataFrame whose
     ``blob`` column holds raw bytes. Map-only — no shuffle touches
     the blobs."""
-    if decode not in ("fake", "strict"):
-        raise ValueError("decode must be 'fake' or 'strict'")
+    if decode not in ("fake", "strict", "auto"):
+        raise ValueError("decode must be 'fake', 'auto', or 'strict'")
+
+    def features(b: bytes) -> list[float]:
+        if decode == "strict":
+            if _pillow() is None:
+                raise NotImplementedError(
+                    "real media decode requires Pillow/ffmpeg — not present "
+                    "in this container; use decode='fake' or 'auto'"
+                )
+            return _real_decode_features(b, n_features)
+        if decode == "auto" and _pillow() is not None:
+            try:
+                return _real_decode_features(b, n_features)
+            except Exception:
+                return _fake_decode(b, n_features)  # undecodable blob
+        return _fake_decode(b, n_features)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "real media decode requires Pillow/ffmpeg — not present "
-                    "in this container; use decode='fake'"
-                )
             blobs = pdf["blob"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": blobs.map(len).astype("int64"),
                     "content_md5": blobs.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                    "feature": blobs.map(lambda b: _fake_decode(bytes(b), n_features)),
+                    "feature": blobs.map(lambda b: features(bytes(b))),
                 }
             )
 
@@ -126,28 +176,39 @@ def resize_images(
 
     ``decode=\"fake\"``: deterministic byte resample (truncate/cycle the
     source bytes to the target pixel budget) standing in for a real
-    Pillow ``Image.resize``; ``decode=\"strict\"`` raises where the real
-    codec call would go. Map-only; output blob size is bounded by
-    target dims, so a resize-then-shuffle pipeline shuffles the SMALL
-    blobs, never the originals."""
-    if decode not in ("fake", "strict"):
-        raise ValueError("decode must be 'fake' or 'strict'")
+    Pillow ``Image.resize``; ``decode=\"auto\"``: Pillow resize when
+    importable and the blob decodes, fake resample otherwise;
+    ``decode=\"strict\"`` requires the real codec. Map-only; output
+    blob size is bounded by target dims, so a resize-then-shuffle
+    pipeline shuffles the SMALL blobs, never the originals."""
+    if decode not in ("fake", "strict", "auto"):
+        raise ValueError("decode must be 'fake', 'auto', or 'strict'")
     budget = target_w * target_h
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "real image resize requires Pillow — not present in "
-                    "this container; use decode='fake'"
-                )
 
-            def resample(b: bytes) -> bytes:
-                raw = bytes(b)
+            def fake_resample(raw: bytes) -> bytes:
                 if not raw:
                     return b"\x00" * budget
                 reps = (budget // len(raw)) + 1
                 return (raw * reps)[:budget]
+
+            def resample(b: bytes) -> bytes:
+                raw = bytes(b)
+                if decode == "strict":
+                    if _pillow() is None:
+                        raise NotImplementedError(
+                            "real image resize requires Pillow — not present "
+                            "in this container; use decode='fake' or 'auto'"
+                        )
+                    return _real_resize(raw, target_w, target_h)
+                if decode == "auto" and _pillow() is not None:
+                    try:
+                        return _real_resize(raw, target_w, target_h)
+                    except Exception:
+                        return fake_resample(raw)
+                return fake_resample(raw)
 
             meta = pd.DataFrame(list(pdf["meta"]))
             meta["width"] = target_w

@@ -580,17 +580,18 @@ HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
 """,
     doc=(
         "TPC-H Q11 shape (adapted to the fixture schema): per-part "
-        "value totals kept only when they exceed a FRACTION OF THE "
-        "GLOBAL total — a scalar subquery inside HAVING. Catalyst "
-        "evaluates the global sum once and broadcasts the one-row "
-        "result into the post-aggregation filter; at 100 TB that is "
-        "one extra reduction, never a per-group rescan. Decimal sums "
-        "both sides; the 0.001 threshold multiply is exact in decimal."
+        "value totals kept only when they exceed 1.5× THE AVERAGE "
+        "per-part value (global sum × 1.5 / distinct part count) — a "
+        "scalar subquery inside HAVING. Catalyst evaluates the global "
+        "aggregate once and broadcasts the one-row result into the "
+        "post-aggregation filter; at 100 TB that is one extra "
+        "reduction, never a per-group rescan. Decimal sums both sides; "
+        "the ×1.5 threshold arithmetic happens after the exact decimal "
+        "sums are cast to double, identically in both engines."
     ),
     tags=("subquery", "agg"),
 )
 def subquery_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = io.load(spark, sf_dir, "lineitem")
     io.register_views(spark, sf_dir, ("lineitem",))
     return spark.sql("""
 SELECT l_partkey,

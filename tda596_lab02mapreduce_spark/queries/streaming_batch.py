@@ -319,11 +319,19 @@ GROUP BY 1, 2
     tags=("streaming", "source"),
 )
 def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
+    from tda596_lab02mapreduce_spark.queries.sinks import _sink_path
     from tda596_lab02mapreduce_spark.streaming.windows import events_stream
 
-    ck = tempfile.mkdtemp(prefix="tda596-state-inspect-")
+    # fixed per-(query, sf) checkpoint cleared at the start of each run
+    # — the repo .tmp overwrite convention every other sink-style query
+    # uses. A fresh mkdtemp per invocation leaked state-store/offset
+    # dirs across bench and test sweeps (advisory finding); delete-at-
+    # end is not an option because the returned statestore DataFrame
+    # reads the checkpoint lazily, after this function returns.
+    ck = _sink_path(sf_dir, "state_inspect_ckpt")
+    shutil.rmtree(ck, ignore_errors=True)
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -173,6 +173,21 @@ class KVTextSinkWriter(DataSourceWriter):
             for f in os.listdir(self.path):
                 if f.startswith("mr-out-"):
                     os.remove(os.path.join(self.path, f))
+        else:
+            # Append mode must not silently clobber an earlier job's
+            # committed partitions via os.replace (advisory finding):
+            # fail fast BEFORE any rename so the job aborts atomically
+            # (abort() then sweeps the temp files).
+            existing = {
+                f for f in os.listdir(self.path) if f.startswith("mr-out-")
+            }
+            clash = sorted({m.final_name for m in messages} & existing)
+            if clash:
+                raise FileExistsError(
+                    f"textkv_sink append into {self.path!r} would overwrite "
+                    f"committed output {clash}; use mode('overwrite') or an "
+                    "empty directory"
+                )
         for m in messages:
             os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
 
@@ -195,19 +210,24 @@ def register_textkv_sink(spark: SparkSession) -> None:
 class WholeFileStreamDataSource(DataSource):
     """``spark.readStream.format("wholefile_stream")`` — the pluggable
     STREAMING quadrant of the whole-file contract: the staged file set
-    is replayed one file per micro-batch in sorted-name order, each
-    batch carrying (path, content) rows exactly like the batch reader.
+    is replayed in sorted-name order as ONE FILE PER PARTITION within a
+    micro-batch (latestOffset exposes the whole available listing, so
+    AvailableNow drains it in a single batch — the reference's
+    task-per-file model on the streaming plane), each row carrying
+    (path, content) exactly like the batch reader.
 
-    Offsets are file indices into the sorted listing, so the replay is
-    deterministic and resumable: after a restart the checkpointed
-    offset re-enters at the same index (the committed prefix is never
-    re-served) — the Structured Streaming source contract
-    (initialOffset/latestOffset/partitions/commit) implemented in
-    ~30 lines of Python, with one file per partition inside the batch
-    (the reference's task-per-file model on the streaming plane). An
-    unbounded deployment would re-list and serve the growing suffix;
-    the fixture staging is bounded, which is what lets AvailableNow
-    drain it for the batch-equivalence check.
+    Offsets are (index, last-served-name) pairs into the sorted
+    listing, so the replay is deterministic and resumable: after a
+    restart the checkpointed offset re-enters AFTER the named file —
+    validated against the fresh listing, so a staging set that changed
+    across the restart (new file sorting earlier, rename, deletion)
+    resumes at the right file by NAME instead of silently re-serving
+    or skipping by position (advisory finding). The Structured
+    Streaming source contract (initialOffset/latestOffset/partitions/
+    commit) in ~40 lines of Python. An unbounded deployment would
+    re-list and serve the growing suffix; the fixture staging is
+    bounded, which is what lets AvailableNow drain it for the
+    batch-equivalence check.
     """
 
     @classmethod
@@ -233,19 +253,37 @@ class WholeFileStreamReader(DataSourceStreamReader):
         ]
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"index": 0, "last": ""}
 
     def latestOffset(self) -> dict:
         # the full listing: AvailableNow snapshots this once and drains
         # to it (per-file batching would need the source to hold back
         # the offset, which AvailableNow's fixed endpoint ignores — it
         # would silently truncate the drain to the first increment)
-        return {"index": len(self._files)}
+        return {
+            "index": len(self._files),
+            "last": self._files[-1] if self._files else "",
+        }
+
+    def _resolve(self, off: dict) -> int:
+        """Index of the first unserved file for ``off`` against the
+        CURRENT listing. Positional fast path when the checkpointed
+        (index, last) still agrees with the listing; otherwise resume
+        by NAME — first file sorting strictly after the last served
+        one (bisect on the sorted listing)."""
+        idx, last = off.get("index", 0), off.get("last", "")
+        if not last:
+            return 0
+        if 0 < idx <= len(self._files) and self._files[idx - 1] == last:
+            return idx
+        import bisect  # noqa: PLC0415
+
+        return bisect.bisect_right(self._files, last)
 
     def partitions(self, start: dict, end: dict):
         return [
             InputPartition(self._files[i])
-            for i in range(start["index"], end["index"])
+            for i in range(self._resolve(start), self._resolve(end))
         ]
 
     def read(self, partition):

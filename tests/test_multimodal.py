@@ -61,6 +61,56 @@ def test_strict_decode_raises(spark, sf_smoke):
     assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
 
 
+def test_auto_decode_falls_back_to_fake_on_undecodable_blobs(spark, sf_smoke):
+    """decode='auto' must equal decode='fake' when the blobs aren't
+    decodable images — true in this container (no Pillow: global
+    fallback) AND in a codec-full one (the text blobs fail Image.open
+    per-row and fall back). Same-output either way = the same job runs
+    unchanged in both environments."""
+    media = _media(spark, sf_smoke).limit(50)
+    fake = {
+        r.media_id: tuple(r.feature)
+        for r in mm.extract_features(media, n_features=8, decode="fake").collect()
+    }
+    auto = {
+        r.media_id: tuple(r.feature)
+        for r in mm.extract_features(media, n_features=8, decode="auto").collect()
+    }
+    assert fake == auto
+    rz_fake = {
+        r.media_id: bytes(r.blob)
+        for r in mm.resize_images(media, target_w=8, target_h=8, decode="fake").collect()
+    }
+    rz_auto = {
+        r.media_id: bytes(r.blob)
+        for r in mm.resize_images(media, target_w=8, target_h=8, decode="auto").collect()
+    }
+    assert rz_fake == rz_auto
+
+
+def test_real_decode_path_with_pillow():
+    """The real codec functions themselves, exercised only where Pillow
+    exists (importorskip): a generated PNG must decode to n normalized
+    grayscale samples and resize to the target dims."""
+    pytest.importorskip("PIL")
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (32, 16), (200, 40, 90)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    feats = mm._real_decode_features(png, 8)
+    assert len(feats) == 8 and all(0.0 <= x <= 1.0 for x in feats)
+    resized = mm._real_resize(png, 4, 6)
+    img = Image.open(_io.BytesIO(resized))
+    assert img.size == (4, 6) and img.format == "PNG"
+    # and the strict path through the operator is the real one: a valid
+    # PNG must NOT produce the fake md5-derived features
+    assert feats != mm._fake_decode(png, 8)
+
+
 def test_frame_sample_counts(spark, sf_smoke):
     media = _media(spark, sf_smoke).limit(20)
     video = media.withColumn(
