@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Scale-stress harness (VERDICT r5 next-step #6): driver fixtures stop
+at sf0.1, so derive a ~10× documents corpus into /tmp (never touching
+/root/testdata) and measure the five scale-sensitive pipelines at both
+scales, printing a JSON scaling table for BASELINE.md.
+
+Corpus derivation — deterministic replication + perturbation: each of
+10 replicas suffixes EVERY token with a replica-unique letter pair
+("...qa", "...qb", …). Tokens stay letter-runs (the wc.go tokenizer
+contract), every replica keeps the original's internal similarity
+structure, and replicas share NO shingles with each other — so the
+near-dup graph is 10 disjoint isomorphic copies and the honest
+expectation is ~linear wall-time growth (pure replication would
+instead grow every dup cluster 10× and the PAIR count ~100×, which
+tests the data generator, not the engine).
+
+Plan-shape check: the Exchange count of each query's final plan must
+not change between scales (the pins in tests/test_plans.py hold at
+10×) — a shape drift at scale would flag an optimizer cliff.
+
+Run: python tools/scale_stress.py   (≈8 min at the default reps)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import registry
+from tda596_lab02mapreduce_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/tda596-scale10x")
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
+REPS = int(os.environ.get("SCALE_REPS", "2"))
+
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "triangle_count_neardup",
+    "union_find_components",
+    "dedup_cluster_star",
+    "graph_reach_recursive",
+]
+
+
+def stage(spark) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
+    suffix = F.substring(F.lit("abcdefghijklmnopqrst"), F.col("replica") + 1, 1)
+    text2 = F.concat_ws(
+        " ",
+        F.transform(
+            F.split("text", " ", -1), lambda t: F.concat(t, F.lit("q"), suffix)
+        ),
+    )
+    out = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("replica").cast("long") * 10_000_000).alias(
+                "doc_id"
+            ),
+            text2.alias("text"),
+            "lang",
+            "source",
+            F.length(text2).alias("n_chars"),
+        )
+    )
+    shutil.rmtree(OUT, ignore_errors=True)
+    # ~32 output files so the 10× scan is many-split (the cluster
+    # regime) rather than inheriting the fixture's single row group.
+    out.repartition(32).write.parquet(f"{OUT}/documents.parquet")
+
+
+def exchange_count(df) -> int:
+    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
+def measure(spark, sf_dir: str) -> dict[str, dict]:
+    qs = registry.all_queries()
+    res: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = qs[name]
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        res[name] = {
+            "sec": round(best, 3),
+            "exchanges": exchange_count(fn(spark, sf_dir)),
+        }
+    return res
+
+
+def main() -> None:
+    spark = get_spark(app_name="tda596-scale-stress")
+    stage(spark)
+    base = measure(spark, SRC)
+    big = measure(spark, OUT)
+    table = {
+        q: {
+            "sf0.1_sec": base[q]["sec"],
+            "x10_sec": big[q]["sec"],
+            "ratio": round(big[q]["sec"] / base[q]["sec"], 2),
+            "exchanges_sf0.1": base[q]["exchanges"],
+            "exchanges_x10": big[q]["exchanges"],
+            "shape_stable": base[q]["exchanges"] == big[q]["exchanges"],
+        }
+        for q in QUERIES
+    }
+    print(json.dumps({"replicas": REPLICAS, "src": SRC, "queries": table}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
