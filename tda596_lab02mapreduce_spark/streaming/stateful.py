@@ -1,6 +1,19 @@
-"""Custom stateful streaming operator via applyInPandasWithState —
-the generic-stateful escape hatch (SURVEY.md §2B UDF surface row):
-per-key mutable state across micro-batches, watermark-bounded.
+"""Custom stateful streaming operators (SURVEY.md §2B UDF surface row):
+per-key mutable state across micro-batches.
+
+Two API generations are covered:
+
+- ``running_user_stats``: applyInPandasWithState (GroupState) — runs
+  everywhere, registered as the hash-checked
+  ``stream_running_user_stats`` query.
+- ``user_envelope_tws``: the Spark 4 transformWithStateInPandas
+  StatefulProcessor API (named ValueState handles, RocksDB-backed).
+  Its Python state protocol is protobuf-based, and this container
+  ships no ``protobuf`` package, so the operator raises a clear
+  ImportError up front here and is unit-tested behind
+  ``pytest.importorskip("google.protobuf")`` — the same
+  environment-capped honest-gate pattern as the Pillow codec path
+  (operators/multimodal.py).
 """
 
 from __future__ import annotations
@@ -43,4 +56,92 @@ def running_user_stats(events: DataFrame, *, watermark: str = "1 hour") -> DataF
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+TWS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wire protocol for
+    its Python↔JVM state channel; without the package the driver-side
+    stateful worker crashes at init (observed: ImportError in
+    StateMessage_pb2 → STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_envelope_tws(events: DataFrame) -> DataFrame:
+    """Per-user envelope (count, value sum, first/last event micros)
+    via the Spark 4 ``transformWithStateInPandas`` StatefulProcessor:
+    one named ValueState per user, updated per micro-batch — the
+    order-insensitive aggregate choice makes the drained output
+    deterministic, so the final per-user rows equal the batch
+    ``groupBy(user_id).agg(count, sum, min, max)`` exactly.
+
+    Caller contract: the session must run the RocksDB state store
+    provider (``TWS_PROVIDER``) — transformWithState does not support
+    the default HDFS-backed provider. ``events`` must carry
+    (user_id, value, ts_us) with ts_us = unix_micros(ts).
+    """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "for its state protocol; not present in this container — "
+            "use running_user_stats (applyInPandasWithState) instead"
+        )
+    from collections.abc import Iterator as _Iter  # noqa: PLC0415
+
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Envelope(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "env", "n long, s double, mn long, mx long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> _Iter[pd.DataFrame]:
+            if self._st.exists():
+                n, s, mn, mx = self._st.get()
+            else:
+                n, s, mn, mx = 0, 0.0, None, None
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                lo, hi = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            self._st.update((n, s, mn, mx))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "first_ts_us": [mn],
+                    "last_ts_us": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Envelope(),
+        outputStructType=(
+            "user_id long, n_events long, sum_value double, "
+            "first_ts_us long, last_ts_us long"
+        ),
+        outputMode="Update",
+        timeMode="None",
     )

@@ -84,6 +84,76 @@ def test_stateful_running_stats(spark, sf_smoke):
     assert got == want
 
 
+def test_tws_unavailable_raises_clearly(spark, sf_smoke):
+    """In a container without protobuf the Spark-4 StatefulProcessor
+    operator must fail fast with a clear ImportError at plan-build
+    time, not crash the streaming Python runner mid-query."""
+    import pytest as _pytest
+
+    from tda596_lab02mapreduce_spark.streaming.stateful import (
+        tws_available,
+        user_envelope_tws,
+    )
+
+    if tws_available():
+        _pytest.skip("protobuf present: covered by test_tws_envelope_matches_batch")
+    ev = events_stream(spark, sf_smoke).select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    with _pytest.raises(ImportError, match="protobuf"):
+        user_envelope_tws(ev)
+
+
+def test_tws_envelope_matches_batch(spark, sf_smoke):
+    """Where protobuf exists, the transformWithStateInPandas envelope
+    drained with AvailableNow must equal the batch aggregate exactly
+    (order-insensitive state transitions ⇒ deterministic output)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    from pyspark.sql.window import Window
+
+    from tda596_lab02mapreduce_spark.streaming.stateful import (
+        TWS_PROVIDER,
+        user_envelope_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", TWS_PROVIDER)
+    try:
+        ev = events_stream(spark, sf_smoke).select(
+            "user_id", "value", F.unix_micros("ts").alias("ts_us")
+        )
+        drained = run_available_now(
+            user_envelope_tws(ev), "t_tws_envelope", output_mode="update"
+        )
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id", "n_events", F.round("sum_value", 2).alias("sum_value"),
+            "first_ts_us", "last_ts_us",
+        )
+    )
+    batch = (
+        io.load(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min(F.unix_micros("ts")).alias("first_ts_us"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
 def test_late_data_dropped_by_watermark(spark, sf_smoke, tmp_path):
     """Two micro-batches: the second replays old (late) events beyond
     the watermark — they must NOT change closed windows (append mode
