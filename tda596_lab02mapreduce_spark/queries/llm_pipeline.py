@@ -103,6 +103,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blocked_jaccard_pairs(docs)
 
 
+@register(
+    "dedup_containment",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         array_to_string(tk[1:3], ' ') AS prefix,
+         list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(a.s) AS na, len(b.s) AS nb,
+         len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter
+  FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+)
+SELECT CASE WHEN na < nb THEN id_b ELSE id_a END AS id_kept,
+       CASE WHEN na < nb THEN id_a ELSE id_b END AS id_dropped,
+       CAST(inter AS DOUBLE) / least(na, nb) AS containment
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.9
+""",
+    doc=(
+        "Containment (substring-style) dedup: over the deterministic "
+        "prefix-blocked candidate pairs, a doc whose shingle set is ≥90% "
+        "contained in a LARGER doc's set is dropped in favor of the "
+        "container — the asymmetric variant of Jaccard dedup that "
+        "catches quoted/excerpted near-copies symmetric similarity "
+        "misses (|A∩B|/min(|A|,|B|) is high even when |A|≪|B| makes "
+        "Jaccard low). Equal sizes keep the lower doc_id (the min-id "
+        "survivor convention). Same scale posture as "
+        "dedup_ngram_jaccard: blocking keeps pairs linear-ish, shingle "
+        "sets ride only the blocked join."
+    ),
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens_nonempty(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    sh = toked.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", 1, 3)).alias("prefix"),
+        F.array_distinct(ngram_shingles(F.col("toks"), 3)).alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    na, nb = F.size(F.col("a.s")), F.size(F.col("b.s"))
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    pairs = a.join(
+        b,
+        (F.col("a.prefix") == F.col("b.prefix"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.when(na < nb, F.col("b.doc_id")).otherwise(F.col("a.doc_id")).alias("id_kept"),
+        F.when(na < nb, F.col("a.doc_id")).otherwise(F.col("b.doc_id")).alias("id_dropped"),
+        (inter.cast("double") / F.least(na, nb)).alias("containment"),
+    )
+    return pairs.filter(F.col("containment") >= 0.9)
+
+
 # DuckDB literal rendering of the frozen md5lin constants — the oracle
 # replays the ENTIRE minhash pipeline (tokenize → shingle → base md5
 # hash → 16 universal draws → band → self-join → exact Jaccard) with
