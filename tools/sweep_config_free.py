@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Config-free full correctness sweep — the local twin of the driver's
+CORRECTNESS run, WITHOUT session.py's configs: a bare
+``SparkSession.builder.getOrCreate()`` (driver-like defaults) runs
+EVERY registered query at sf0.01 and compares each against its DuckDB
+oracle with the same row-count/columns/value-hash check the driver
+uses (tests/oracle.py). Queries without an oracle get a rows-only
+materialization check.
+
+This catches conf-dependent breakage that the pytest session (which
+uses session.py's tuned confs) can mask — the class of failure that
+took down round-1 and round-4 driver rows.
+
+Run: python tools/sweep_config_free.py   (~8 min)
+Prints one JSON line: {"oracle_pass": N, "rows_only": M, "fail": [...]}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from tda596_lab02mapreduce_spark import registry
+from tests.oracle import canonical_rows, duck_connect
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    spark = SparkSession.builder.master("local[*]").getOrCreate()
+    ok = rows_only = 0
+    fail: list[dict] = []
+    for name, q in sorted(registry.registry().items()):
+        try:
+            sdf = q.spark_fn(spark, SF_DIR)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            if q.oracle is None:
+                rows_only += 1
+                continue
+            con = duck_connect(SF_DIR)
+            cur = con.execute(q.oracle)
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+            con.close()
+            if sorted(s_cols) != sorted(d_cols):
+                fail.append({"q": name, "err": "column mismatch"})
+            elif len(s_rows) != len(d_rows):
+                fail.append(
+                    {"q": name, "err": f"rows {len(s_rows)} vs {len(d_rows)}"}
+                )
+            elif canonical_rows(s_rows, s_cols) != canonical_rows(d_rows, d_cols):
+                fail.append({"q": name, "err": "value hash mismatch"})
+            else:
+                ok += 1
+        except Exception:
+            fail.append(
+                {"q": name, "err": traceback.format_exc(limit=2).splitlines()[-1]}
+            )
+    print(
+        json.dumps(
+            {"sf": SF_DIR, "oracle_pass": ok, "rows_only": rows_only, "fail": fail}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
