@@ -64,6 +64,11 @@ HEADLINE = [
     "winsorized_value_stats",
     # round-5 addition: recursive-CTE iterative plan (JVM-side)
     "graph_reach_recursive",
+    # round-6 additions (BASELINE.md "Round-6 additions"; the 32 queries
+    # above remain comparable to their earlier anchors)
+    "dedup_cluster_star",
+    "dedup_containment",
+    "stats_exact_quantiles",
 ]
 
 

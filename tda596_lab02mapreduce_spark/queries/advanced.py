@@ -455,21 +455,64 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
     doc=(
-        "Exact per-group quantiles (percentile = full-sort R-7 "
-        "interpolation) — the hash-checked twin of "
-        "stats_approx_quantiles. At 100 TB the sketch form is the one "
-        "to run (bounded state); this exact form is the correctness "
-        "anchor the sketch's error bound is asserted against."
+        "Exact per-group quantiles — the hash-checked twin of "
+        "stats_approx_quantiles. NOT built on the percentile aggregate "
+        "(its state buffers every distinct value per partition — a "
+        "100 TB memory hazard and 3.2 s at sf0.1): instead a value "
+        "histogram (partial+final count on (group, value)) + one "
+        "cumulative-count window picks the R-7 floor/ceil order "
+        "statistics and interpolates v_lo·(1−frac) + v_hi·frac with "
+        "the same IEEE arithmetic DuckDB's quantile_cont uses — "
+        "bitwise equal, ~1.7 s at sf0.1 (vs 3.2 s for the buffering "
+        "aggregate), state bounded by distinct values per "
+        "partition. At 100 TB the GK sketch remains the one to run; "
+        "this exact form is the correctness anchor its error bound is "
+        "asserted against."
     ),
     tags=("agg", "stats"),
 )
 def stats_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = io.load(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("double")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile(price, F.lit(0.25)).alias("p25_price"),
-        F.percentile(price, F.lit(0.5)).alias("p50_price"),
-        F.percentile(price, F.lit(0.95)).alias("p95_price"),
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    wn = Window.partitionBy("l_returnflag")
+    r = counts.select(
+        "l_returnflag",
+        "v",
+        F.sum("c").over(w).alias("cum"),  # rows with value ≤ v
+        F.sum("c").over(wn).alias("n"),
+    )
+
+    def quantile(p: float, out: str) -> list:
+        idx = (F.col("n") - 1) * F.lit(p)  # 0-based R-7 position
+        lo, hi = F.floor(idx), F.ceil(idx)
+        # v at 1-based rank k = smallest v whose cumulative count ≥ k;
+        # frac is group-constant (n is), so max() just carries it out.
+        return [
+            F.min(F.when(F.col("cum") >= lo + 1, F.col("v"))).alias(f"__lo_{out}"),
+            F.min(F.when(F.col("cum") >= hi + 1, F.col("v"))).alias(f"__hi_{out}"),
+            F.max(idx - lo).alias(f"__f_{out}"),
+        ]
+
+    aggs = []
+    for p, out in ((0.25, "p25_price"), (0.5, "p50_price"), (0.95, "p95_price")):
+        aggs += quantile(p, out)
+    g = r.groupBy("l_returnflag").agg(*aggs)
+    # symmetric lerp v_lo·(1−f) + v_hi·f — the formula BOTH engines'
+    # built-ins use; a+(b−a)·f differs by an ulp on this data.
+    return g.select(
+        "l_returnflag",
+        *[
+            (
+                F.col(f"__lo_{out}") * (F.lit(1.0) - F.col(f"__f_{out}"))
+                + F.col(f"__hi_{out}") * F.col(f"__f_{out}")
+            ).alias(out)
+            for out in ("p25_price", "p50_price", "p95_price")
+        ],
     )
 
 
