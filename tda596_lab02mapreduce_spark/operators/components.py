@@ -122,11 +122,14 @@ def _large_star(e: DataFrame) -> DataFrame:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     m = sym.groupBy("src").agg(F.least(F.first("src"), F.min("dst")).alias("_m"))
+    # No distinct here: duplicate edges don't change small-star's
+    # per-key minima, and the small-star output distinct (the next
+    # step in the alternation) collapses them — one less shuffle per
+    # round.
     return (
         sym.join(m, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
-        .distinct()
     )
 
 
@@ -161,14 +164,19 @@ def _star_components(
     label loop). Works for any orderable id type: no sum-based
     convergence, so the numeric-id restriction of the label algorithm
     does not apply."""
+    # Materialize the (possibly expensive) upstream edge pipeline ONCE;
+    # nodes and the canonical edge set both derive from the checkpoint
+    # (deriving each from `e` re-ran the whole upstream twice — at
+    # sf0.1 the blocked-Jaccard pair source alone is ~2 s).
+    e0 = e.localCheckpoint()
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint()
     )
     cur = (
-        e.select(
+        e0.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
         .filter(F.col("src") != F.col("dst"))
