@@ -39,6 +39,12 @@ SLICE = [
     "agg_bitwise_ops",
     "approx_topk_tokens",
     "multimodal_audio_energy",
+    # round-6 additions: md5-family simhash banding, star alternation,
+    # containment pairs, histogram+window order statistics
+    "dedup_simhash",
+    "dedup_cluster_star",
+    "dedup_containment",
+    "stats_exact_quantiles",
 ]
 
 
