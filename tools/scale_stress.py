@@ -48,6 +48,14 @@ QUERIES = [
     "union_find_components",
     "dedup_cluster_star",
     "graph_reach_recursive",
+    # events-side (time-series family): replicas get disjoint user_id
+    # ranges, so sessions/windows/as-of matches stay within-replica and
+    # the workload is 10 disjoint isomorphic copies — same honest-linear
+    # construction as the documents corpus.
+    "sessionize_events",
+    "join_asof_purchase_click",
+    "window_time_range_1h",
+    "cdc_latest_per_user",
 ]
 
 
@@ -77,6 +85,23 @@ def stage(spark) -> None:
     # ~32 output files so the 10× scan is many-split (the cluster
     # regime) rather than inheriting the fixture's single row group.
     out.repartition(32).write.parquet(f"{OUT}/documents.parquet")
+
+    from tda596_lab02mapreduce_spark import io as _io  # noqa: PLC0415
+
+    ev = _io.load(spark, SRC, "events")
+    ev10 = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("replica").cast("long") * 100_000_000).alias(
+            "event_id"
+        ),
+        "ts",
+        (F.col("user_id") + F.col("replica").cast("long") * 10_000_000).alias(
+            "user_id"
+        ),
+        "event_type",
+        "value",
+        "props",
+    )
+    ev10.repartition(32).write.parquet(f"{OUT}/events.parquet")
 
 
 def exchange_count(df) -> int:
