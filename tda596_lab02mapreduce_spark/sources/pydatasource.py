@@ -273,7 +273,9 @@ class WholeFileStreamReader(DataSourceStreamReader):
         one (bisect on the sorted listing)."""
         idx, last = off.get("index", 0), off.get("last", "")
         if not last:
-            return 0
+            # index 0 (fresh start) or a pre-name-format checkpoint:
+            # fall back to the positional index, clamped to the listing.
+            return min(idx, len(self._files))
         if 0 < idx <= len(self._files) and self._files[idx - 1] == last:
             return idx
         import bisect  # noqa: PLC0415

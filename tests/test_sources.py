@@ -352,3 +352,41 @@ def test_python_stream_source_checkpoint_resume(spark, tmp_path):
     assert first == 3
     second = drain()  # same checkpoint: offset already at end
     assert second == 3, "restart re-served already-committed files"
+
+
+def test_python_stream_offset_resumes_by_name_on_changed_listing(tmp_path):
+    """Offset robustness (advisory finding): a checkpointed (index,
+    last-name) offset replayed against a listing that CHANGED across
+    the restart must resume after the named file — not at the stale
+    position. Unit-level: drive the reader's offset resolution
+    directly."""
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        WholeFileStreamReader,
+    )
+
+    for name in ("b.txt", "c.txt", "e.txt"):
+        (tmp_path / name).write_text("x")
+    r = WholeFileStreamReader({"glob": str(tmp_path / "*.txt")})
+    # served through c.txt in a previous incarnation (index 2 of b,c,e)
+    off = {"index": 2, "last": str(tmp_path / "c.txt")}
+
+    # unchanged listing: positional fast path
+    assert r._resolve(off) == 2
+    # a new file now sorts BEFORE the committed prefix: by-position
+    # would re-serve c.txt and skip a.txt's slot; by-name resumes
+    # after c.txt exactly (a.txt missed historically, d/e unserved)
+    (tmp_path / "a.txt").write_text("x")
+    (tmp_path / "d.txt").write_text("x")
+    r2 = WholeFileStreamReader({"glob": str(tmp_path / "*.txt")})
+    i = r2._resolve(off)
+    assert r2._files[i:] == [str(tmp_path / "d.txt"), str(tmp_path / "e.txt")]
+    # committed file deleted: resume lands on the first file sorting
+    # after the deleted name
+    (tmp_path / "c.txt").unlink()
+    r3 = WholeFileStreamReader({"glob": str(tmp_path / "*.txt")})
+    assert r3._files[r3._resolve(off):] == [
+        str(tmp_path / "d.txt"), str(tmp_path / "e.txt")
+    ]
+    # pre-name-format checkpoint ({"index": N}): positional, clamped
+    assert r3._resolve({"index": 99}) == len(r3._files)
+    assert r3._resolve({"index": 0}) == 0
