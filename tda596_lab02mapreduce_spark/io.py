@@ -87,12 +87,16 @@ def register_views(
 
 def _parse_byte_conf(v: str) -> int:
     """Parse Spark size-conf strings ("134217728", "134217728b",
-    "128m", "1g")."""
+    "128m", "1g", "1t") — the suffix set JavaUtils.byteStringAs
+    accepts. Raises ValueError on anything else; the caller falls back
+    to the RDD probe rather than failing the query."""
     s = v.strip().lower()
     mult = 1
     for suffix, m in (
         ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+        ("tb", 1 << 40), ("pb", 1 << 50),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+        ("t", 1 << 40), ("p", 1 << 50), ("b", 1),
     ):
         if s.endswith(suffix):
             s = s[: -len(suffix)]
@@ -102,6 +106,17 @@ def _parse_byte_conf(v: str) -> int:
 
 
 _SCAN_SPLITS_CACHE: dict[tuple, int] = {}
+
+
+def _probe_cached(df: DataFrame, files: list[str]) -> int:
+    """RDD-probe fallback, memoized per file set so the conversion cost
+    is paid once per process even on paths the estimator can't size."""
+    key = ("__rdd_probe__", tuple(sorted(files)))
+    n = _SCAN_SPLITS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_SPLITS_CACHE[key] = n
+    return n
 
 
 def _estimated_scan_splits(df: DataFrame) -> int:
@@ -124,24 +139,30 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     files = df.inputFiles()
     if not files:
         return df.rdd.getNumPartitions()
-    max_part = _parse_byte_conf(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    )
-    open_cost = _parse_byte_conf(
-        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
-    )
+    try:
+        max_part = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        open_cost = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+    except ValueError:
+        return _probe_cached(df, files)  # exotic size conf: RDD probe
     parallelism = spark.sparkContext.defaultParallelism
-    key = (tuple(sorted(files)), max_part, open_cost, parallelism)
-    cached = _SCAN_SPLITS_CACHE.get(key)
-    if cached is not None:
-        return cached
+    # sizes participate in the memo key, so an in-place rewrite of the
+    # same file names (regenerated fixtures, overwritten output dir)
+    # invalidates the cached count; getsize per call is microseconds.
     sizes = []
     for f in files:
         path = f.removeprefix("file://")
         try:
             sizes.append(os.path.getsize(path))
         except OSError:
-            return df.rdd.getNumPartitions()  # remote FS: probe once
+            return _probe_cached(df, files)  # remote FS
+    key = (tuple(sorted(files)), tuple(sorted(sizes)), max_part, open_cost, parallelism)
+    cached = _SCAN_SPLITS_CACHE.get(key)
+    if cached is not None:
+        return cached
     total = sum(s + open_cost for s in sizes)
     max_split = max(1, min(max_part, max(open_cost, total // max(parallelism, 1))))
     # chop each file into ≤max_split chunks, then greedy-pack largest

@@ -90,15 +90,21 @@ def _fake_decode(blob: bytes, n_features: int) -> list[float]:
     ]
 
 
-def _pillow():
-    """Import Pillow on the EXECUTOR, or None. Cheap to call per batch
-    (module import is cached by the interpreter)."""
-    try:
-        from PIL import Image  # noqa: PLC0415
+_PILLOW_PROBED: list = []  # memo: [] = unprobed, [None] or [Image]
 
-        return Image
-    except ImportError:
-        return None
+
+def _pillow():
+    """Import Pillow on the EXECUTOR, or None. A FAILED import is not
+    negative-cached by the interpreter, so the probe memoizes its own
+    result — callers may sit in per-blob closures."""
+    if not _PILLOW_PROBED:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PILLOW_PROBED.append(Image)
+        except ImportError:
+            _PILLOW_PROBED.append(None)
+    return _PILLOW_PROBED[0]
 
 
 def _real_decode_features(blob: bytes, n_features: int) -> list[float]:

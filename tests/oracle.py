@@ -61,33 +61,47 @@ def value_hash(rows, colnames) -> str:
     return h.hexdigest()
 
 
+def verdict(s_cols, s_rows, d_cols, d_rows) -> str | None:
+    """The comparison core shared by the pytest gate (compare) and the
+    config-free sweep (tools/sweep_config_free.py) — one implementation
+    so the two can never diverge. Returns None on agreement, else a
+    one-line mismatch description."""
+    if sorted(s_cols) != sorted(d_cols):
+        return f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    if canonical_rows(s_rows, s_cols) != canonical_rows(d_rows, d_cols):
+        return "value hash mismatch"
+    return None
+
+
+def run_oracle(sf_dir: str, oracle: str):
+    """Execute the DuckDB side; returns (colnames, rows)."""
+    con = duck_connect(sf_dir)
+    try:
+        cur = con.execute(oracle)
+        return [d[0] for d in cur.description], cur.fetchall()
+    finally:
+        con.close()
+
+
 def compare(spark, sf_dir: str, spark_fn, oracle: str) -> None:
     """Assert the Spark query and DuckDB oracle agree. Raises
     AssertionError with a diff sample on mismatch."""
     sdf = spark_fn(spark, sf_dir)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
+    d_cols, d_rows = run_oracle(sf_dir, oracle)
 
-    con = duck_connect(sf_dir)
-    cur = con.execute(oracle)
-    d_cols = [d[0] for d in cur.description]
-    d_rows = cur.fetchall()
-    con.close()
-
-    assert sorted(s_cols) == sorted(d_cols), (
-        f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
-    )
-    assert len(s_rows) == len(d_rows), (
-        f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
-    )
-    s_canon = canonical_rows(s_rows, s_cols)
-    d_canon = canonical_rows(d_rows, d_cols)
-    if s_canon != d_canon:
+    why = verdict(s_cols, s_rows, d_cols, d_rows)
+    if why == "value hash mismatch":
+        s_canon = canonical_rows(s_rows, s_cols)
+        d_canon = canonical_rows(d_rows, d_cols)
         diff_s = [r for r in s_canon if r not in set(d_canon)][:5]
         diff_d = [r for r in d_canon if r not in set(s_canon)][:5]
-        cols_sorted = sorted(s_cols)
         raise AssertionError(
-            f"value mismatch (cols {cols_sorted}):\n"
+            f"value mismatch (cols {sorted(s_cols)}):\n"
             f"  spark-only rows (≤5): {diff_s}\n"
             f"  duckdb-only rows (≤5): {diff_d}"
         )
+    assert why is None, why

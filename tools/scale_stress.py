@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Scale-stress harness (VERDICT r5 next-step #6): driver fixtures stop
-at sf0.1, so derive a ~10× documents corpus into /tmp (never touching
-/root/testdata) and measure the five scale-sensitive pipelines at both
-scales, printing a JSON scaling table for BASELINE.md.
+at sf0.1, so derive ~10× documents AND events tables into /tmp (never
+touching /root/testdata) and measure the scale-sensitive pipelines in
+QUERIES below at both scales, printing a JSON scaling table for
+BASELINE.md.
 
 Corpus derivation — deterministic replication + perturbation: each of
 10 replicas suffixes EVERY token with a replica-unique letter pair
@@ -60,6 +61,11 @@ QUERIES = [
 
 
 def stage(spark) -> None:
+    # one suffix letter per replica: beyond 20, substring returns ''
+    # and replicas silently share tokens, breaking the disjointness
+    # the honest-linear construction rests on — refuse instead.
+    if REPLICAS > 20:
+        raise ValueError("SCALE_REPLICAS must be ≤ 20 (one suffix letter each)")
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
     suffix = F.substring(F.lit("abcdefghijklmnopqrst"), F.col("replica") + 1, 1)

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 from tda596_lab02mapreduce_spark import registry
-from tests.oracle import canonical_rows, duck_connect
+from tests.oracle import run_oracle, verdict
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -44,21 +44,12 @@ def main() -> None:
             if q.oracle is None:
                 rows_only += 1
                 continue
-            con = duck_connect(SF_DIR)
-            cur = con.execute(q.oracle)
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
-            con.close()
-            if sorted(s_cols) != sorted(d_cols):
-                fail.append({"q": name, "err": "column mismatch"})
-            elif len(s_rows) != len(d_rows):
-                fail.append(
-                    {"q": name, "err": f"rows {len(s_rows)} vs {len(d_rows)}"}
-                )
-            elif canonical_rows(s_rows, s_cols) != canonical_rows(d_rows, d_cols):
-                fail.append({"q": name, "err": "value hash mismatch"})
-            else:
+            d_cols, d_rows = run_oracle(SF_DIR, q.oracle)
+            why = verdict(s_cols, s_rows, d_cols, d_rows)
+            if why is None:
                 ok += 1
+            else:
+                fail.append({"q": name, "err": why})
         except Exception:
             fail.append(
                 {"q": name, "err": traceback.format_exc(limit=2).splitlines()[-1]}
