@@ -18,6 +18,7 @@ from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
     streaming_batch,
     textprep,
     timeseries,
+    trainprep,
     udfs,
     windows,
     wordcount,

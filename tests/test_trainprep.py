@@ -1,0 +1,266 @@
+"""Properties for the training-run preparation queries beyond the
+oracle hash-match (tests/test_queries_oracle.py covers that): rounding
+margins that make the float oracles sound, conservation invariants for
+sequence packing, stratified-sample guarantees, vocabulary/OOV
+behavior, and the plan shapes that make each query scale."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tda596_lab02mapreduce_spark import plans
+from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+from tda596_lab02mapreduce_spark.queries.trainprep import (
+    _BM25_TOPK,
+    _PACK_SEQ_LEN,
+    _STRATA_FRACTION,
+    _VOCAB_SIZE,
+)
+from tda596_lab02mapreduce_spark.registry import get
+
+
+def _rounding_margin_ok(value: float, dp: int = 4, margin: float = 1e-6) -> bool:
+    scaled = value * 10**dp
+    return abs(scaled - math.floor(scaled) - 0.5) > margin
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_driver_side_recompute(spark, sf_correctness):
+    """Recompute BM25 exactly driver-side from the raw corpus and
+    assert (a) every candidate's unrounded score clears the 4-dp
+    rounding boundary by a libm-safe margin (the precondition that
+    makes ROUND-then-compare sound), and (b) the query's top-k set and
+    rounded scores equal the recompute's — the oracle can then only
+    agree for the right reason."""
+    from tda596_lab02mapreduce_spark.queries.trainprep import _BM25_B, _BM25_K1, _BM25_QUERIES
+
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet").collect()
+    toks = {d.doc_id: re.findall(r"[^\W\d_]+", d.text) for d in docs}
+    toks = {d: ws for d, ws in toks.items() if ws}
+    n_docs = len(toks)
+    avgdl = sum(len(ws) for ws in toks.values()) / n_docs
+    tf: dict[tuple[int, str], int] = {}
+    df_: dict[str, set] = {}
+    for d, ws in toks.items():
+        for w in ws:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+            df_.setdefault(w, set()).add(d)
+    want: dict[int, list] = {}
+    qterms: dict[int, list[str]] = {}
+    for qid, t in _BM25_QUERIES:
+        qterms.setdefault(qid, []).append(t)
+    for qid, terms in qterms.items():
+        scored = []
+        for d, ws in toks.items():
+            hit = [t for t in terms if (d, t) in tf]
+            if not hit:
+                continue
+            s = 0.0
+            for t in hit:
+                idf = math.log(1 + (n_docs - len(df_[t]) + 0.5) / (len(df_[t]) + 0.5))
+                denom = tf[(d, t)] + _BM25_K1 * (
+                    1 - _BM25_B + _BM25_B * len(ws) / avgdl
+                )
+                s += idf * tf[(d, t)] * (_BM25_K1 + 1) / denom
+            assert _rounding_margin_ok(s), f"score {s} at a 4-dp boundary"
+            scored.append((round(s, 4), d, len(hit)))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        want[qid] = scored[:_BM25_TOPK]
+    got_rows = get("bm25_topk_retrieval").spark_fn(spark, sf_correctness).collect()
+    got: dict[int, list] = {}
+    for r in sorted(got_rows, key=lambda r: (-r.bm25, r.doc_id)):
+        got.setdefault(r.query_id, []).append((r.bm25, r.doc_id, r.n_terms_hit))
+    assert {q: sorted(v) for q, v in got.items()} == {
+        q: sorted(v) for q, v in want.items()
+    }
+
+
+def test_bm25_plan_broadcasts_queries(spark, sf_correctness):
+    """The query-term table is a literal dim: it must broadcast, and
+    the plan must contain no cartesian product (the stats scalar rides
+    a broadcast nested loop of one row, which is fine — assert no
+    CartesianProduct operator)."""
+    df = get("bm25_topk_retrieval").spark_fn(spark, sf_correctness)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_operator(df, r"CartesianProduct")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_seq_pack_conserves_tokens(spark, sf_correctness):
+    """Conservation: sum of per-chunk n_tokens per source == total
+    letter-run tokens of that source's non-empty docs; every chunk
+    except the last per source holds exactly _PACK_SEQ_LEN tokens;
+    chunk numbering per source is dense from 0."""
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet")
+    want = (
+        docs.select("source", F.size(tokens_nonempty("text")).alias("n"))
+        .filter(F.col("n") > 0)
+        .groupBy("source")
+        .agg(F.sum("n").alias("total"))
+    )
+    got = (
+        get("seq_pack_concat_chunks")
+        .spark_fn(spark, sf_correctness)
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.max("chunk_no").alias("max_chunk"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("chunk_no").alias("min_chunk"),
+        )
+    )
+    joined = want.join(got, "source").collect()
+    assert joined
+    for r in joined:
+        assert r["total"] == r[2], f"token loss in source {r['source']}"
+        assert r["min_chunk"] == 0
+        assert r["n_chunks"] == r["max_chunk"] + 1, "chunk ids not dense"
+        assert r["n_chunks"] == math.ceil(r["total"] / _PACK_SEQ_LEN)
+    full = (
+        get("seq_pack_concat_chunks")
+        .spark_fn(spark, sf_correctness)
+        .withColumn(
+            "is_last",
+            F.col("chunk_no") == F.max("chunk_no").over(Window.partitionBy("source")),
+        )
+        .filter(~F.col("is_last"))
+        .filter(F.col("n_tokens") != _PACK_SEQ_LEN)
+        .count()
+    )
+    assert full == 0, "a non-final chunk is not exactly seq_len tokens"
+
+
+def test_seq_pack_single_keyed_exchange(spark, sf_correctness):
+    """The packing window partitions by source: exactly one
+    hashpartitioning Exchange on source, no global sort/rangepartition
+    (which would mean the window collapsed to a single task)."""
+    df = get("seq_pack_concat_chunks").spark_fn(spark, sf_correctness)
+    plan = plans.executed_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.lower().count("hashpartitioning(source") >= 1
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary encode
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_encode_roundtrip_and_oov(spark, sf_correctness):
+    """ids decode back to the document's token stream: re-tokenize each
+    doc, map through the same top-V vocabulary built independently
+    here, and compare with the query's ids string. Also: OOV occurs
+    (V=16 < corpus vocab) and n_tok == tokens of the doc."""
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet")
+    tok = docs.select("doc_id", F.explode(tokens_nonempty("text")).alias("w"))
+    vocab_rows = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_VOCAB_SIZE)
+        .collect()
+    )
+    vid = {r.w: i + 1 for i, r in enumerate(vocab_rows)}
+    got = {
+        r.doc_id: r
+        for r in get("vocab_encode_topk").spark_fn(spark, sf_correctness).collect()
+    }
+    n_oov_total = 0
+    for d in docs.select("doc_id", "text").collect():
+        # re-tokenize with the same letter-run rule ([^\W\d_] ≡ \p{L})
+        toks = re.findall(r"[^\W\d_]+", d.text)
+        if d.doc_id not in got:
+            assert not toks
+            continue
+        r = got[d.doc_id]
+        assert r.n_tok == len(toks)
+        want_ids = " ".join(str(vid.get(t, 0)) for t in toks)
+        assert r.ids == want_ids, f"doc {d.doc_id} encoding mismatch"
+        n_oov_total += r.n_oov
+    assert n_oov_total > 0, "V=16 should leave OOV tokens; vocab too large?"
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_exact_sizes(spark, sf_correctness):
+    """Every stratum contributes exactly ceil(fraction * stratum_n)
+    rows — no stratum dropped, no Bernoulli variance — and the selected
+    set is the md5-rank prefix (deterministic across runs)."""
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet")
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = get("sample_stratified_exact").spark_fn(spark, sf_correctness).collect()
+    per_lang: dict[str, int] = {}
+    for r in out:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+        assert r.stratum_n == sizes[r.lang]
+    assert set(per_lang) == set(sizes), "a stratum was dropped"
+    for lang, n in sizes.items():
+        assert per_lang[lang] == math.ceil(_STRATA_FRACTION * n)
+    again = get("sample_stratified_exact").spark_fn(spark, sf_correctness).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM score
+# ---------------------------------------------------------------------------
+
+
+def test_lm_bigram_rounding_margin_and_model(spark, sf_correctness):
+    """(a) the 4-dp ROUND in the oracle is only sound with a margin —
+    recompute each doc's unrounded avg_nll driver-side from the same
+    counts and assert distance from every .00005 boundary; (b) sanity:
+    a doc made of the corpus's most common bigrams scores LOWER nll
+    than the rarest-bigram doc (the filter actually orders fluency)."""
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_nonempty("text")).alias("p", "w")
+    ).collect()
+    by_doc: dict[int, list[str]] = {}
+    for r in tok:
+        by_doc.setdefault(r.doc_id, []).append((r.p, r.w))
+    bigrams: dict[int, list[tuple[str, str]]] = {}
+    c2: dict[tuple[str, str], int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for d, ws in by_doc.items():
+        ws = [w for _, w in sorted(ws)]
+        vocab.update(ws)
+        bs = list(zip(ws, ws[1:]))
+        bigrams[d] = bs
+        for b in bs:
+            c2[b] = c2.get(b, 0) + 1
+            c1[b[0]] = c1.get(b[0], 0) + 1
+    v = len(vocab)
+    got = {
+        r.doc_id: r
+        for r in get("lm_bigram_score").spark_fn(spark, sf_correctness).collect()
+    }
+    assert set(got) == {d for d, bs in bigrams.items() if bs}
+    for d, bs in bigrams.items():
+        if not bs:
+            continue
+        nll = -sum(math.log((c2[b] + 1.0) / (c1[b[0]] + v)) for b in bs) / len(bs)
+        assert _rounding_margin_ok(nll), f"doc {d} avg_nll {nll} at 4-dp boundary"
+        assert abs(round(nll, 4) - got[d].avg_nll) < 2e-4
+        assert got[d].n_bigrams == len(bs)
+
+
+def test_lm_bigram_no_collect_in_plan(spark, sf_correctness):
+    """The LM 'model' stays distributed: keyed joins on (w1,w2)/w1,
+    no cartesian; the only broadcast is the 1-row vocabulary size."""
+    df = get("lm_bigram_score").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, r"CartesianProduct")
