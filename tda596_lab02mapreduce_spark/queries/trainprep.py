@@ -379,6 +379,91 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training: the first merge-candidate table
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@register(
+    "bpe_top_merges",
+    oracle=rf"""
+WITH tok AS (SELECT {_TOK_SQL} AS word FROM documents),
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM tok WHERE word <> '' GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT word, freq,
+           unnest(range(1, CAST(length(word) AS BIGINT))) AS i
+    FROM wf WHERE length(word) >= 2
+  )
+  GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, pair_count,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      ORDER BY pair_count DESC, left_sym, right_sym
+  ) AS rank
+  FROM pairs
+)
+WHERE rank <= {_BPE_TOP}
+""",
+    doc=(
+        "BPE tokenizer training, iteration one: count every adjacent "
+        "character pair weighted by corpus word frequency and emit the "
+        "top-20 merge candidates (the pair a BPE trainer would merge "
+        "first, then recount). The heavy lifting is frequency-weighted "
+        "— pairs are enumerated over DISTINCT words (the word-frequency "
+        "table), not over every token occurrence, so a 100 TB corpus "
+        "costs one token count plus work proportional to the VOCABULARY, "
+        "exactly how real BPE trainers batch it. Counts are integers and "
+        "ties break lexicographically, so the top-k cut is exact on both "
+        "engines. Later merge rounds re-run the same plan over the "
+        "re-segmented word table (driver loop, one merge per round — "
+        "out of scope here; this query is the per-round kernel)."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
+    wf = (
+        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        # length >= 2 filter is load-bearing: Spark's sequence(1, 0)
+        # would generate a DESCENDING [1, 0] for 1-char words, not empty.
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, 1)").alias("left_sym"),
+            F.expr("substring(word, i + 1, 1)").alias("right_sym"),
+            "freq",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+    )
+    return (
+        pairs.withColumn("rank", rank.cast("bigint"))
+        .filter(F.col("rank") <= _BPE_TOP)
+        .select("left_sym", "right_sym", "pair_count", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM quality score (perplexity filter)
 # ---------------------------------------------------------------------------
 

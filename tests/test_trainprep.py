@@ -215,6 +215,35 @@ def test_stratified_sample_exact_sizes(spark, sf_correctness):
 
 
 # ---------------------------------------------------------------------------
+# BPE merge candidates
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_top_merges_matches_recompute(spark, sf_correctness):
+    """Driver-side recompute of frequency-weighted adjacent char-pair
+    counts equals the query's top-k exactly (integer counts, lexical
+    tiebreak ⇒ no float hazard); ranks are dense 1..k."""
+    from tda596_lab02mapreduce_spark.queries.trainprep import _BPE_TOP
+
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet").collect()
+    wf: dict[str, int] = {}
+    for d in docs:
+        for w in re.findall(r"[^\W\d_]+", d.text):
+            wf[w] = wf.get(w, 0) + 1
+    pc: dict[tuple[str, str], int] = {}
+    for w, f in wf.items():
+        for a, b in zip(w, w[1:]):
+            pc[(a, b)] = pc.get((a, b), 0) + f
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOP]
+    got = sorted(
+        get("bpe_top_merges").spark_fn(spark, sf_correctness).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    assert [((r.left_sym, r.right_sym), r.pair_count) for r in got] == want
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM score
 # ---------------------------------------------------------------------------
 
