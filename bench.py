@@ -69,6 +69,14 @@ HEADLINE = [
     "dedup_cluster_star",
     "dedup_containment",
     "stats_exact_quantiles",
+    # round-6 training-prep band (BASELINE.md "Round-6 training-prep
+    # anchors"; the 35 queries above remain comparable to their anchors)
+    "bm25_topk_retrieval",
+    "seq_pack_concat_chunks",
+    "vocab_encode_topk",
+    "sample_stratified_exact",
+    "lm_bigram_score",
+    "bpe_top_merges",
 ]
 
 

@@ -126,7 +126,9 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = docs.select("doc_id", F.explode(tokens_nonempty("text")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl derived from tf (sum of term frequencies), not a second
+    # tokenize pass — one corpus explode feeds the whole query.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
     )
@@ -522,7 +524,9 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2").filter(F.col("w2").isNotNull())
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 rolls up from c2 (Σ_w2 c2 = c1) — the bigram explode is
+    # evaluated twice (c2, scoring join), not three times.
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = (
         docs.select(F.explode(tk).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
