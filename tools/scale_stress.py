@@ -57,6 +57,15 @@ QUERIES = [
     "join_asof_purchase_click",
     "window_time_range_1h",
     "cdc_latest_per_user",
+    # training-prep band (documents-side). bm25_topk_retrieval is
+    # deliberately absent: its literal probe terms cannot match the
+    # suffix-perturbed 10× tokens, so the final join would degenerate
+    # to 0 candidates and the timing would flatter the engine.
+    "seq_pack_concat_chunks",
+    "vocab_encode_topk",
+    "sample_stratified_exact",
+    "lm_bigram_score",
+    "bpe_top_merges",
 ]
 
 
@@ -110,8 +119,47 @@ def stage(spark) -> None:
     ev10.repartition(32).write.parquet(f"{OUT}/events.parquet")
 
 
-def exchange_count(df) -> int:
-    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+import re as _re
+
+
+def exchange_profile(df) -> tuple[int, tuple[str, ...]]:
+    """(count, sorted set of partitioning keys) of the shuffles in the
+    POST-EXECUTION adaptive final plan.
+
+    Three deliberate normalizations, each cutting a non-cliff artifact
+    out of the stability signal:
+    - the df must have been executed: AQE's runtime re-plan (e.g. a
+      static-estimate sort-merge join converted back to broadcast once
+      the build side measures small) is the plan that actually ran —
+      judging the pre-runtime estimate would flag size-threshold
+      crossings that AQE already handled;
+    - the caller builds the df under SPARK_GRAFT_NO_WIDEN=1, because
+      `widen_if_few_splits`'s explicit repartition absorbs or displaces
+      required exchanges depending on split count (its keys can satisfy
+      a downstream ClusteredDistribution at small scale that needs its
+      own exchange at large scale, and vice versa) — an artifact of the
+      CPU-parallelism knob, not an optimizer decision;
+    - stability compares the KEY SET as well as the count: the same
+      clustering operations at both scales = no optimizer cliff.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    count = 0
+    keys: set[str] = set()
+    for line in plan.splitlines():
+        if "Exchange" not in line or "BroadcastExchange" in line or "ReusedExchange" in line:
+            continue
+        if "REPARTITION_BY_NUM" not in line:
+            count += 1
+        m = _re.search(r"(hashpartitioning|rangepartitioning)\(([^)]*)\)", line)
+        if m:
+            cols = _re.sub(r"#\d+L?", "", m.group(2))
+            cols = ",".join(
+                c.strip() for c in cols.split(",") if not c.strip().isdigit()
+            )
+            keys.add(f"{m.group(1)}({cols})")
+        elif "SinglePartition" in line:
+            keys.add("SinglePartition")
+    return count, tuple(sorted(keys))
 
 
 def measure(spark, sf_dir: str) -> dict[str, dict]:
@@ -125,10 +173,18 @@ def measure(spark, sf_dir: str) -> dict[str, dict]:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
-        res[name] = {
-            "sec": round(best, 3),
-            "exchanges": exchange_count(fn(spark, sf_dir)),
-        }
+        # untimed shape probe: widen disabled (its exchange absorbs or
+        # displaces required ones depending on split count — an
+        # artifact, not an optimizer decision), executed via collect so
+        # the ADAPTIVE FINAL plan is what exchange_profile reads.
+        os.environ["SPARK_GRAFT_NO_WIDEN"] = "1"
+        try:
+            shape_df = fn(spark, sf_dir)
+            shape_df.collect()
+            n, keys = exchange_profile(shape_df)
+        finally:
+            del os.environ["SPARK_GRAFT_NO_WIDEN"]
+        res[name] = {"sec": round(best, 3), "exchanges": n, "keys": keys}
     return res
 
 
@@ -144,7 +200,9 @@ def main() -> None:
             "ratio": round(big[q]["sec"] / base[q]["sec"], 2),
             "exchanges_sf0.1": base[q]["exchanges"],
             "exchanges_x10": big[q]["exchanges"],
-            "shape_stable": base[q]["exchanges"] == big[q]["exchanges"],
+            "shape_stable": base[q]["keys"] == big[q]["keys"],
+            "keys_sf0.1": base[q]["keys"],
+            "keys_x10": big[q]["keys"],
         }
         for q in QUERIES
     }
