@@ -330,6 +330,78 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_label_classify",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                  label FROM embeddings),
+nbr AS (
+  SELECT query_id, neighbor_id, label
+  FROM (
+    SELECT query_id, neighbor_id, label,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id
+           ) AS nbr_rank
+    FROM q, c
+    WHERE query_id <> neighbor_id
+  )
+  WHERE nbr_rank <= 10
+)
+SELECT query_id, CAST(label AS INTEGER) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM (
+  SELECT query_id, label, count(*) AS votes,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY count(*) DESC, label
+         ) AS vote_rank
+  FROM nbr GROUP BY query_id, label
+)
+WHERE vote_rank = 1
+""",
+    doc=(
+        "k-NN classification over the labeled embedding corpus: for each "
+        "query vector, majority label among its exact cosine top-10 "
+        "neighbors (smallest label wins vote ties — deterministic). The "
+        "eval-time serving shape for a labeled corpus: the neighbor "
+        "search is the broadcast-query brute_force_topk (corpus never "
+        "self-joined), label lookup rides the SAME corpus row as the "
+        "vector (no second join against the corpus), and the vote is a "
+        "per-query aggregate over k rows. Output is integer-only "
+        "(query_id, pred_label, votes) — no float in the hash; the "
+        "cosine ranking underneath carries the same bit-identical "
+        "left-fold guarantee as similarity_topk."
+    ),
+    tags=("similarity", "statml"),
+)
+def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = io.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    # brute_force_topk keeps only ids; re-attach labels by broadcasting
+    # the k·|q|-row RESULT against the corpus label projection — the
+    # corpus side stays partitioned (broadcasting (vec_id, label) for
+    # the whole corpus would not survive 100 TB).
+    nbrs = sim.brute_force_topk(emb, queries, k=10)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        labels.join(F.broadcast(nbrs), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    vote_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("votes"), "label")
+    )
+    return (
+        votes.withColumn("vote_rank", vote_rank)
+        .filter(F.col("vote_rank") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+@register(
     "similarity_lsh_topk",
     # The hyperplane tensor is DETERMINISTIC (sha256(t:p:j)-derived
     # literals, operators/similarity.py:_plane_component), so although

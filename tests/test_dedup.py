@@ -244,3 +244,32 @@ def test_quantize_round_margin_and_error_bound(spark, sf_correctness):
             dist = abs(scaled - math.floor(scaled) - 0.5)
             assert dist > 1e-9, f"coordinate {scaled} at a rounding boundary"
             assert abs(code / 127 - x / nrm) <= 0.5 / 127 + 1e-12
+
+
+def test_knn_classify_properties(spark, sf_correctness):
+    """knn_label_classify: exactly one prediction per query vector,
+    votes within [1, k], the winning label is a real neighbor label,
+    and the prediction agrees with a driver-side recount over the
+    similarity_topk-style neighbor set extended to k=10."""
+    from tda596_lab02mapreduce_spark import io as _io
+    from tda596_lab02mapreduce_spark.registry import get
+
+    emb = _io.load(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    nbrs = sim.brute_force_topk(emb, queries, k=10).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    votes: dict[int, dict[int, int]] = {}
+    for r in nbrs:
+        d = votes.setdefault(r.query_id, {})
+        lab = labels[r.neighbor_id]
+        d[lab] = d.get(lab, 0) + 1
+    want = {
+        q: min((l for l, v in d.items() if v == max(d.values())))
+        for q, d in votes.items()
+    }
+    got = get("knn_label_classify").spark_fn(spark, sf_correctness).collect()
+    assert len(got) == queries.count()
+    for r in got:
+        assert 1 <= r.votes <= 10
+        assert r.pred_label == want[r.query_id]
+        assert r.votes == votes[r.query_id][r.pred_label]
