@@ -45,6 +45,17 @@ SLICE = [
     "dedup_cluster_star",
     "dedup_containment",
     "stats_exact_quantiles",
+    # round-6 training-prep band: rank-on-rounded-score retrieval cut,
+    # per-shard packing window, top-K vocab + regroup encode, md5-rank
+    # stratified cut, LM model rollup + probe join, BPE global top-k,
+    # cosine-vote classification
+    "bm25_topk_retrieval",
+    "seq_pack_concat_chunks",
+    "vocab_encode_topk",
+    "sample_stratified_exact",
+    "lm_bigram_score",
+    "bpe_top_merges",
+    "knn_label_classify",
 ]
 
 
