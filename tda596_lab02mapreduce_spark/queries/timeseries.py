@@ -361,3 +361,83 @@ def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("w")
     )
+
+
+@register(
+    "attribution_linear_touch",
+    oracle="""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.purchase_id, c.click_id,
+         epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY purchase_id ORDER BY click_us, click_id
+         ) AS touch_rank,
+         CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+  FROM pairs
+)
+SELECT purchase_id, click_id, purchase_us, click_us,
+       CAST(touch_rank AS BIGINT) AS touch_rank, n_touches,
+       CAST(1000000 // n_touches
+            + CASE WHEN touch_rank <= 1000000 % n_touches THEN 1 ELSE 0 END
+            AS BIGINT) AS credit_ppm
+FROM ranked
+""",
+    doc=(
+        "Multi-touch marketing attribution: every purchase's conversion "
+        "credit is split linearly across the user's clicks in the "
+        "trailing 1-hour window. Credit is INTEGER parts-per-million "
+        "with the division remainder assigned to the earliest touches "
+        "(credit sums to exactly 1,000,000 per purchase — float-free, "
+        "so the oracle hash carries no summation-order hazard; contrast "
+        "a double 1/n split, which no engine pair reproduces bitwise). "
+        "The touch discovery is the band-join family (equi on user_id + "
+        "range predicate — the same shape as join_range_band, SMJ on "
+        "the user key); rank and touch count come from one "
+        "purchase_id window pass. The as-of join answers last-touch; "
+        "this is the multi-touch generalization."
+    ),
+    tags=("timeseries", "join", "window"),
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("c_ts").alias("click_us"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("click_us", "click_id")
+    ranked = pairs.select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias("touch_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")).alias("n_touches"),
+    )
+    # `div` is true integer division (no double round-trip)
+    credit = F.expr("1000000L div n_touches") + F.when(
+        F.col("touch_rank") <= F.lit(1_000_000) % F.col("n_touches"), 1
+    ).otherwise(0)
+    return ranked.withColumn("credit_ppm", credit.cast("bigint"))
