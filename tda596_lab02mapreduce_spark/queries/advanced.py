@@ -778,3 +778,140 @@ def join_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+SELECT 'lineitem_orphan_order' AS rule,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'orders_no_lineitems',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_dup_linenumber',
+       CAST((SELECT count(*) FROM (SELECT l_orderkey, l_linenumber
+                                   FROM lineitem GROUP BY 1, 2
+                                   HAVING count(*) > 1)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_ship_before_order',
+       CAST((SELECT count(*) FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+             WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_range_violations',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 0.1
+                OR l_quantity < 1 OR l_quantity > 50
+                OR l_extendedprice <= 0) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_null_keys',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey IS NULL OR l_partkey IS NULL
+                OR l_suppkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'documents_nchars_mismatch',
+       CAST((SELECT count(*) FROM documents
+             WHERE n_chars <> length(text)) AS BIGINT)
+UNION ALL
+SELECT 'events_null_or_nonpositive',
+       CAST((SELECT count(*) FROM events
+             WHERE ts IS NULL OR user_id IS NULL OR value <= 0) AS BIGINT)
+""",
+    doc=(
+        "Declarative data-quality audit (the dbt-test / Deequ shape): "
+        "one report row per rule with its violation count — referential "
+        "integrity both directions (anti-join counts), key uniqueness "
+        "(grouped HAVING), cross-table temporal consistency (ship date "
+        "before order date), and per-table range/null rules FUSED into "
+        "one conditional-aggregate scan per table (lineitem's three "
+        "scalar rules cost one pass, not three). On this fixture three "
+        "rules fire (orphan orders, duplicate line numbers, "
+        "ship-before-order — the synthetic generator doesn't correlate "
+        "those) and five report zero, so both the detection and the "
+        "clean path are oracle-checked. At 100 TB each rule is one "
+        "keyed anti/semi join or one scan aggregate — no rule is "
+        "row-exploding, and the report itself is O(rules)."
+    ),
+    tags=("quality", "agg", "join"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    orders = io.load(spark, sf_dir, "orders")
+    docs = io.load(spark, sf_dir, "documents")
+    ev = io.load(spark, sf_dir, "events")
+
+    def report(rule: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(rule).alias("rule"), F.col("n").cast("bigint").alias("n_violations")
+        )
+
+    orphan_li = report(
+        "lineitem_orphan_order",
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    childless_o = report(
+        "orders_no_lineitems",
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    dup_line = report(
+        "lineitem_dup_linenumber",
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    ship_before = report(
+        "lineitem_ship_before_order",
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    # three scalar rules on lineitem fused into ONE scan
+    li_scalar = li.agg(
+        F.sum(
+            (
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+                | (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+                | (F.col("l_extendedprice") <= 0)
+            ).cast("long")
+        ).alias("range_n"),
+        F.sum(
+            (
+                F.col("l_orderkey").isNull()
+                | F.col("l_partkey").isNull()
+                | F.col("l_suppkey").isNull()
+            ).cast("long")
+        ).alias("null_n"),
+    )
+    li_range = report("lineitem_range_violations", li_scalar.select(F.col("range_n").alias("n")))
+    li_nulls = report("lineitem_null_keys", li_scalar.select(F.col("null_n").alias("n")))
+    doc_len = report(
+        "documents_nchars_mismatch",
+        docs.agg(F.sum((F.col("n_chars") != F.length("text")).cast("long")).alias("n")),
+    )
+    ev_bad = report(
+        "events_null_or_nonpositive",
+        ev.agg(
+            F.sum(
+                (
+                    F.col("ts").isNull() | F.col("user_id").isNull()
+                    | (F.col("value") <= 0)
+                ).cast("long")
+            ).alias("n")
+        ),
+    )
+    out = orphan_li
+    for part_df in (childless_o, dup_line, ship_before, li_range, li_nulls, doc_len, ev_bad):
+        out = out.unionByName(part_df)
+    return out

@@ -441,3 +441,72 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("touch_rank") <= F.lit(1_000_000) % F.col("n_touches"), 1
     ).otherwise(0)
     return ranked.withColumn("credit_ppm", credit.cast("bigint"))
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS valid_from_us,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS feature_k,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS valid_to_us
+  FROM events WHERE event_type = 'signup'
+),
+p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+      FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, p.purchase_us,
+       s.feature_k, s.valid_from_us
+FROM p JOIN s ON p.user_id = s.user_id
+ AND p.purchase_us >= s.valid_from_us
+ AND (s.valid_to_us IS NULL OR p.purchase_us < s.valid_to_us)
+""",
+    doc=(
+        "Feature-store point-in-time correctness: the signup changelog "
+        "is materialized as SCD2 validity intervals (valid_from = event "
+        "ts, valid_to = lead(ts) per user — half-open, last interval "
+        "open-ended), then each purchase joins the ONE feature row that "
+        "was valid at purchase time — no feature leakage from the "
+        "future, the property every training-set builder needs. The "
+        "interval build is one user_id window pass; the lookup is an "
+        "equi join on user_id with the interval predicate (each "
+        "purchase matches exactly one interval by construction, so "
+        "output cardinality == purchases-with-a-prior-signup). The "
+        "as-of join computes the same answer from raw events; this "
+        "form materializes the reusable interval dimension — the "
+        "feature-store idiom (build once, many point-in-time lookups). "
+        "Timestamps as epoch microseconds; feature from the JSON props "
+        "(same extraction both engines)."
+    ),
+    tags=("timeseries", "join", "scd2"),
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "event_id",
+            F.col("user_id").alias("s_user"),
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("feature_k"),
+        )
+        .withColumn(
+            "valid_to_us",
+            F.lead("valid_from_us").over(
+                Window.partitionBy("s_user").orderBy("valid_from_us", "event_id")
+            ),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    return p.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("purchase_us") >= F.col("valid_from_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("purchase_us") < F.col("valid_to_us"))),
+    ).select("purchase_id", "user_id", "purchase_us", "feature_k", "valid_from_us")
