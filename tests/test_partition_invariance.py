@@ -56,6 +56,11 @@ SLICE = [
     "lm_bigram_score",
     "bpe_top_merges",
     "knn_label_classify",
+    # round-6 late additions: band-join + integer credit split, SCD2
+    # interval lookup, multi-rule audit union
+    "attribution_linear_touch",
+    "scd2_point_in_time",
+    "data_quality_audit",
 ]
 
 
