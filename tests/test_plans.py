@@ -389,3 +389,44 @@ def test_global_share_subquery_evaluated_once(spark, sf_correctness):
     plan = plans.formatted_plan(df)
     assert re.search(r"(?i)subquery", plan), plan[:1500]
     assert not plans.has_operator(df, "CartesianProduct"), plan[:1500]
+
+
+def test_attribution_band_join_is_not_cartesian(spark, sf_correctness):
+    """Multi-touch attribution: the touch discovery is an equi join on
+    user_id with the interval condition as a post-join predicate —
+    never a cartesian / nested-loop over purchases×clicks."""
+    df = get("attribution_linear_touch").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "CartesianProduct"), (
+        plans.formatted_plan(df)[:2000]
+    )
+    plan = plans.formatted_plan(df).lower()
+    assert "user_id" in plan
+
+
+def test_scd2_lookup_stays_equi_join(spark, sf_correctness):
+    """The point-in-time lookup must hash/sort-merge on user_id with
+    the validity-interval predicate applied at the join, not degrade
+    to a nested loop over purchases×intervals."""
+    df = get("scd2_point_in_time").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(
+        df, "BroadcastNestedLoopJoin|CartesianProduct"
+    ), plans.formatted_plan(df)[:2000]
+
+
+def test_quality_audit_rules_are_joins_or_scans(spark, sf_correctness):
+    """Every audit rule is a keyed anti/inner join or a scan aggregate:
+    no cartesian anywhere in the 8-rule union, and the referential
+    rules appear as anti joins."""
+    df = get("data_quality_audit").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert not plans.has_operator(df, "CartesianProduct"), plan[:2000]
+    assert re.search(r"(?i)leftanti", plan), plan[:2000]
+
+
+def test_knn_broadcasts_neighbors_not_corpus(spark, sf_correctness):
+    """The label join must broadcast the k·|q|-row neighbor RESULT; the
+    corpus-sized label projection stays partitioned (a corpus broadcast
+    would not survive 100 TB)."""
+    df = get("knn_label_classify").spark_fn(spark, sf_correctness)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_operator(df, "CartesianProduct")
