@@ -7,6 +7,7 @@ band of the §2B capability matrix / §2C extensions.
 from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
     advanced,
     aggregates,
+    association,
     joins,
     llm_pipeline,
     multimodal,

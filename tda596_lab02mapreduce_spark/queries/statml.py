@@ -331,3 +331,163 @@ def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
     ]
     return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (round-6 widening)
+# ---------------------------------------------------------------------------
+
+@register(
+    "spearman_value_vs_hour",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100, 0) AS HUGEINT) AS x,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS HUGEINT) % 86400 AS y
+  FROM events
+),
+rk AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+           + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+           + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+  FROM pts
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+         SUM(rx * ry) AS sxy
+  FROM rk GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+FROM s
+""",
+    doc=(
+        "Group-wise Spearman rank correlation between event value "
+        "(cents) and time-of-day (epoch second mod 86400): the "
+        "monotone-dependence screen feature pipelines run before "
+        "trusting a linear model. Tie handling is the textbook "
+        "average-rank convention kept INTEGER by doubling: for a tie "
+        "group of size g starting at rank r, 2*avg_rank = 2r + g - 1, "
+        "computed from rank() plus a per-(group,value) count window. "
+        "Pearson over the doubled ranks then uses exact HUGEINT/decimal "
+        "power sums; floating point is one final expression whose only "
+        "irrational op is sqrt — IEEE-correctly-rounded in both "
+        "engines, unlike the transcendentals quarantined in "
+        "scalar_math_libm. Two rank windows + one group-by shuffle, "
+        "all on the event_type key."
+    ),
+    tags=("agg", "stats", "window"),
+)
+def spearman_value_vs_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = io.load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("decimal(18,0)").alias("x"),
+        (F.col("ts").cast("long") % 86400).cast("decimal(18,0)").alias("y"),
+    )
+
+    def rank2(col: str):
+        w_rank = Window.partitionBy("event_type").orderBy(col)
+        w_tie = Window.partitionBy("event_type", col)
+        return (
+            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
+        ).cast("decimal(18,0)")
+
+    rk = pts.select(
+        "event_type", rank2("x").alias("rx"), rank2("y").alias("ry")
+    )
+    s = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (num / F.sqrt(dx * dy)).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key discovery profile (round-6 widening)
+# ---------------------------------------------------------------------------
+
+# Candidate (fact-column, dim-column) pairs to profile. Fixed list: at
+# 100 TB you profile the cataloged candidates, never all column pairs.
+_KEY_PAIRS: tuple[tuple[str, str, str, str, str], ...] = (
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _pair_profile_sql(name: str, lt: str, lc: str, rt: str, rc: str) -> str:
+    return f"""
+SELECT '{name}' AS pair,
+       CAST(count(lk) AS BIGINT) AS n_left,
+       CAST(count(rk) AS BIGINT) AS n_right,
+       CAST(count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_inter,
+       CAST(count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS jaccard,
+       CAST(count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 END) AS DOUBLE)
+         / CAST(count(lk) AS DOUBLE) AS containment_left
+FROM (SELECT DISTINCT {lc} AS lk FROM {lt}) l
+FULL OUTER JOIN (SELECT DISTINCT {rc} AS rk FROM {rt}) r ON l.lk = r.rk
+"""
+
+
+@register(
+    "profile_join_keys",
+    oracle="\nUNION ALL\n".join(
+        _pair_profile_sql(*p) for p in _KEY_PAIRS
+    ),
+    doc=(
+        "Join-key discovery / dataset-search profiling (the Aurum-style "
+        "'which columns join?' primitive): for each cataloged candidate "
+        "column pair, exact distinct cardinalities, intersection size, "
+        "Jaccard similarity, and left-containment (the foreign-key "
+        "signal: containment ~1 means every fact key resolves). One "
+        "distinct-reduce per column then a keys-only full outer join — "
+        "payload columns never move, so each probe shuffles only the "
+        "key cardinality regardless of table size; with |union| rows "
+        "after the join, Jaccard = inter/count(*) needs no third "
+        "aggregate. Candidate list is fixed metadata: profiling at "
+        "100 TB scales with key cardinality, not row count."
+    ),
+    tags=("join", "stats", "agg"),
+)
+def profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, lt, lc, rt, rc in _KEY_PAIRS:
+        left = io.load(spark, sf_dir, lt).select(F.col(lc).alias("lk")).distinct()
+        right = io.load(spark, sf_dir, rt).select(F.col(rc).alias("rk")).distinct()
+        j = left.join(right, left.lk == right.rk, "full_outer")
+        inter = F.count(F.when(F.col("lk").isNotNull() & F.col("rk").isNotNull(), 1))
+        prof = j.agg(
+            F.count("lk").alias("n_left"),
+            F.count("rk").alias("n_right"),
+            inter.alias("n_inter"),
+            (inter.cast("double") / F.count(F.lit(1)).cast("double")).alias("jaccard"),
+            (inter.cast("double") / F.count("lk").cast("double")).alias(
+                "containment_left"
+            ),
+        ).select(F.lit(name).alias("pair"), "*")
+        out = prof if out is None else out.unionAll(prof)
+    return out

@@ -510,3 +510,85 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_us") >= F.col("valid_from_us"))
         & (F.col("valid_to_us").isNull() | (F.col("purchase_us") < F.col("valid_to_us"))),
     ).select("purchase_id", "user_id", "purchase_us", "feature_k", "valid_from_us")
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EWMA (round-6 widening)
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 8  # truncation depth K: weights 2^K .. 2^0 over lags 0..K
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """(numerator, denominator) SQL fragments over lag(y, k) — shared
+    shape between the Spark selectExpr and the DuckDB oracle so both
+    engines evaluate the identical expression tree."""
+    num, den = [], []
+    for k in range(_EWMA_LAGS + 1):
+        w = 1 << (_EWMA_LAGS - k)
+        lagk = f"lag(y, {k}) OVER w" if k else "y"
+        num.append(f"COALESCE({lagk} * {w}, 0)")
+        den.append(f"CASE WHEN {lagk} IS NULL THEN 0 ELSE {w} END")
+    return " + ".join(num), " + ".join(den)
+
+
+@register(
+    "ewma_dyadic_user_value",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(({_ewma_terms_sql()[0]}) AS DOUBLE)
+         / CAST(({_ewma_terms_sql()[1]}) AS DOUBLE) AS ewma_cents
+FROM pts
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc=(
+        "Per-user exponentially-weighted moving average of event value "
+        "(the smoothing / trend feature of every metrics pipeline), "
+        "alpha = 1/2 truncated at 8 lags and renormalized over the "
+        "weights actually present: ewma_i = sum_k y_(i-k) * 2^(8-k) / "
+        "sum_k 2^(8-k). The EWMA recurrence is not a plain window "
+        "aggregate; the dyadic truncated form IS — 9 lag() calls over "
+        "ONE window spec (one shuffle+sort on user_id), weights are "
+        "exact powers of two so the weighted sum stays integer, and "
+        "the only float op is the final division (IEEE-exact). "
+        "Truncation error < 2^-9 of the value range — below cent "
+        "resolution — while keeping bounded state and bit-exact "
+        "cross-engine replay; a tolerance-free streaming twin of the "
+        "same spec would use applyInPandasWithState."
+    ),
+    tags=("window", "timeseries"),
+)
+def ewma_dyadic_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    num_sql, den_sql = _ewma_terms_sql()
+    # selectExpr with a named WINDOW isn't available on DataFrames;
+    # inline the identical window spec per lag via over().
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def lagk(k: int):
+        return F.col("y") if k == 0 else F.lag("y", k).over(w)
+
+    num = None
+    den = None
+    for k in range(_EWMA_LAGS + 1):
+        wt = 1 << (_EWMA_LAGS - k)
+        term_n = F.coalesce(lagk(k) * F.lit(wt), F.lit(0))
+        term_d = F.when(lagk(k).isNull(), F.lit(0)).otherwise(F.lit(wt))
+        num = term_n if num is None else num + term_n
+        den = term_d if den is None else den + term_d
+    return pts.select(
+        "event_id",
+        "user_id",
+        (num.cast("double") / den.cast("double")).alias("ewma_cents"),
+    )

@@ -554,3 +554,79 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_occ").alias("n_bigrams"), F.round(nll, 4).alias("avg_nll"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling (round-6 widening)
+# ---------------------------------------------------------------------------
+
+_NEG_SLOTS = 4
+
+
+@register(
+    "contrastive_negative_pairs",
+    oracle=f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+cand AS (
+  SELECT d.doc_id AS anchor_id, s.slot,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                 || CAST(s.slot AS VARCHAR)), 1, 15)
+              AS BIGINT) % n.n_docs AS neg_id
+  FROM documents d
+  CROSS JOIN (SELECT unnest([{", ".join(str(s) for s in range(1, _NEG_SLOTS + 1))}]) AS slot) s
+  CROSS JOIN n
+)
+SELECT c.anchor_id, c.slot, c.neg_id, d2.source AS neg_source
+FROM cand c JOIN documents d2 ON c.neg_id = d2.doc_id
+WHERE c.neg_id <> c.anchor_id
+""",
+    doc=(
+        "Deterministic negative sampling for contrastive training "
+        "(SimCLR/DPR-style): each anchor document draws 4 pseudo-random "
+        "negatives via the portable md5-derived hash family "
+        "(60-bit prefix mod corpus size — the same "
+        "DuckDB-replayable family as the md5lin MinHash, "
+        "operators/dedup.py), then joins the negative's metadata. "
+        "Draws land in the dense doc_id domain [0, N) — the fixture "
+        "generator's id layout; a non-dense corpus would first mint "
+        "dense ids per shard (monotonically_increasing_id + shard "
+        "offsets), never a global row_number. Self-collisions are "
+        "dropped (hash redraw would need a loop; 1/N probability is "
+        "noise at corpus scale). Plan: slots explode row-locally (4x), "
+        "corpus size is a 1-row broadcast, and the metadata fetch is "
+        "one keyed equi-join on neg_id — payloads never fan out."
+    ),
+    tags=("llm", "join", "sample"),
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    slots = F.array(*[F.lit(s) for s in range(1, _NEG_SLOTS + 1)])
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        docs.select(F.col("doc_id").alias("anchor_id"))
+        .select("anchor_id", F.explode(slots).alias("slot"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "slot",
+            (h % F.col("n_docs")).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+    )
+    meta = docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"))
+    return cand.join(meta, "neg_id").select("anchor_id", "slot", "neg_id", "neg_source")
