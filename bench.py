@@ -77,6 +77,12 @@ HEADLINE = [
     "sample_stratified_exact",
     "lm_bigram_score",
     "bpe_top_merges",
+    # round-6 analytics band (BASELINE.md "Round-6 analytics-band
+    # anchors"; the 41 queries above remain comparable to their anchors)
+    "collocation_lift_bigrams",
+    "copurchase_brand_pairs",
+    "spearman_value_vs_hour",
+    "ewma_dyadic_user_value",
 ]
 
 

@@ -1,5 +1,7 @@
 from tda596_lab02mapreduce_spark.plans.inspect import (
+    count_nodes,
     executed_plan,
+    final_plan,
     formatted_plan,
     has_broadcast_join,
     has_operator,
@@ -7,7 +9,9 @@ from tda596_lab02mapreduce_spark.plans.inspect import (
 )
 
 __all__ = [
+    "count_nodes",
     "executed_plan",
+    "final_plan",
     "formatted_plan",
     "has_broadcast_join",
     "has_operator",

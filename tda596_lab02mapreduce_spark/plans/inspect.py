@@ -41,3 +41,17 @@ def pushed_filters(df: DataFrame) -> str:
         for line in formatted_plan(df).splitlines()
         if "PushedFilters" in line
     )
+
+
+def final_plan(df: DataFrame) -> str:
+    """The Final-Plan tree of an executed adaptive plan (the Initial
+    Plan section repeats every operator and breaks naive counting)."""
+    plan = executed_plan(df)
+    return plan.split("+- == Initial Plan ==")[0]
+
+
+def count_nodes(plan: str, op: str) -> int:
+    """Occurrences of operator ``op`` as tree nodes (``Op (n)``) in a
+    formatted/final plan string — immune to the detail section and to
+    substring collisions like Exchange vs BroadcastExchange."""
+    return len(re.findall(rf"(?<![\w]){op}\b[^\n(]*\(\d+\)", plan))

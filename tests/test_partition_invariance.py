@@ -61,6 +61,14 @@ SLICE = [
     "attribution_linear_touch",
     "scd2_point_in_time",
     "data_quality_audit",
+    # round-6 analytics band: collect_set pair generation (sorted-array
+    # determinism), double-rank tie correction, 9-lag window chain,
+    # corpus-total broadcasts, hash-draw sampling
+    "copurchase_brand_pairs",
+    "spearman_value_vs_hour",
+    "ewma_dyadic_user_value",
+    "collocation_lift_bigrams",
+    "contrastive_negative_pairs",
 ]
 
 

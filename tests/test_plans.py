@@ -430,3 +430,74 @@ def test_knn_broadcasts_neighbors_not_corpus(spark, sf_correctness):
     df = get("knn_label_classify").spark_fn(spark, sf_correctness)
     assert plans.has_broadcast_join(df)
     assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_copurchase_pairs_generated_row_locally(spark, sf_correctness):
+    """The pair pass must be collect_set + row-local explode — one
+    ObjectHashAggregate on orderkey, a broadcast part probe, and NO
+    self-join of the exploded (orderkey, brand) rows (the k^2 fan-out
+    the oracle's textbook formulation would cost at 100 TB)."""
+    df = get("copurchase_brand_pairs").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert plans.count_nodes(plan, "ObjectHashAggregate") >= 1, plan[:2000]
+    assert not plans.has_operator(df, "CartesianProduct")
+    assert plans.count_nodes(plan, "SortMergeJoin") == 0, plan[:2000]
+    # exactly three exchanges: part broadcast, orderkey agg, pair agg
+    assert plans.count_nodes(plan, "Exchange") <= 2, plan[:2000]
+
+
+def test_collocation_totals_are_broadcast(spark, sf_correctness):
+    """The two grand totals (token count N, bigram count M) must join
+    as 1-row broadcasts, never shuffle against the support-filtered
+    bigram table; no cartesian beyond those broadcast-tiny cross
+    joins."""
+    df = get("collocation_lift_bigrams").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 2, plan[:2000]
+    assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_spearman_windows_share_one_partitioning(spark, sf_correctness):
+    """Both rank windows and the final aggregate key on event_type:
+    the plan may sort twice (x-order, y-order) but must not shuffle
+    more than the keyed exchanges — no range partitioning (global
+    sort) anywhere."""
+    df = get("spearman_value_vs_hour").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_ewma_single_window_exchange(spark, sf_correctness):
+    """All 9 lag() calls share ONE window spec: exactly one Exchange
+    (user_id) and one Window operator — the lag chain must not plan
+    per-lag windows or sorts."""
+    df = get("ewma_dyadic_user_value").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert plans.count_nodes(plan, "Window") == 1, plan[:2000]
+    assert plans.count_nodes(plan, "Exchange") == 1, plan[:2000]
+
+
+def test_negative_sampling_metadata_join_is_keyed(spark, sf_correctness):
+    """The corpus-size scalar joins as a 1-row broadcast; the metadata
+    fetch is a keyed join on neg_id — no cartesian, no corpus
+    broadcast."""
+    df = get("contrastive_negative_pairs").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 1, plan[:2000]
+    assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_join_key_profile_joins_keys_only(spark, sf_correctness):
+    """Every probe joins two distinct-reduced KEY columns: each scan
+    reads exactly one column (ReadSchema), and every join is a
+    full-outer hash/sort-merge — no payload columns ride the
+    shuffles."""
+    df = get("profile_join_keys").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert not plans.has_operator(df, "CartesianProduct")
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas, plan[:2000]
+    for line in schemas:
+        struct = line.split("struct<", 1)[1]
+        assert "," not in struct, f"scan reads more than the key column: {line}"
