@@ -190,3 +190,79 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+WITH base AS (
+  SELECT c.c_custkey AS custkey, c.c_nationkey AS nationkey,
+         CAST(floor(epoch(CAST(max(o.o_orderdate) AS TIMESTAMP))) AS BIGINT)
+           AS last_order_s,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS HUGEINT)) AS BIGINT)
+           AS total_cents
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_nationkey
+)
+SELECT custkey,
+       CAST(ntile(4) OVER (PARTITION BY nationkey
+                           ORDER BY last_order_s DESC, custkey) AS INTEGER) AS r_score,
+       CAST(ntile(4) OVER (PARTITION BY nationkey
+                           ORDER BY n_orders DESC, custkey) AS INTEGER) AS f_score,
+       CAST(ntile(4) OVER (PARTITION BY nationkey
+                           ORDER BY total_cents DESC, custkey) AS INTEGER) AS m_score
+FROM base
+""",
+    doc=(
+        "RFM customer segmentation (recency / frequency / monetary "
+        "quartile scores, 1 = best), the classic marketing-analytics "
+        "cohort labeler. Quartiles are WITHIN nation — cohort-relative "
+        "scoring, and the scale-correct choice: a global ntile needs a "
+        "single ordered partition (one task at 100 TB), a keyed ntile "
+        "rides the nation partitioning like any other window. "
+        "Monetary is exact integer cents; recency is epoch seconds of "
+        "the last order; every ntile ordering carries a custkey "
+        "tiebreak so tied metrics can't make the quartile assignment "
+        "run-dependent. One orders shuffle (custkey rollup) + one "
+        "nation-keyed window pass."
+    ),
+    tags=("window", "agg", "analytics"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = io.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    base = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            # o_orderdate arrives TIMESTAMP_NTZ from the fixture parquet;
+            # pin naive wall time == UTC (io.py's events convention) so
+            # epoch seconds match DuckDB's epoch(CAST(.. AS TIMESTAMP)).
+            F.max(F.to_utc_timestamp(F.col("o_orderdate"), "UTC").cast("long")).alias(
+                "last_order_s"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("decimal(20,0)"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+
+    def quartile(metric: str) -> F.Column:
+        return F.ntile(4).over(
+            Window.partitionBy("nationkey").orderBy(
+                F.col(metric).desc(), F.col("custkey")
+            )
+        )
+
+    return base.select(
+        "custkey",
+        quartile("last_order_s").alias("r_score"),
+        quartile("n_orders").alias("f_score"),
+        quartile("total_cents").alias("m_score"),
+    )

@@ -411,3 +411,56 @@ def stream_python_wholefile_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         counts, "stream_python_wholefile_wc", output_mode="complete"
     )
+
+
+def _ewma_oracle() -> str:
+    from tda596_lab02mapreduce_spark.queries.timeseries import _ewma_terms_sql
+
+    num, den = _ewma_terms_sql()
+    return f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE) AS ewma_cents
+FROM pts
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "stream_ewma_user",
+    oracle=_ewma_oracle(),
+    doc=(
+        "Streaming twin of ewma_dyadic_user_value: the truncated dyadic "
+        "EWMA as a stateful streaming operator (applyInPandasWithState, "
+        "state = last 9 cent values per user — the truncation is "
+        "exactly what makes the EWMA bounded-state streamable). Cents "
+        "are computed Spark-side before the UDF so Python contributes "
+        "only integer shifts and one IEEE division; drained with "
+        "AvailableNow, the per-event output hash-matches the batch "
+        "window form's oracle bit-for-bit — the strongest batch-stream "
+        "consistency claim in the streaming band (value-level, not "
+        "aggregate-level)."
+    ),
+    tags=("streaming", "stateful", "udf", "timeseries"),
+)
+def stream_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.streaming.stateful import ewma_user_value
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    cents = events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    drained = run_available_now(
+        ewma_user_value(cents), "q_stream_ewma_user", output_mode="update"
+    )
+    return drained.select("event_id", "user_id", "ewma_cents")

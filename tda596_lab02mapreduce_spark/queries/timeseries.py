@@ -592,3 +592,89 @@ def ewma_dyadic_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (num.cast("double") / den.cast("double")).alias("ewma_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path trigrams (round-6 widening)
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_path_trigrams",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, event_id, event_type, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+seqs AS (
+  SELECT user_id, session_id,
+         list(event_type ORDER BY ts, event_id) AS types
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT trigram, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(list_transform(
+           range(1, len(types) - 1),
+           i -> types[i] || '>' || types[i + 1] || '>' || types[i + 2]))
+         AS trigram
+  FROM seqs WHERE len(types) >= 3
+)
+GROUP BY trigram
+""",
+    doc=(
+        "Clickstream pattern mining: counts of event-type trigrams "
+        "along each session's path (30-min-gap sessionization, the "
+        "sessionize_events numbering), the sequence-motif statistic "
+        "behind funnel discovery and bot-pattern detection. The path "
+        "is assembled per session with ONE collect_list sorted "
+        "row-locally (array_sort on (ts, event_id, type) structs — "
+        "session length is human-bounded, so per-group state is "
+        "small); trigrams explode row-locally via the zip_with "
+        "shingle builder. Shuffles: the user_id window partitioning "
+        "(shared by both windows and the session rollup) and the "
+        "final trigram count. Deterministic under ties via the "
+        "event_id tiebreak everywhere."
+    ),
+    tags=("timeseries", "window", "text", "agg"),
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.text import ngram_shingles
+
+    ev = io.load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    seqs = numbered.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda e: e["event_type"],
+        ).alias("types")
+    )
+    return (
+        seqs.filter(F.size("types") >= 3)
+        .select(F.explode(ngram_shingles(F.col("types"), 3, sep=">")).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -145,3 +145,57 @@ def user_envelope_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ewma_user_value(events_cents: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``ewma_dyadic_user_value``: per-user truncated
+    dyadic EWMA via applyInPandasWithState. State is the last 9 cent
+    values per user (O(1) per key — the truncation that makes the EWMA
+    a bounded-state streaming op); each input row emits one output row
+    with the same integer-weighted/IEEE-division arithmetic as the
+    batch window form, so the drained result hash-matches the batch
+    oracle bit-for-bit.
+
+    Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    micro-batch; cross-batch reordering (a late row arriving after a
+    later-ts row was already folded) is not repaired — the same
+    contract as the reference's presorted reduce input, and exact
+    under the AvailableNow single-batch drain the oracle checks.
+    ``events_cents`` must already carry ``y`` = integer cents computed
+    by Spark's round (recomputing it in Python would import Python's
+    bankers-rounding and drift off the batch form)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        hist: list[int] = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out_ids, out_vals = [], []
+        for eid, y in zip(pdf["event_id"], pdf["y"]):
+            hist.append(int(y))
+            del hist[:-9]
+            num = sum(v << (8 - k) for k, v in enumerate(reversed(hist)))
+            den = sum(1 << (8 - k) for k in range(len(hist)))
+            out_ids.append(int(eid))
+            out_vals.append(num / den)  # IEEE double division, exact ints
+        state.update((hist,))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": [user_id] * len(out_ids),
+                "ewma_cents": out_vals,
+            }
+        )
+
+    return (
+        events_cents.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="event_id long, user_id long, ewma_cents double",
+            stateStructType="hist array<long>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

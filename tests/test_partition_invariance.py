@@ -69,6 +69,10 @@ SLICE = [
     "ewma_dyadic_user_value",
     "collocation_lift_bigrams",
     "contrastive_negative_pairs",
+    # round-6 late additions: session-path assembly (sorted structs),
+    # keyed-ntile segmentation
+    "session_path_trigrams",
+    "rfm_customer_segments",
 ]
 
 

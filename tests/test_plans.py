@@ -501,3 +501,24 @@ def test_join_key_profile_joins_keys_only(spark, sf_correctness):
     for line in schemas:
         struct = line.split("struct<", 1)[1]
         assert "," not in struct, f"scan reads more than the key column: {line}"
+
+
+def test_rfm_windows_ride_nation_key(spark, sf_correctness):
+    """All three ntile windows are keyed on nationkey — no global
+    (rangepartitioned single-task) window anywhere; the orders rollup
+    and the windows are the only exchanges."""
+    df = get("rfm_customer_segments").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_session_trigrams_share_user_partitioning(spark, sf_correctness):
+    """The gap window, numbering window, and per-session collect_list
+    all ride the user_id partitioning; the only other exchange is the
+    trigram count. No global sort, no cartesian."""
+    df = get("session_path_trigrams").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert plans.count_nodes(plan, "Exchange") <= 2, plan[:2000]
+    assert not plans.has_operator(df, "CartesianProduct")
