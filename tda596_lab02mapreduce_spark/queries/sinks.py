@@ -569,3 +569,80 @@ def source_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_price"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "source_dynamic_partition_pruning",
+    oracle="""
+WITH ev AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type, value
+  FROM events
+),
+daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY day),
+quiet AS (
+  SELECT day FROM daily, (SELECT SUM(n) AS t, count(*) AS k FROM daily) s
+  WHERE daily.n * s.k < s.t
+)
+SELECT e.day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM ev e JOIN quiet q ON e.day = q.day
+GROUP BY e.day
+""",
+    doc=(
+        "DYNAMIC partition pruning (the runtime sibling of "
+        "source_partition_pruning's static prune): events are written "
+        "partitionBy(day), then joined against a dim of 'quiet' days "
+        "(strictly below-average traffic) that is only knowable at "
+        "runtime — so no static filter exists, and the fact scan must "
+        "instead receive a dynamicpruning#N subquery in its "
+        "PartitionFilters (pinned in tests/test_plans.py) that "
+        "broadcasts the dim's day set and skips the other ~half of "
+        "the partition directories before any task reads them. At "
+        "100 TB this is THE mechanism that keeps star-schema joins "
+        "from scanning every date partition when the dim filter "
+        "arrives as data, not as a literal. Oracle recomputes both "
+        "the quiet-day set and the join on the ORIGINAL table, so "
+        "over- or under-pruning breaks the hash; the threshold "
+        "compare (n·k < t) is pure integer."
+    ),
+    tags=("source", "plan", "join"),
+)
+def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    path = _sink_path(sf_dir, "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    # Threshold via an all-rows window over the DAILY table (day
+    # cardinality — bounded, so the single window partition is fine),
+    # not a crossJoin of the scalar: PartitionPruning only inserts the
+    # dynamicpruning subquery when the dim side's selective filter sits
+    # in a join-free subtree, so the scalar-join formulation silently
+    # loses the prune (verified both ways on this build).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    quiet = (
+        daily.withColumn("t", F.sum("n").over(w))
+        .withColumn("k", F.count(F.lit(1)).over(w))
+        .filter(F.col("n") * F.col("k") < F.col("t"))
+        .select("day")
+    )
+    # Explicit broadcast: the day dim is O(days) rows, but its static
+    # size estimate flows through an aggregate (unknown-large), which
+    # would plan a sort-merge join and — under DPP's reuseBroadcastOnly
+    # default — suppress the dynamic pruning subquery. The hint makes
+    # the broadcast (and therefore the prune) part of the static plan.
+    return (
+        fact.join(F.broadcast(quiet), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -522,3 +522,15 @@ def test_session_trigrams_share_user_partitioning(spark, sf_correctness):
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
     assert plans.count_nodes(plan, "Exchange") <= 2, plan[:2000]
     assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_dynamic_partition_pruning_subquery_in_scan(spark, sf_correctness):
+    """The fact scan must carry a dynamicpruningexpression(day IN
+    dynamicpruning#N) partition filter — the runtime prune that skips
+    non-qualifying date directories when the day set only arrives as
+    data. A plain isnotnull here means the prune was lost and every
+    partition is read."""
+    df = get("source_dynamic_partition_pruning").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("dynamicpruning" in l for l in pf), "\n".join(pf) or plan[:2000]
