@@ -491,3 +491,114 @@ def profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("pair"), "*")
         out = prof if out is None else out.unionAll(prof)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers (round-6 widening)
+# ---------------------------------------------------------------------------
+
+def _dblmed(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """Per-``key`` DOUBLED median of integer column ``val``: lo + hi of
+    the R-7 median order statistics — always an exact integer (equal to
+    2·quantile_cont(val, 0.5)), so no float interpolation ever happens.
+    Histogram (partial+final count on (key, value)) + one cumulative
+    window: state bounded by distinct values per key, the same shape as
+    stats_exact_quantiles."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key, val).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(key).orderBy(val)
+    wn = Window.partitionBy(key)
+    r = counts.select(
+        key,
+        val,
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    lo_rank = F.floor((F.col("n") - 1) / 2) + 1
+    hi_rank = F.floor(F.col("n") / 2) + 1
+    return r.groupBy(key).agg(
+        (
+            F.min(F.when(F.col("cum") >= lo_rank, F.col(val)))
+            + F.min(F.when(F.col("cum") >= hi_rank, F.col(val)))
+        ).alias(out)
+    )
+
+
+@register(
+    "anomaly_mad_events",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(2 * quantile_cont(CAST(cents AS DOUBLE), 0.5) AS BIGINT) AS dm
+  FROM c GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_id, c.event_type, c.cents,
+         abs(2 * c.cents - m.dm) AS d
+  FROM c JOIN m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         CAST(2 * quantile_cont(CAST(d AS DOUBLE), 0.5) AS BIGINT) AS dmad
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_id, dev.event_type, dev.cents, dev.d, mad.dmad,
+       CAST(20000 * dev.d AS DOUBLE) / CAST(14826 * mad.dmad AS DOUBLE)
+         AS robust_z
+FROM dev JOIN mad USING (event_type)
+WHERE 20000 * dev.d > 44478 * mad.dmad
+""",
+    doc=(
+        "Robust outlier detection via median absolute deviation — the "
+        "heavy-tail-safe twin of anomaly_zscore_events (a single wild "
+        "value shifts a mean/stddev gate but not a median/MAD one). "
+        "Flags events with |x − median| > 3 · 1.4826 · MAD per type. "
+        "Everything is integer until the report: medians are computed "
+        "DOUBLED (lo + hi of the R-7 order statistics — an exact "
+        "integer, no interpolation), deviations are |2x − 2m|, the MAD "
+        "is doubled again, and the 3·1.4826 gate becomes the pure "
+        "integer comparison 20000·d > 44478·dmad (1.4826 = "
+        "14826/10000); only the reported robust_z divides. Two "
+        "histogram+window median passes (value-bounded state, the "
+        "stats_exact_quantiles shape) with the tiny per-type stats "
+        "joined back — at 100 TB both medians remain "
+        "two-shuffle-per-pass with no per-group value buffering."
+    ),
+    tags=("agg", "stats", "anomaly"),
+)
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    m = _dblmed(c, "event_type", "cents", "dm")
+    dev = c.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.abs(2 * F.col("cents") - F.col("dm")).alias("d"),
+    )
+    mad = _dblmed(dev, "event_type", "d", "dmad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(20000 * F.col("d") > 44478 * F.col("dmad"))
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            "d",
+            "dmad",
+            (
+                (20000 * F.col("d")).cast("double")
+                / (14826 * F.col("dmad")).cast("double")
+            ).alias("robust_z"),
+        )
+    )

@@ -464,3 +464,56 @@ def stream_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_user_value(cents), "q_stream_ewma_user", output_mode="update"
     )
     return drained.select("event_id", "user_id", "ewma_cents")
+
+
+@register(
+    "stream_window_topk",
+    oracle="""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS rk
+  FROM hourly
+) t
+WHERE rk <= 3
+""",
+    doc=(
+        "Windowed top-k over a stream (trending-items analytics): top-3 "
+        "event types per tumbling hour. Rank is not a streaming "
+        "operator (it would retract on every update), so this is the "
+        "canonical two-stage shape: the STREAM maintains the windowed "
+        "counts (the same tumbling_agg as stream_tumbling_hourly, "
+        "watermarked, incremental state), and the rank runs as a batch "
+        "window over the drained materialization — at 100 TB the "
+        "ranking input is already reduced to O(windows × types). "
+        "Deterministic under count ties via the event_type tiebreak; "
+        "AvailableNow drain makes the composition oracle-checkable "
+        "end-to-end."
+    ),
+    tags=("streaming", "window", "topk"),
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    drained = run_available_now(
+        tumbling_agg(events_stream(spark, sf_dir)), "q_stream_window_topk"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        drained.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n_events", "rk")
+    )

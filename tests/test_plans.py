@@ -534,3 +534,14 @@ def test_dynamic_partition_pruning_subquery_in_scan(spark, sf_correctness):
     plan = plans.formatted_plan(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and any("dynamicpruning" in l for l in pf), "\n".join(pf) or plan[:2000]
+
+
+def test_mad_medians_join_back_broadcast(spark, sf_correctness):
+    """Both doubled-median stat tables (per-type: 5 rows) must join
+    back as broadcasts; the median passes are histogram+window — no
+    rangepartitioning (global sort) and no cartesian anywhere."""
+    df = get("anomaly_mad_events").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 2, plan[:2000]
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert not plans.has_operator(df, "CartesianProduct")
