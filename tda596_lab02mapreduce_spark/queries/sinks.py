@@ -646,3 +646,63 @@ def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("sum_value"),
         )
     )
+
+
+_CORRUPT_ROWS = 7
+
+
+@register(
+    "source_csv_corrupt_records",
+    oracle=f"""
+SELECT CAST(count(*) + {_CORRUPT_ROWS} AS BIGINT) AS n_total,
+       CAST({_CORRUPT_ROWS} AS BIGINT) AS n_corrupt,
+       CAST(count(*) AS BIGINT) AS n_good,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer
+""",
+    doc=(
+        "Resilient CSV ingestion: the customer table staged as CSV with "
+        "a deterministic bad-rows file injected (unparseable key and "
+        "numeric fields), read back under PERMISSIVE mode with an "
+        "explicit schema — malformed fields parse to NULL instead of "
+        "failing the job, and the query reports total/corrupt/good "
+        "counts plus the balance sum over good rows. The ingest-time "
+        "contract at 100 TB: one bad upstream shard must cost a "
+        "quarantine count, not a pipeline abort (FAILFAST is the "
+        "opposite trade, documented here by contrast). Corruption is "
+        "detected as an unparseable (NULL) primary key; the oracle "
+        "recomputes from the ORIGINAL table plus the known injection "
+        "count, so silently dropped or mis-parsed good rows break the "
+        "hash."
+    ),
+    tags=("source", "quality"),
+)
+def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.load(spark, sf_dir, "customer")
+    path = _sink_path(sf_dir, "customer_csv_corrupt")
+    sources.write_csv(cust, path)
+    # Inject a bad file: first line is consumed as that file's header
+    # (header=true skips one line per file), then _CORRUPT_ROWS rows
+    # whose key/numeric fields cannot parse under the declared schema.
+    bad = "\n".join(
+        ["c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment"]
+        + [f"CORRUPT_{i},bad-row-{i},XX,not-a-number,JUNK" for i in range(_CORRUPT_ROWS)]
+    )
+    with open(os.path.join(path, "part-corrupt.csv"), "w") as fh:
+        fh.write(bad + "\n")
+    back = sources.read_csv(
+        spark,
+        path,
+        schema="c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING",
+        mode="PERMISSIVE",
+    )
+    good_key = F.col("c_custkey").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(~good_key, 1)).alias("n_corrupt"),
+        F.count(F.when(good_key, 1)).alias("n_good"),
+        F.sum(F.when(good_key, F.col("c_acctbal").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("sum_bal"),
+    )

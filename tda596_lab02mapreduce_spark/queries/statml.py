@@ -602,3 +602,40 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+_K_ANON = 8
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n,
+       count(*) < {_K_ANON} AS is_risky
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+""",
+    doc=(
+        "k-anonymity audit over the quasi-identifier pair "
+        "(nation, market segment): group sizes with a re-identification "
+        "flag for cohorts smaller than k=8 — the privacy gate a "
+        "training-data release runs before shipping user-derived "
+        "features (a cohort of <k members is linkable; the remedy is "
+        "generalization or suppression of those rows). One "
+        "partial+final count on the quasi-identifier key; the flag is "
+        "an integer compare, so the report is hash-exact. At 100 TB "
+        "the QI cardinality (not row count) bounds the report."
+    ),
+    tags=("agg", "quality"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("nationkey", "segment", "n", (F.col("n") < _K_ANON).alias("is_risky"))
+    )

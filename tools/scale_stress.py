@@ -66,6 +66,15 @@ QUERIES = [
     "sample_stratified_exact",
     "lm_bigram_score",
     "bpe_top_merges",
+    # round-6 analytics band. contrastive_negative_pairs is deliberately
+    # absent: its dense-[0,N) draw contract doesn't hold on the
+    # replica-offset doc_id layout, so 90% of draws would dangle and the
+    # timing would measure a degenerate join.
+    "collocation_lift_bigrams",
+    "session_path_trigrams",
+    "ewma_dyadic_user_value",
+    "spearman_value_vs_hour",
+    "anomaly_mad_events",
 ]
 
 
