@@ -1224,3 +1224,183 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("survivor_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (round-6 widening)
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = 5  # vec_id < 5 probe set
+_MMR_CAND = 10    # relevance top-k candidate pool per query
+_MMR_STEPS = 5    # re-ranked results emitted per query
+
+
+def _mmr_oracle() -> str:
+    """The greedy MMR selection UNROLLED step by step (no recursion —
+    per-step argmax with an aggregate over the growing selected set is
+    awkward in a recursive CTE but trivial as a generated CTE chain;
+    the Spark side unrolls the same way, so both engines execute the
+    identical selection program)."""
+    steps = []
+    union = "sel1"
+    steps.append("""
+sel1 AS (
+  SELECT query_id, vec_id, 1 AS step, 0.7 * rel AS mmr FROM (
+    SELECT cand.*, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, vec_id) AS rk
+    FROM cand) t
+  WHERE rk = 1
+)""")
+    for s in range(2, _MMR_STEPS + 1):
+        prev = f"selu{s - 1}" if s > 2 else "sel1"
+        steps.append(f"""
+sel{s} AS (
+  SELECT query_id, vec_id, {s} AS step, mmr FROM (
+    SELECT c.query_id, c.vec_id,
+           0.7 * c.rel - 0.3 * m.mx AS mmr,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY (0.7 * c.rel - 0.3 * m.mx) DESC,
+                                       c.vec_id) AS rk
+    FROM cand c
+    JOIN (SELECT p.query_id, p.a_id, max(p.sim) AS mx
+          FROM pair p JOIN {prev} s ON p.query_id = s.query_id
+                                   AND p.b_id = s.vec_id
+          GROUP BY p.query_id, p.a_id) m
+      ON c.query_id = m.query_id AND c.vec_id = m.a_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                      WHERE s2.query_id = c.query_id
+                        AND s2.vec_id = c.vec_id)
+  ) t
+  WHERE rk = 1
+),
+selu{s} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{s})""")
+        union = f"selu{s}"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_MMR_QUERIES}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+cand AS (
+  SELECT query_id, vec_id, rel, cv FROM (
+    SELECT q.query_id, c.vec_id,
+           list_cosine_similarity(qv, cv) AS rel, c.cv,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                       c.vec_id) AS rk
+    FROM q, c WHERE q.query_id <> c.vec_id) t
+  WHERE rk <= {_MMR_CAND}
+),
+pair AS (
+  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         list_cosine_similarity(a.cv, b.cv) AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+{",".join(steps)}
+SELECT query_id, vec_id, step, mmr FROM {union}
+"""
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc=(
+        "Maximal Marginal Relevance re-ranking (Carbonell-Goldstein): "
+        "from each query's cosine top-10 candidate pool, greedily pick "
+        "5 results maximizing 0.7*relevance - 0.3*max-similarity-to-"
+        "already-picked — the diversity-aware retrieval pass that keeps "
+        "an eval set (or dedup survivor pool) from being k near-copies "
+        "of the same document. The greedy loop is UNROLLED into 5 "
+        "DataFrame steps over the localCheckpointed candidate tables "
+        "(50 relevance rows + 450 pair sims — without the checkpoint "
+        "each step's plan re-runs the corpus top-k scan); the oracle "
+        "unrolls the identical program in SQL, and every cosine on "
+        "both sides is the bit-identical left-fold, so the float "
+        "argmaxes agree exactly. At 100 TB the candidate pools stay "
+        "k·|q|-sized — the corpus is touched once, by the top-k pass."
+    ),
+    tags=("similarity", "llm"),
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.vector import cosine_sim
+    from tda596_lab02mapreduce_spark.operators import similarity as sim
+
+    emb = io.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _MMR_QUERIES)
+    topk = sim.brute_force_topk(emb, queries, k=_MMR_CAND).select(
+        "query_id", F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel")
+    )
+    vecs = emb.select("vec_id", F.col("embedding").alias("cv"))
+    cand = (
+        topk.join(vecs, "vec_id")
+        .select("query_id", "vec_id", "rel", "cv")
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select("query_id", F.col("vec_id").alias("a_id"), F.col("cv").alias("av"))
+    b = cand.select("query_id", F.col("vec_id").alias("b_id"), F.col("cv").alias("bv"))
+    pair = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            cosine_sim(F.col("av"), F.col("bv")).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand_slim = cand.select("query_id", "vec_id", "rel")
+
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id")
+    sel = (
+        cand_slim.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit(1).alias("step"),
+            (F.lit(0.7) * F.col("rel")).alias("mmr"),
+        )
+    )
+    for s in range(2, _MMR_STEPS + 1):
+        picked = sel.select("query_id", F.col("vec_id").alias("b_id"))
+        mx = (
+            pair.join(picked, ["query_id", "b_id"])
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim").alias("mx"))
+        )
+        score = F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("mx")
+        ws = Window.partitionBy("query_id").orderBy(score.desc(), "vec_id")
+        nxt = (
+            cand_slim.alias("c")
+            .join(
+                mx.alias("m"),
+                (F.col("c.query_id") == F.col("m.query_id"))
+                & (F.col("c.vec_id") == F.col("m.a_id")),
+            )
+            .select(
+                F.col("c.query_id").alias("query_id"),
+                F.col("c.vec_id").alias("vec_id"),
+                F.col("c.rel").alias("rel"),
+                F.col("m.mx").alias("mx"),
+            )
+            .join(
+                sel.select(
+                    F.col("query_id").alias("__sq"), F.col("vec_id").alias("__sv")
+                ),
+                (F.col("query_id") == F.col("__sq"))
+                & (F.col("vec_id") == F.col("__sv")),
+                "left_anti",
+            )
+            .withColumn("rk", F.row_number().over(ws))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                F.lit(s).alias("step"),
+                (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("mx")).alias("mmr"),
+            )
+        )
+        sel = sel.unionByName(nxt)
+    return sel

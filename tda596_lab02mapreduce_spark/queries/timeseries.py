@@ -678,3 +678,112 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("trigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample + rolling median (round-6 widening)
+# ---------------------------------------------------------------------------
+
+@register(
+    "timeseries_ohlc_hourly",
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) * 1000000) AS HUGEINT)
+           * 1000000000 + event_id % 1000000000 AS okey
+  FROM events
+)
+SELECT user_id, hour,
+       arg_min(cents, okey) AS open_c,
+       max(cents) AS high_c,
+       min(cents) AS low_c,
+       arg_max(cents, okey) AS close_c,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM pts GROUP BY user_id, hour
+""",
+    doc=(
+        "OHLC downsampling (the candlestick resample of every metrics "
+        "and market pipeline): per user and hour, the first (open), "
+        "max (high), min (low), and last (close) event value in exact "
+        "integer cents. First/last ride ONE aggregation via "
+        "min_by/max_by over a total ordering key — epoch micros widened "
+        "to decimal with the event id in the low digits, so ties are "
+        "impossible by construction and both engines pick identical "
+        "rows (arg_min/arg_max in DuckDB). Single partial+final "
+        "shuffle on (user, hour); no window, no sort, no second pass — "
+        "the reduction shape that survives any scale."
+    ),
+    tags=("timeseries", "agg"),
+)
+def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    okey = (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(1000000000)
+        + F.col("event_id") % 1000000000
+    )
+    pts = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        okey.alias("okey"),
+    )
+    return pts.groupBy("user_id", "hour").agg(
+        F.min_by("cents", "okey").alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max_by("cents", "okey").alias("close_c"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(2 * median(CAST(cents AS DOUBLE))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
+         AS dbl_med_c
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+) t
+""",
+    doc=(
+        "Centered rolling median (window 5) per user — the robust "
+        "smoothing twin of the dyadic EWMA: spikes pass through a mean "
+        "but not a median. Spark has no median window function, so the "
+        "frame is materialized row-locally (collect_list over ROWS "
+        "2 PRECEDING..2 FOLLOWING — bounded at 5 elements, O(1) state) "
+        "and the median read from the sorted frame as the DOUBLED "
+        "order-statistic sum lo+hi (exact integer, the "
+        "anomaly_mad_events trick) — so the output is integer and "
+        "hash-exact against DuckDB's windowed median. One Exchange "
+        "(user_id) + one Window; ties impossible in the ordering "
+        "((ts, event_id) is total)."
+    ),
+    tags=("timeseries", "window", "stats"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    frame = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(frame)
+    lo = F.element_at(frame, (F.floor((n - 1) / 2) + 1).cast("int"))
+    hi = F.element_at(frame, (F.floor(n / 2) + 1).cast("int"))
+    return pts.select(
+        "event_id", "user_id", (lo + hi).alias("dbl_med_c")
+    )

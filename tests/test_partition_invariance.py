@@ -70,9 +70,14 @@ SLICE = [
     "collocation_lift_bigrams",
     "contrastive_negative_pairs",
     # round-6 late additions: session-path assembly (sorted structs),
-    # keyed-ntile segmentation
+    # keyed-ntile segmentation, min_by/max_by reduction, bounded-frame
+    # order statistics, unrolled greedy over checkpointed candidates
     "session_path_trigrams",
     "rfm_customer_segments",
+    "timeseries_ohlc_hourly",
+    "window_rolling_median",
+    "similarity_mmr_rerank",
+    "anomaly_mad_events",
 ]
 
 

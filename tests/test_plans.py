@@ -545,3 +545,35 @@ def test_mad_medians_join_back_broadcast(spark, sf_correctness):
     assert plans.count_nodes(plan, "BroadcastHashJoin") >= 2, plan[:2000]
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
     assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_ohlc_is_single_aggregation(spark, sf_correctness):
+    """OHLC must be ONE partial+final aggregate on (user, hour) —
+    min_by/max_by carry open/close through the same shuffle as
+    high/low/count. A Window or second Exchange here means the
+    first/last lookup degraded to a sort or self-join."""
+    df = get("timeseries_ohlc_hourly").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert plans.count_nodes(plan, "Exchange") == 1, plan[:2000]
+    assert plans.count_nodes(plan, "Window") == 0, plan[:2000]
+
+
+def test_rolling_median_single_window(spark, sf_correctness):
+    """The bounded 5-row frame must ride one user_id Exchange and one
+    Window — no global sort, no per-element re-shuffles."""
+    df = get("window_rolling_median").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert plans.count_nodes(plan, "Exchange") == 1, plan[:2000]
+    assert plans.count_nodes(plan, "Window") == 1, plan[:2000]
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+
+def test_mmr_touches_corpus_once(spark, sf_correctness):
+    """The greedy steps operate on localCheckpointed candidate tables:
+    the corpus parquet must be scanned by the top-k pass only — the
+    unrolled per-step plans must contain NO parquet scans (they read
+    the checkpointed RDDs) and no cartesian."""
+    df = get("similarity_mmr_rerank").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert not plans.has_operator(df, "CartesianProduct")
