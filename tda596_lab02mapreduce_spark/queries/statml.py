@@ -639,3 +639,176 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select("nationkey", "segment", "n", (F.col("n") < _K_ANON).alias("is_risky"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median + chi-square independence (round-6 widening)
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_median_price",
+    oracle="""
+WITH pts AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS w
+  FROM lineitem
+),
+hist AS (
+  SELECT flag, cents, SUM(w) AS wv FROM pts GROUP BY flag, cents
+),
+cum AS (
+  SELECT flag, cents,
+         SUM(wv) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+         SUM(wv) OVER (PARTITION BY flag) AS tw
+  FROM hist
+)
+SELECT flag,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN cents END)
+            + min(CASE WHEN 2 * cw > tw THEN cents END) AS BIGINT) AS dbl_wmed_c,
+       CAST(max(tw) AS BIGINT) AS total_weight
+FROM cum GROUP BY flag
+""",
+    doc=(
+        "Quantity-weighted median price per return flag — the "
+        "order-statistic generalization where each row counts w times "
+        "(the 'median unit price actually transacted'). Doubled-median "
+        "convention over cumulative WEIGHTS: lo = smallest value whose "
+        "cumulative weight reaches half the total, hi = smallest value "
+        "strictly past half; lo+hi is an exact integer, so the result "
+        "hash-matches with zero float ops. Weights stay integer "
+        "(TPC-H quantities are integral — asserted by the cents "
+        "rounding). Same value-histogram + cumulative-window shape as "
+        "stats_exact_quantiles: state bounded by distinct prices per "
+        "flag, never a per-group value buffer."
+    ),
+    tags=("agg", "stats", "window"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = io.load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("w"),
+    )
+    hist = pts.groupBy("flag", "cents").agg(F.sum("w").alias("wv"))
+    w = Window.partitionBy("flag").orderBy("cents")
+    wn = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "cents",
+        F.sum("wv").over(w).alias("cw"),
+        F.sum("wv").over(wn).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        (
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+            + F.min(F.when(2 * F.col("cw") > F.col("tw"), F.col("cents")))
+        ).alias("dbl_wmed_c"),
+        F.max("tw").alias("total_weight"),
+    )
+
+
+@register(
+    "stats_chi2_type_hour",
+    oracle="""
+WITH cells AS (
+  SELECT event_type,
+         (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % 86400) // 14400
+           AS bucket,
+         CAST(count(*) AS HUGEINT) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, bucket, o,
+         SUM(o) OVER (PARTITION BY event_type) AS rt,
+         SUM(o) OVER (PARTITION BY bucket) AS ct,
+         SUM(o) OVER () AS n
+  FROM cells
+),
+terms AS (
+  SELECT CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
+           / CAST((n * rt) * ct AS DOUBLE) AS t
+  FROM tot
+),
+s AS (
+  SELECT list_reduce(list(t ORDER BY t), (a, b) -> a + b) AS tsum FROM terms
+),
+meta AS (
+  SELECT CAST(max(n) AS DOUBLE) AS n_d,
+         CAST(max(n) AS BIGINT) AS n_rows,
+         (count(DISTINCT event_type) - 1) * (count(DISTINCT bucket) - 1) AS dof
+  FROM tot
+)
+SELECT CAST(s.tsum / meta.n_d AS DOUBLE) AS chi2,
+       CAST(meta.dof AS BIGINT) AS dof,
+       meta.n_rows AS n_events
+FROM s, meta
+""",
+    doc=(
+        "Chi-square independence test of event type vs time-of-day "
+        "bucket (6 four-hour buckets) — the drift/association screen "
+        "between a categorical feature and time. Contingency counts, "
+        "row/column totals, and the per-cell numerator (o·N − rt·ct)² "
+        "are all EXACT integers (HUGEINT/decimal); each cell's term "
+        "becomes a double only in the final identically-shaped "
+        "division, and the cross-cell sum — the one place float "
+        "addition order could diverge — is made deterministic by "
+        "folding the terms in SORTED order (array_sort + sequential "
+        "aggregate in Spark, list(ORDER BY) + list_reduce in DuckDB). "
+        "chi2 = Σ(o·N−rt·ct)²/(N·rt·ct) computed as (Σ terms)/N with "
+        "terms pre-scaled by rt·ct·N. One count shuffle + windows on "
+        "a 30-cell table."
+    ),
+    tags=("agg", "stats"),
+)
+def stats_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = io.load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            (((F.col("ts").cast("long") % 86400) / 14400).cast("bigint")).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("o"))
+    )
+    tot = cells.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("bucket")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct"))
+    term = (num * num).cast("double") / (
+        (F.col("n") * F.col("rt")) * F.col("ct")
+    ).cast("double")
+    terms = tot.select(
+        term.alias("t"),
+        F.col("n").cast("double").alias("n_d"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        "event_type",
+        "bucket",
+    )
+    agg = terms.groupBy().agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("t")), F.lit(0.0), lambda a, b: a + b
+        ).alias("tsum"),
+        F.max("n_d").alias("n_d"),
+        F.max("n_rows").alias("n_rows"),
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("bucket") - 1)
+        ).alias("dof"),
+    )
+    return agg.select(
+        (F.col("tsum") / F.col("n_d")).alias("chi2"),
+        F.col("dof").cast("bigint").alias("dof"),
+        F.col("n_rows").alias("n_events"),
+    )

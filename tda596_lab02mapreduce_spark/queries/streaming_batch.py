@@ -517,3 +517,75 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("window_start", "event_type", "n_events", "rk")
     )
+
+
+@register(
+    "stream_ohlc_hourly",
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) * 1000000) AS HUGEINT)
+           * 1000000000 + event_id % 1000000000 AS okey
+  FROM events
+)
+SELECT user_id, hour,
+       arg_min(cents, okey) AS open_c,
+       max(cents) AS high_c,
+       min(cents) AS low_c,
+       arg_max(cents, okey) AS close_c,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM pts GROUP BY user_id, hour
+""",
+    doc=(
+        "Streaming twin of timeseries_ohlc_hourly: the OHLC candle "
+        "maintained INCREMENTALLY by the streaming engine — min_by/"
+        "max_by/min/max/count are all mergeable aggregates, so each "
+        "candle's state is O(1) and late rows within the watermark "
+        "fold in commutatively (the total order key makes open/close "
+        "arrival-order-independent — the property that makes OHLC "
+        "streamable at all). Watermarked tumbling window + user key, "
+        "drained with AvailableNow; hash-matches the batch form's "
+        "oracle exactly."
+    ),
+    tags=("streaming", "timeseries", "agg"),
+)
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    okey = (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(1000000000)
+        + F.col("event_id") % 1000000000
+    )
+    pts = ev.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        okey.alias("okey"),
+    )
+    agg = (
+        pts.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.min_by("cents", "okey").alias("open_c"),
+            F.max("cents").alias("high_c"),
+            F.min("cents").alias("low_c"),
+            F.max_by("cents", "okey").alias("close_c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("hour"),
+            "open_c",
+            "high_c",
+            "low_c",
+            "close_c",
+            "n_events",
+        )
+    )
+    return run_available_now(agg, "q_stream_ohlc_hourly")

@@ -78,6 +78,9 @@ SLICE = [
     "window_rolling_median",
     "similarity_mmr_rerank",
     "anomaly_mad_events",
+    # weighted cumulative-window order statistic; sorted-fold float sum
+    "weighted_median_price",
+    "stats_chi2_type_hour",
 ]
 
 
