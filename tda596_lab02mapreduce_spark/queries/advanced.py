@@ -915,3 +915,106 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part_df in (childless_o, dup_line, ship_before, li_range, li_nulls, doc_len, ev_bad):
         out = out.unionByName(part_df)
     return out
+
+
+@register(
+    "subquery_top_revenue_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS HUGEINT)) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev_c AS BIGINT) AS total_revenue_c
+FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+WHERE r.rev_c = (SELECT max(rev_c) FROM rev)
+""",
+    doc=(
+        "TPC-H Q15 shape (top supplier view): per-supplier discounted "
+        "revenue over a shipdate year, then the supplier(s) whose "
+        "revenue EQUALS the maximum — the scalar-subquery-against-an-"
+        "aggregate-of-itself pattern, tie-safe by construction (Q15's "
+        "own spec). Revenue is per-row ROUND(price·(1−disc)·100) "
+        "summed in exact HUGEINT/decimal — the per-row double product "
+        "is identically shaped in both engines, and the cross-row "
+        "reduction is integer, so no fold-order drift. Catalyst "
+        "evaluates the rev CTE once (stage reuse) for both the rows "
+        "and the max."
+    ),
+    tags=("subquery", "agg", "sql"),
+)
+def subquery_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey AS suppkey,
+                 SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS DECIMAL(38,0))) AS rev_c
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1996-01-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(r.rev_c AS BIGINT) AS total_revenue_c
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+        WHERE r.rev_c = (SELECT max(rev_c) FROM rev)
+        """
+    )
+
+
+@register(
+    "subquery_q22_cntrycode",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS HUGEINT)) AS HUGEINT)
+           AS sum_pos,
+         CAST(count(*) AS HUGEINT) AS n_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c.c_nationkey % 5 AS INT) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS HUGEINT)) AS BIGINT)
+         AS totacctbal_c
+FROM customer c, pos
+WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS HUGEINT) * pos.n_pos > pos.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+""",
+    doc=(
+        "TPC-H Q22 shape (global sales opportunity): customers with "
+        "above-average positive balance and NO orders, rolled up by "
+        "'country code' (nationkey mod 5 — the fixture has no phone "
+        "column). The two classic sub-patterns compose: an "
+        "uncorrelated scalar aggregate feeding a filter (kept exact by "
+        "comparing cents·n_pos > sum_pos — the average never "
+        "materializes as a float) and a correlated NOT EXISTS planned "
+        "as a left-anti join against orders. Balances in integer "
+        "cents throughout."
+    ),
+    tags=("subquery", "agg", "sql"),
+)
+def subquery_q22_cntrycode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        WITH pos AS (
+          SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS DECIMAL(38,0))) AS sum_pos,
+                 CAST(count(*) AS DECIMAL(38,0)) AS n_pos
+          FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT CAST(c.c_nationkey % 5 AS INT) AS cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS DECIMAL(38,0))) AS BIGINT)
+                 AS totacctbal_c
+        FROM customer c, pos
+        WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS DECIMAL(38,0)) * pos.n_pos
+                > pos.sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+        """
+    )
