@@ -589,3 +589,98 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "q_stream_ohlc_hourly")
+
+
+@register(
+    "stream_interval_join_louter",
+    oracle="""
+WITH bound AS (
+  SELECT least(
+           (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'click'),
+           (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 130 MINUTES AS b
+)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p
+LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTES
+WHERE p.event_type = 'purchase'
+  AND CAST(p.ts AS TIMESTAMP) < (SELECT b FROM bound)
+""",
+    doc=(
+        "Stream-stream LEFT OUTER interval join — the attribution join "
+        "that also reports UNMATCHED purchases (organic conversions) as "
+        "null-click rows. Outer emission is watermark-driven state "
+        "eviction: a purchase leaves as unmatched only once the global "
+        "watermark (min over both sides' max event time − 2 h delay) "
+        "proves no click can still arrive — so purchases inside the "
+        "final watermark window are legitimately UNEMITTED at drain "
+        "time (measured: 3 of 202 at sf0.001). Both the drained "
+        "stream AND the oracle therefore restrict to purchases "
+        "strictly older than min(max_click, max_purchase) − 130 min — "
+        "the 10-min margin keeps the cut safely clear of the eviction "
+        "boundary, making the comparison exact instead of "
+        "tail-flaky. At 100 TB this is the operator whose state the "
+        "watermark bounds: without the interval condition each side "
+        "buffers forever."
+    ),
+    tags=("streaming", "join"),
+)
+def stream_interval_join_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 30 minutes")),
+        "left_outer",
+    )
+    drained = run_available_now(
+        j.select("purchase_id", "click_id", "user_id", "p_ts"),
+        "q_stream_interval_join_louter",
+        output_mode="append",
+    )
+    # watermark-safe cut, computed from the ORIGINAL batch table with
+    # the same expression the oracle uses
+    ev_b = io.load(spark, sf_dir, "events")
+    bound = (
+        ev_b.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("mx")
+        )
+        .select((F.col("mx") - F.expr("interval 130 minutes")).alias("b"))
+    )
+    return (
+        drained.crossJoin(F.broadcast(bound))
+        .filter(F.col("p_ts") < F.col("b"))
+        .select("purchase_id", "click_id", "user_id")
+    )
