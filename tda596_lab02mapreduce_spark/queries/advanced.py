@@ -1018,3 +1018,69 @@ def subquery_q22_cntrycode(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@register(
+    "skyline_price_quantity",
+    oracle="""
+WITH pts AS (
+  SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p_c,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS q
+  FROM lineitem
+),
+aug AS (
+  SELECT *,
+         max(q) OVER (PARTITION BY flag ORDER BY p_c
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS qmax_lt,
+         max(q) OVER (PARTITION BY flag, p_c) AS qmax_eq
+  FROM pts
+)
+SELECT flag, l_orderkey, l_linenumber, p_c, q
+FROM aug
+WHERE (qmax_lt IS NULL OR qmax_lt < q) AND qmax_eq = q
+""",
+    doc=(
+        "2-D skyline / Pareto frontier per return flag: line items not "
+        "dominated on (minimize price, maximize quantity) — the "
+        "multi-objective selection primitive (price-performance "
+        "frontiers, data-valuation trade-off sets). Dominance "
+        "resolves with TWO keyed windows instead of the naive "
+        "quadratic self-join: a row is dominated iff some strictly "
+        "cheaper row has >= quantity (running max over RANGE .. 1 "
+        "PRECEDING on integer cents — range mode so price TIES are "
+        "excluded from 'cheaper') or an equal-price row has strictly "
+        "more (per-(flag, price) max). Both maxima are integer "
+        "comparisons; both windows ride the flag partitioning. "
+        "Equal (price, quantity) pairs are mutually non-dominating "
+        "and all survive — the standard skyline convention."
+    ),
+    tags=("window", "analytics"),
+)
+def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = io.load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("p_c"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+    )
+    w_lt = (
+        Window.partitionBy("flag")
+        .orderBy("p_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("flag", "p_c")
+    aug = pts.select(
+        "*",
+        F.max("q").over(w_lt).alias("qmax_lt"),
+        F.max("q").over(w_eq).alias("qmax_eq"),
+    )
+    return aug.filter(
+        (F.col("qmax_lt").isNull() | (F.col("qmax_lt") < F.col("q")))
+        & (F.col("qmax_eq") == F.col("q"))
+    ).select("flag", "l_orderkey", "l_linenumber", "p_c", "q")
