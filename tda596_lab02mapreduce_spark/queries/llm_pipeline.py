@@ -1404,3 +1404,64 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(nxt)
     return sel
+
+
+@register(
+    "vector_dim_stats",
+    oracle="""
+WITH long AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+g AS (
+  SELECT dim, list(v ORDER BY v) AS vs, CAST(count(*) AS BIGINT) AS n
+  FROM long GROUP BY dim
+),
+s AS (
+  SELECT dim, n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                     (a, x) -> a + x) AS s1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_transform(vs, x -> x * x)),
+                     (a, x) -> a + x) AS s2
+  FROM g
+)
+SELECT dim, n,
+       s1 / CAST(n AS DOUBLE) AS mean,
+       sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS std
+FROM s
+""",
+    doc=(
+        "Per-dimension corpus statistics of the embedding column — the "
+        "whitening/standardization parameters (mean, population std "
+        "per dim) every feature-normalization pass fits before "
+        "training or indexing. Same exact-match discipline as "
+        "vector_centroid_by_label: float cross-row sums fold in "
+        "SORTED order on both engines (the squares fold walks the "
+        "identically-sorted list), and the variance/std tail is one "
+        "identically-shaped expression whose only irrational op is "
+        "IEEE-exact sqrt. One posexplode + one dim-keyed shuffle; the "
+        "production path at open scale swaps the ordered fold for a "
+        "plain partial+final sum (same shuffle shape)."
+    ),
+    tags=("similarity", "agg", "stats"),
+)
+def vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    long = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    g = long.groupBy("dim").agg(
+        F.array_sort(F.collect_list(F.col("v").cast("double"))).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    s1 = F.aggregate("vs", F.lit(0.0), lambda acc, x: acc + x)
+    s2 = F.aggregate(
+        F.transform("vs", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        "dim",
+        "n",
+        (s1 / nd).alias("mean"),
+        F.sqrt((s2 - (s1 * s1) / nd) / nd).alias("std"),
+    )

@@ -737,12 +737,11 @@ s AS (
   SELECT list_reduce(list(t ORDER BY t), (a, b) -> a + b) AS tsum FROM terms
 ),
 meta AS (
-  SELECT CAST(max(n) AS DOUBLE) AS n_d,
-         CAST(max(n) AS BIGINT) AS n_rows,
+  SELECT CAST(max(n) AS BIGINT) AS n_rows,
          (count(DISTINCT event_type) - 1) * (count(DISTINCT bucket) - 1) AS dof
   FROM tot
 )
-SELECT CAST(s.tsum / meta.n_d AS DOUBLE) AS chi2,
+SELECT CAST(s.tsum AS DOUBLE) AS chi2,
        CAST(meta.dof AS BIGINT) AS dof,
        meta.n_rows AS n_events
 FROM s, meta
@@ -758,9 +757,9 @@ FROM s, meta
         "addition order could diverge — is made deterministic by "
         "folding the terms in SORTED order (array_sort + sequential "
         "aggregate in Spark, list(ORDER BY) + list_reduce in DuckDB). "
-        "chi2 = Σ(o·N−rt·ct)²/(N·rt·ct) computed as (Σ terms)/N with "
-        "terms pre-scaled by rt·ct·N. One count shuffle + windows on "
-        "a 30-cell table."
+        "chi2 = Σ(o·N−rt·ct)²/(N·rt·ct) — each term algebraically "
+        "equals (o−e)²/e, so the sorted-fold sum IS the statistic. "
+        "One count shuffle + windows on a 30-cell table."
     ),
     tags=("agg", "stats"),
 )
@@ -792,7 +791,6 @@ def stats_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     terms = tot.select(
         term.alias("t"),
-        F.col("n").cast("double").alias("n_d"),
         F.col("n").cast("bigint").alias("n_rows"),
         "event_type",
         "bucket",
@@ -801,14 +799,13 @@ def stats_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.array_sort(F.collect_list("t")), F.lit(0.0), lambda a, b: a + b
         ).alias("tsum"),
-        F.max("n_d").alias("n_d"),
         F.max("n_rows").alias("n_rows"),
         (
             (F.count_distinct("event_type") - 1) * (F.count_distinct("bucket") - 1)
         ).alias("dof"),
     )
     return agg.select(
-        (F.col("tsum") / F.col("n_d")).alias("chi2"),
+        F.col("tsum").alias("chi2"),
         F.col("dof").cast("bigint").alias("dof"),
         F.col("n_rows").alias("n_events"),
     )

@@ -557,27 +557,20 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
+    from tda596_lab02mapreduce_spark.queries.timeseries import ohlc_cents_okey
+
     ev = events_stream(spark, sf_dir)
-    okey = (
-        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(1000000000)
-        + F.col("event_id") % 1000000000
-    )
+    cents, okey, aggs = ohlc_cents_okey(ev)
     pts = ev.select(
         "user_id",
         "ts",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        cents.alias("cents"),
         okey.alias("okey"),
     )
     agg = (
         pts.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
-        .agg(
-            F.min_by("cents", "okey").alias("open_c"),
-            F.max("cents").alias("high_c"),
-            F.min("cents").alias("low_c"),
-            F.max_by("cents", "okey").alias("close_c"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+        .agg(*aggs)
         .select(
             "user_id",
             F.col("w.start").alias("hour"),

@@ -684,6 +684,29 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OHLC resample + rolling median (round-6 widening)
 # ---------------------------------------------------------------------------
 
+def ohlc_cents_okey(ev: DataFrame) -> tuple:
+    """The OHLC candle's shared ingredients, defined ONCE for the batch
+    and streaming twins (the module convention of streaming/windows.py):
+    (cents column, collision-free total order key, aggregate list).
+    Changing the tiebreak modulus or cents rounding here changes BOTH
+    forms together — the property the streaming twin's "hash-matches
+    the batch form" claim rests on."""
+    okey = (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(1000000000)
+        + F.col("event_id") % 1000000000
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    aggs = [
+        F.min_by("cents", "okey").alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max_by("cents", "okey").alias("close_c"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    return cents, okey, aggs
+
+
+
 @register(
     "timeseries_ohlc_hourly",
     oracle="""
@@ -719,23 +742,14 @@ FROM pts GROUP BY user_id, hour
 )
 def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.load(spark, sf_dir, "events")
-    okey = (
-        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.lit(1000000000)
-        + F.col("event_id") % 1000000000
-    )
+    cents, okey, aggs = ohlc_cents_okey(ev)
     pts = ev.select(
         "user_id",
         F.date_trunc("hour", "ts").alias("hour"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        cents.alias("cents"),
         okey.alias("okey"),
     )
-    return pts.groupBy("user_id", "hour").agg(
-        F.min_by("cents", "okey").alias("open_c"),
-        F.max("cents").alias("high_c"),
-        F.min("cents").alias("low_c"),
-        F.max_by("cents", "okey").alias("close_c"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+    return pts.groupBy("user_id", "hour").agg(*aggs)
 
 
 @register(

@@ -442,8 +442,8 @@ def test_copurchase_pairs_generated_row_locally(spark, sf_correctness):
     assert plans.count_nodes(plan, "ObjectHashAggregate") >= 1, plan[:2000]
     assert not plans.has_operator(df, "CartesianProduct")
     assert plans.count_nodes(plan, "SortMergeJoin") == 0, plan[:2000]
-    # exactly three exchanges: part broadcast, orderkey agg, pair agg
-    assert plans.count_nodes(plan, "Exchange") <= 2, plan[:2000]
+    # exactly: orderkey agg + pair agg (part probe is a BroadcastExchange)
+    assert plans.count_nodes(plan, "Exchange") == 2, plan[:2000]
 
 
 def test_collocation_totals_are_broadcast(spark, sf_correctness):
@@ -520,7 +520,7 @@ def test_session_trigrams_share_user_partitioning(spark, sf_correctness):
     df = get("session_path_trigrams").spark_fn(spark, sf_correctness)
     plan = plans.final_plan(df)
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
-    assert plans.count_nodes(plan, "Exchange") <= 2, plan[:2000]
+    assert plans.count_nodes(plan, "Exchange") == 2, plan[:2000]
     assert not plans.has_operator(df, "CartesianProduct")
 
 
