@@ -1,0 +1,198 @@
+"""Property tests for the round-6 analytics band: each operator is
+re-derived by a NAIVE driver-side reference implementation over the
+smoke fixture — an independent check of the operator's DEFINITION,
+complementing the DuckDB oracle (which shares the operator's clever
+formulation and could in principle share a formulation bug; the
+chi-square N-scaling slip caught in review is exactly the class this
+layer exists for)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.registry import get
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark, sf_smoke):
+    """Naive O(n^2) dominance over every (flag, price, quantity) point
+    must reproduce the skyline exactly — including equal-point
+    survivors."""
+    pts = [
+        (r["flag"], r["p_c"], r["q"])
+        for r in io.load(spark, sf_smoke, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("p_c"),
+            F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+        )
+        .collect()
+    ]
+    by_flag = defaultdict(list)
+    for flag, p, q in pts:
+        by_flag[flag].append((p, q))
+    expected = set()
+    for flag, rows in by_flag.items():
+        for p, q in rows:
+            dominated = any(
+                p2 <= p and q2 >= q and (p2 < p or q2 > q) for p2, q2 in rows
+            )
+            if not dominated:
+                expected.add((flag, p, q))
+    got = {
+        (r["flag"], r["p_c"], r["q"])
+        for r in get("skyline_price_quantity").spark_fn(spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+
+def test_ewma_matches_naive_recurrence(spark, sf_smoke):
+    """The 9-lag dyadic window form must equal a per-user Python loop
+    over the truncated-renormalized definition, bit-for-bit."""
+    rows = (
+        io.load(spark, sf_smoke, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        series[r["user_id"]].append((r["event_id"], r["y"]))
+    expected = {}
+    for user, evs in series.items():
+        hist: list[int] = []
+        for eid, y in evs:
+            hist.append(y)
+            hist = hist[-9:]
+            num = sum(v << (8 - k) for k, v in enumerate(reversed(hist)))
+            den = sum(1 << (8 - k) for k in range(len(hist)))
+            expected[eid] = num / den
+    got = {
+        r["event_id"]: r["ewma_cents"]
+        for r in get("ewma_dyadic_user_value").spark_fn(spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+
+def test_weighted_median_minimizes_weighted_deviation(spark, sf_smoke):
+    """The weighted median (dbl/2) must minimize sum(w * |x - m|) over
+    candidate values — the defining property, checked per flag."""
+    pts = (
+        io.load(spark, sf_smoke, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c"),
+            F.round(F.col("l_quantity"), 0).cast("bigint").alias("w"),
+        )
+        .collect()
+    )
+    by_flag = defaultdict(list)
+    for r in pts:
+        by_flag[r["flag"]].append((r["c"], r["w"]))
+    result = {
+        r["flag"]: r["dbl_wmed_c"] / 2
+        for r in get("weighted_median_price").spark_fn(spark, sf_smoke).collect()
+    }
+    for flag, rows in by_flag.items():
+        med = result[flag]
+
+        def cost(m):
+            return sum(w * abs(c - m) for c, w in rows)
+
+        c_med = cost(med)
+        # the weighted median's cost must not exceed any data point's
+        for cand, _ in rows[:200]:
+            assert c_med <= cost(cand) + 1e-6, (flag, med, cand)
+
+
+def test_mmr_each_pick_is_greedy_argmax(spark, sf_smoke):
+    """Replay the greedy invariant: at every step the picked candidate
+    maximizes 0.7*rel - 0.3*max_sim_to_selected (ties to smallest id)
+    among unpicked candidates, with rel/sims recomputed naively from
+    the raw embeddings in float64."""
+    import math
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in io.load(spark, sf_smoke, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return d / (math.sqrt(n1) * math.sqrt(n2))
+
+    out = sorted(
+        (
+            (r["query_id"], r["step"], r["vec_id"], r["mmr"])
+            for r in get("similarity_mmr_rerank").spark_fn(spark, sf_smoke).collect()
+        ),
+    )
+    by_q = defaultdict(list)
+    for qid, step, vid, mmr in out:
+        by_q[qid].append((step, vid, mmr))
+    for qid, picks in by_q.items():
+        picks.sort()
+        qv = emb[qid]
+        rel = {
+            vid: cos(qv, emb[vid])
+            for vid in emb
+            if vid != qid
+        }
+        cand = sorted(rel, key=lambda v: (-rel[v], v))[:10]
+        selected: list[int] = []
+        for step, vid, mmr in picks:
+            # compute greedy argmax naively
+            def score(v):
+                if not selected:
+                    return 0.7 * rel[v]
+                return 0.7 * rel[v] - 0.3 * max(
+                    cos(emb[v], emb[s]) for s in selected
+                )
+
+            best = max(
+                (v for v in cand if v not in selected),
+                key=lambda v: (score(v), -v),
+            )
+            assert vid == best, (qid, step, vid, best)
+            assert abs(mmr - score(best)) < 1e-9
+            selected.append(vid)
+
+
+def test_chi2_matches_naive_contingency(spark, sf_smoke):
+    """chi2 must equal the textbook sum over the naive contingency
+    table (the regression test for the N-scaling slip)."""
+    rows = (
+        io.load(spark, sf_smoke, "events")
+        .select(
+            "event_type",
+            ((F.col("ts").cast("long") % 86400) / 14400).cast("bigint").alias("b"),
+        )
+        .collect()
+    )
+    o = defaultdict(int)
+    for r in rows:
+        o[(r["event_type"], r["b"])] += 1
+    n = len(rows)
+    rt = defaultdict(int)
+    ct = defaultdict(int)
+    for (t, b), c in o.items():
+        rt[t] += c
+        ct[b] += c
+    chi2 = sum(
+        (c - rt[t] * ct[b] / n) ** 2 / (rt[t] * ct[b] / n)
+        for (t, b), c in o.items()
+    )
+    got = get("stats_chi2_type_hour").spark_fn(spark, sf_smoke).collect()[0]
+    assert abs(got["chi2"] - chi2) < 1e-6 * max(1.0, chi2)
+    assert got["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert got["n_events"] == n
