@@ -801,3 +801,55 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         "event_id", "user_id", (lo + hi).alias("dbl_med_c")
     )
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d
+  FROM events
+),
+grp AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM days
+),
+streaks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+  FROM grp GROUP BY user_id, g
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id
+""",
+    doc=(
+        "Daily-activity streaks per user (the engagement metric): "
+        "longest run of consecutive active days, streak count, and "
+        "total active days. The gaps-and-islands identity — for "
+        "consecutive days, day_number minus row_number is constant — "
+        "turns run detection into a plain GROUP BY: no self-join, no "
+        "iterative chase. Day numbers are integer epoch-days, so "
+        "every step is exact; all three shuffles (distinct, window, "
+        "rollups) ride the user_id key."
+    ),
+    tags=("timeseries", "window", "agg"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("g")
+    )
+    streaks = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+    )
