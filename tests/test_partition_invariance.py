@@ -81,6 +81,9 @@ SLICE = [
     # weighted cumulative-window order statistic; sorted-fold float sum
     "weighted_median_price",
     "stats_chi2_type_hour",
+    # dominance windows; gaps-and-islands run detection
+    "skyline_price_quantity",
+    "user_activity_streaks",
 ]
 
 

@@ -577,3 +577,22 @@ def test_mmr_touches_corpus_once(spark, sf_correctness):
     plan = plans.formatted_plan(df)
     assert "Scan parquet" not in plan, plan[:2000]
     assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_streaks_ride_user_key(spark, sf_correctness):
+    """Distinct days, the islands window, and both rollups all key on
+    user_id — no global sort, no cartesian, no extra exchange beyond
+    the user-keyed ones."""
+    df = get("user_activity_streaks").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_skyline_windows_are_keyed(spark, sf_correctness):
+    """Both dominance windows partition on the flag key (range-mode
+    running max + per-price max) — no global single-task window."""
+    df = get("skyline_price_quantity").spark_fn(spark, sf_correctness)
+    plan = plans.final_plan(df)
+    assert plans.count_nodes(plan, "Window") >= 1, plan[:2000]
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
