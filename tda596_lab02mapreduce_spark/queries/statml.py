@@ -809,3 +809,85 @@ def stats_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dof").cast("bigint").alias("dof"),
         F.col("n_rows").alias("n_events"),
     )
+
+
+# Benford expected first-digit frequencies as integer ppm literals —
+# round(log10(1 + 1/d) * 1e6), precomputed so neither engine evaluates
+# a transcendental (the scalar_math_libm divergence class).
+_BENFORD_PPM: tuple[tuple[int, int], ...] = (
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+)
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+cnt AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n,
+         SUM(count(*)) OVER () AS total
+  FROM d GROUP BY digit
+),
+exp AS (SELECT * FROM (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM)})
+        AS t(digit, exp_ppm))
+SELECT c.digit, c.n,
+       CAST(1000000 * c.n // c.total AS BIGINT) AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(1000000 * c.n // c.total - e.exp_ppm AS BIGINT) AS excess_ppm
+FROM cnt c JOIN exp e ON c.digit = e.digit
+""",
+    doc=(
+        "Benford's-law first-digit screen over order totals — the "
+        "fraud / synthetic-data / unit-mixing detector (organically "
+        "grown monetary amounts follow log10(1+1/d); fabricated or "
+        "re-scaled ones don't). First digits come from the decimal "
+        "string of integer cents (no log10 at runtime — the expected "
+        "frequencies are precomputed integer-ppm literals shared by "
+        "both engines, sidestepping the libm-divergence class), "
+        "observed shares are integer ppm by floor division, and the "
+        "report is one digit-keyed count plus a 9-row literal join — "
+        "fully float-free. TPC-H totals are sums of uniform prices, "
+        "NOT Benford-distributed; the screen's job is to REPORT the "
+        "excess, and here it does, loudly."
+    ),
+    tags=("agg", "stats", "quality"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = io.load(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    cnt = (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    exp = F.broadcast(
+        cnt.sparkSession.createDataFrame(
+            list(_BENFORD_PPM), "digit int, exp_ppm bigint"
+        )
+    )
+    obs_ppm = F.expr("1000000L * n div total")
+    return (
+        cnt.join(exp, "digit")
+        .select(
+            "digit",
+            "n",
+            obs_ppm.cast("bigint").alias("obs_ppm"),
+            F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
+            (obs_ppm - F.col("exp_ppm")).cast("bigint").alias("excess_ppm"),
+        )
+    )

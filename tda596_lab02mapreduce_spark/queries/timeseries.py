@@ -853,3 +853,152 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("len").alias("active_days"),
     )
+
+
+@register(
+    "attribution_decay_touch",
+    oracle="""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.purchase_id, c.click_id,
+         epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+),
+wtd AS (
+  SELECT *,
+         (32 >> CAST((purchase_us - click_us) // 600000000 AS INT)) AS w,
+         row_number() OVER (
+           PARTITION BY purchase_id ORDER BY click_us DESC, click_id
+         ) AS touch_rank
+  FROM pairs
+),
+based AS (
+  SELECT *,
+         CAST(1000000 * w // SUM(w) OVER (PARTITION BY purchase_id)
+              AS BIGINT) AS base
+  FROM wtd
+)
+SELECT purchase_id, click_id, CAST(touch_rank AS BIGINT) AS touch_rank,
+       CAST(w AS BIGINT) AS weight,
+       CAST(base + CASE WHEN touch_rank <=
+                         1000000 - SUM(base) OVER (PARTITION BY purchase_id)
+                        THEN 1 ELSE 0 END AS BIGINT) AS credit_ppm
+FROM based
+""",
+    doc=(
+        "Time-decay multi-touch attribution — the second standard "
+        "attribution model beside attribution_linear_touch: a click's "
+        "share of the conversion credit halves every 10 minutes of age "
+        "(weights 32 >> age_bucket over the 1-hour window — dyadic, so "
+        "every weight is an exact integer). Credit is integer ppm: "
+        "floor(1e6·w/W) per touch plus the remainder distributed +1 to "
+        "the MOST RECENT touches (rank orders click_us descending — "
+        "recency earns the rounding, matching the model's bias), so "
+        "credit sums to exactly 1,000,000 per purchase with zero float "
+        "anywhere. Same band-join + purchase_id-window shape as the "
+        "linear model; one extra window sum for the weight total."
+    ),
+    tags=("timeseries", "join", "window"),
+)
+def attribution_decay_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("c_ts").alias("click_us"),
+    )
+    w_rank = Window.partitionBy("purchase_id").orderBy(
+        F.desc("click_us"), "click_id"
+    )
+    wtd = pairs.select(
+        "*",
+        F.expr(
+            "shiftright(32, cast((purchase_us - click_us) div 600000000 as int))"
+        ).alias("w"),
+        F.row_number().over(w_rank).cast("bigint").alias("touch_rank"),
+    )
+    wp = Window.partitionBy("purchase_id")
+    based = wtd.select(
+        "*",
+        F.expr("1000000L * w div sum(w) over (partition by purchase_id)")
+        .cast("bigint")
+        .alias("base"),
+    )
+    credit = F.col("base") + F.when(
+        F.col("touch_rank") <= F.lit(1_000_000) - F.sum("base").over(wp), 1
+    ).otherwise(0)
+    return based.select(
+        "purchase_id",
+        "click_id",
+        "touch_rank",
+        F.col("w").cast("bigint").alias("weight"),
+        credit.cast("bigint").alias("credit_ppm"),
+    )
+
+
+@register(
+    "revenue_monthly_yoy",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS month,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT month, CAST(rev_c AS BIGINT) AS rev_c,
+       CAST(lag(rev_c, 12) OVER (ORDER BY month) AS BIGINT) AS prev_year_c,
+       CAST(CAST(rev_c AS DOUBLE)
+            / CAST(lag(rev_c, 12) OVER (ORDER BY month) AS DOUBLE) - 1.0
+            AS DOUBLE) AS yoy_growth
+FROM m
+""",
+    doc=(
+        "Monthly revenue with year-over-year growth — the reporting "
+        "staple. Monthly sums are exact integer cents; the YoY ratio "
+        "is one identically-shaped double division (NULL for the "
+        "first twelve months, both engines). The lag-12 window is "
+        "GLOBAL but runs over the already-aggregated month series — "
+        "cardinality is months-of-history (~80 here, bounded ~1e3 in "
+        "any real system), so the single ordered partition is a "
+        "constant-size post-aggregation step, not a data-sized sort."
+    ),
+    tags=("timeseries", "window", "agg"),
+)
+def revenue_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")).alias(
+            "rev"
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev", 12).over(w)
+    return m.select(
+        "month",
+        F.col("rev").cast("bigint").alias("rev_c"),
+        prev.cast("bigint").alias("prev_year_c"),
+        (F.col("rev").cast("double") / prev.cast("double") - 1.0).alias(
+            "yoy_growth"
+        ),
+    )

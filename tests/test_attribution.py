@@ -34,3 +34,23 @@ def test_attribution_rerun_deterministic(spark, sf_correctness):
     a = sorted(tuple(r) for r in fn(spark, sf_correctness).collect())
     b = sorted(tuple(r) for r in fn(spark, sf_correctness).collect())
     assert a == b
+
+
+def test_decay_attribution_credit_conserved_and_decays(spark, sf_correctness):
+    """Time-decay model: ppm credit sums to exactly 1e6 per purchase,
+    weights are the dyadic ladder 32 >> bucket, and an OLDER touch
+    never outweighs a newer one (weights non-increasing in rank, which
+    orders by recency)."""
+    df = get("attribution_decay_touch").spark_fn(spark, sf_correctness)
+    rows = df.collect()
+    assert rows, "no attributed touches at sf0.01"
+    per_p: dict[int, list] = {}
+    for r in rows:
+        per_p.setdefault(r.purchase_id, []).append(r)
+    for pid, rs in per_p.items():
+        rs.sort(key=lambda r: r.touch_rank)
+        assert [r.touch_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.credit_ppm for r in rs) == 1_000_000
+        weights = [r.weight for r in rs]
+        assert all(w in (1, 2, 4, 8, 16, 32) for w in weights)
+        assert weights == sorted(weights, reverse=True)
