@@ -1084,3 +1084,56 @@ def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qmax_lt").isNull() | (F.col("qmax_lt") < F.col("q")))
         & (F.col("qmax_eq") == F.col("q"))
     ).select("flag", "l_orderkey", "l_linenumber", "p_c", "q")
+
+
+@register(
+    "subquery_q17_small_orders",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS HUGEINT)) AS HUGEINT) AS sq,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS HUGEINT)) AS DOUBLE)
+         / 7.0 AS avg_yearly_c,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(ROUND(l.l_quantity, 0) AS HUGEINT) * 5 * pa.n < pa.sq
+""",
+    doc=(
+        "TPC-H Q17 shape (small-quantity-order revenue): line items of "
+        "one brand whose quantity is below 20% of that part's average "
+        "quantity — the correlated scalar-aggregate subquery, decorrelated "
+        "into a pre-aggregated per-part (sum, count) joined back. The "
+        "0.2·avg comparison never materializes a float: qty·5·n < sum "
+        "is exact integer cross-multiplication (quantities are "
+        "integral). Revenue sums exact cents; the /7.0 'yearly average' "
+        "is the single final double op. Catalyst evaluates the pa CTE "
+        "once; the brand filter prunes the probe before both joins."
+    ),
+    tags=("subquery", "agg", "join", "sql"),
+)
+def subquery_q17_small_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        WITH pa AS (
+          SELECT l_partkey,
+                 SUM(CAST(ROUND(l_quantity, 0) AS DECIMAL(38,0))) AS sq,
+                 CAST(count(*) AS DECIMAL(38,0)) AS n
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 7.0 AS avg_yearly_c,
+               CAST(count(*) AS BIGINT) AS n_small
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN pa ON pa.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND CAST(ROUND(l.l_quantity, 0) AS DECIMAL(38,0)) * 5 * pa.n < pa.sq
+        """
+    )
