@@ -196,3 +196,47 @@ def test_chi2_matches_naive_contingency(spark, sf_smoke):
     assert abs(got["chi2"] - chi2) < 1e-6 * max(1.0, chi2)
     assert got["dof"] == (len(rt) - 1) * (len(ct) - 1)
     assert got["n_events"] == n
+
+
+def test_benford_shares_sum_to_one_million_floor(spark, sf_smoke):
+    """Observed integer-ppm shares are floor divisions of a common
+    total: they must sum into (1e6 - 8, 1e6] and every digit 1-9 must
+    be present with n summing to the row count."""
+    rows = get("benford_first_digit").spark_fn(spark, sf_smoke).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    total_ppm = sum(r["obs_ppm"] for r in rows)
+    assert 1_000_000 - 8 <= total_ppm <= 1_000_000
+    n_orders = io.load(spark, sf_smoke, "orders").filter(
+        F.col("o_totalprice") > 0
+    ).count()
+    assert sum(r["n"] for r in rows) == n_orders
+    for r in rows:
+        assert r["excess_ppm"] == r["obs_ppm"] - r["exp_ppm"]
+
+
+def test_yoy_growth_matches_naive_monthly_sums(spark, sf_smoke):
+    """Monthly cents re-derived by a driver-side dict must equal the
+    query's rev_c, and yoy = rev/prev - 1 wherever a 12-back month
+    exists in the dense month sequence."""
+    rows = (
+        io.load(spark, sf_smoke, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    monthly = defaultdict(int)
+    for r in rows:
+        d = r["o_orderdate"]
+        monthly[(d.year, d.month)] += int(round(r["o_totalprice"] * 100))
+    got = {
+        (r["month"].year, r["month"].month): r
+        for r in get("revenue_monthly_yoy").spark_fn(spark, sf_smoke).collect()
+    }
+    assert set(got) == set(monthly)
+    months = sorted(got)
+    for i, m in enumerate(months):
+        assert got[m]["rev_c"] == monthly[m]
+        if i >= 12:
+            prev = months[i - 12]
+            assert got[m]["prev_year_c"] == monthly[prev]
+        else:
+            assert got[m]["prev_year_c"] is None

@@ -84,6 +84,10 @@ SLICE = [
     # dominance windows; gaps-and-islands run detection
     "skyline_price_quantity",
     "user_activity_streaks",
+    # decay-weight credit split; digit-count literal join; month-series lag
+    "attribution_decay_touch",
+    "benford_first_digit",
+    "revenue_monthly_yoy",
 ]
 
 
