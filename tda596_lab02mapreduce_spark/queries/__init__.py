@@ -19,6 +19,7 @@ from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
     streaming_batch,
     textprep,
     timeseries,
+    tpch_extra,
     trainprep,
     udfs,
     windows,
