@@ -8,6 +8,7 @@ from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
     advanced,
     aggregates,
     association,
+    driftstats,
     joins,
     llm_pipeline,
     multimodal,

@@ -1,0 +1,377 @@
+"""Distribution-drift and power-law analytics (round-7 widening of
+the SURVEY.md §2C training-data band): PSI drift, Markov event
+transitions, Pareto revenue concentration, Zipf rank-frequency fit,
+and per-source token entropy.
+
+Float-log discipline shared by the band: any metric built from
+``ln`` is computed per row/term, rounded to 8 dp, cast to an exact
+DECIMAL, and only then SUMMED — so the aggregate is order-independent
+and bitwise identical between Spark and DuckDB regardless of partial
+ordering (the same pattern as text_tfidf's 4-dp contract; margin vs
+the rounding boundary asserted in tests/test_analytics_properties.py).
+Single divisions / single ``ln`` calls on identical inputs are
+deterministic across both engines' libm for these well-conditioned
+inputs; only SUMS of floats are order-sensitive, and none occur here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+from tda596_lab02mapreduce_spark.registry import register
+
+_TERM_DEC = "decimal(18,8)"
+_TOK_ORACLE = r"""
+  SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
+  FROM documents
+"""
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+WITH binned AS (
+  SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+), cnts AS (
+  SELECT bin,
+         CAST(SUM(is_ref) AS BIGINT) AS ref_cnt,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS cur_cnt
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(ref_cnt) AS DOUBLE) AS ref_tot,
+         CAST(SUM(cur_cnt) AS DOUBLE) AS cur_tot,
+         CAST(count(*) AS BIGINT) AS n_bins
+  FROM cnts
+), terms AS (
+  SELECT bin, ref_cnt, cur_cnt,
+         CAST(round((ref_cnt + 1) / (ref_tot + n_bins), 8) AS DOUBLE) AS ref_share,
+         CAST(round((cur_cnt + 1) / (cur_tot + n_bins), 8) AS DOUBLE) AS cur_share,
+         CAST(round(((ref_cnt + 1) / (ref_tot + n_bins)
+                     - (cur_cnt + 1) / (cur_tot + n_bins))
+                    * ln(((ref_cnt + 1) / (ref_tot + n_bins))
+                         / ((cur_cnt + 1) / (cur_tot + n_bins))), 8)
+              AS DECIMAL(18,8)) AS psi_term
+  FROM cnts, tot
+)
+SELECT bin, ref_cnt, cur_cnt, ref_share, cur_share,
+       CAST(psi_term AS DOUBLE) AS psi_term,
+       CAST(round(CAST(SUM(psi_term) OVER () AS DOUBLE), 6) AS DOUBLE) AS psi_total
+FROM terms
+""",
+    doc=(
+        "Population Stability Index between the first and second half "
+        "of the events month (fixed boundary 2024-01-16), value binned "
+        "into 10 fixed-width bins with Laplace (+1) smoothing so empty "
+        "bins never divide by zero. The whole query is one scan and "
+        "ONE 10-key aggregate: reference and current counts are "
+        "sibling conditional sums in the same pass (no second scan, no "
+        "self-join); the 3-row broadcast of totals is Spark's "
+        "scalar-subquery shape. Per-bin PSI terms are rounded to 8 dp "
+        "and summed as exact decimals (order-independent), so the "
+        "drift score is reproducible to the bit at any parallelism — "
+        "on a 1000-executor cluster this is a map-side partial "
+        "aggregate into 10 final rows."
+    ),
+    tags=("agg", "stats", "drift", "llm"),
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)).alias("bin"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    cnts = ev.groupBy("bin").agg(
+        F.sum("is_ref").alias("ref_cnt"),
+        F.sum(1 - F.col("is_ref")).alias("cur_cnt"),
+    )
+    tot = cnts.agg(
+        F.sum("ref_cnt").cast("double").alias("ref_tot"),
+        F.sum("cur_cnt").cast("double").alias("cur_tot"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    ref_share = (F.col("ref_cnt") + 1) / (F.col("ref_tot") + F.col("n_bins"))
+    cur_share = (F.col("cur_cnt") + 1) / (F.col("cur_tot") + F.col("n_bins"))
+    terms = cnts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.round(ref_share, 8).alias("ref_share"),
+        F.round(cur_share, 8).alias("cur_share"),
+        F.round((ref_share - cur_share) * F.log(ref_share / cur_share), 8)
+        .cast(_TERM_DEC)
+        .alias("psi_term"),
+    )
+    return terms.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        "ref_share",
+        "cur_share",
+        F.col("psi_term").cast("double").alias("psi_term"),
+        F.round(F.sum("psi_term").over(Window.partitionBy()).cast("double"), 6).alias(
+            "psi_total"
+        ),
+    )
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_trans,
+       CAST(round(n_trans / CAST(SUM(n_trans) OVER (PARTITION BY prev_type)
+                                 AS DOUBLE), 6) AS DOUBLE) AS p_trans
+FROM trans
+""",
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: lag(event_type) within (user_id, ts, event_id) "
+        "order, then (prev, next) counts normalised into row-stochastic "
+        "probabilities. Plan: ONE user_id-keyed Exchange feeds the lag "
+        "window (in-partition sort, never global), the 25-key "
+        "transition aggregate rides a map-side partial, and the "
+        "normaliser is a window over the tiny result — no second scan "
+        "of events. p_trans is a single integer division (exact "
+        "operands), deterministic at any parallelism. At 100 TB the "
+        "cost is the one sessionization-grade shuffle every sequence "
+        "model needs anyway."
+    ),
+    tags=("window", "agg", "stats", "sequence"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans") / F.sum("n_trans").over(norm).cast("double"), 6
+        ).alias("p_trans"),
+    )
+
+
+@register(
+    "pareto_revenue_concentration",
+    oracle="""
+WITH cust_rev AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, revenue,
+         ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+  FROM cust_rev
+), dec AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         SUM(revenue) AS decile_rev
+  FROM ranked GROUP BY decile
+), tot AS (SELECT SUM(decile_rev) AS total_rev FROM dec)
+SELECT decile, n_customers,
+       CAST(decile_rev AS DOUBLE) AS decile_rev,
+       CAST(round(CAST(decile_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+            AS DOUBLE) AS rev_share,
+       CAST(round(CAST(SUM(decile_rev) OVER (ORDER BY decile) AS DOUBLE)
+                  / CAST(total_rev AS DOUBLE), 6) AS DOUBLE) AS cum_share
+FROM dec, tot
+""",
+    doc=(
+        "Pareto (revenue-concentration) curve: customers ranked by "
+        "exact-decimal lifetime revenue, cut into ntile(10) deciles "
+        "(o_custkey tiebreak makes the cut deterministic), each "
+        "decile's share and cumulative share of total revenue. The "
+        "per-customer rollup is the only big shuffle; the ntile window "
+        "sorts the ~customer-count aggregate (at 100 TB: still tiny "
+        "next to the fact), and the cumulative window runs over 10 "
+        "rows. Revenue stays DECIMAL until the final ratio so the "
+        "shares are exact-input divisions, bit-stable across engines."
+    ),
+    tags=("window", "agg", "stats"),
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    cust_rev = orders.groupBy("o_custkey").agg(F.sum("price").alias("revenue"))
+    ranked = cust_rev.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("revenue").alias("decile_rev"),
+    )
+    tot = dec.agg(F.sum("decile_rev").alias("total_rev"))
+    cum = Window.orderBy("decile")
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("decile_rev").cast("double").alias("decile_rev"),
+            F.round(
+                F.col("decile_rev").cast("double") / F.col("total_rev").cast("double"),
+                6,
+            ).alias("rev_share"),
+            F.round(
+                F.sum("decile_rev").over(cum).cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
+
+
+@register(
+    "zipf_token_fit",
+    oracle=f"""
+WITH freq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM ({_TOK_ORACLE}) t
+  WHERE word <> '' GROUP BY word
+), ranked AS (
+  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, word) AS DOUBLE)), 8)
+              AS DECIMAL(18,8)) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+  FROM freq
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(30,12))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(30,12))) AS sxx
+  FROM ranked
+)
+SELECT n AS n_tokens,
+       CAST(round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                  4) AS DOUBLE) AS zipf_slope,
+       CAST(round((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * CAST(sx AS DOUBLE)) / n, 4) AS DOUBLE) AS zipf_intercept
+FROM sums
+""",
+    doc=(
+        "Zipf rank-frequency fit over the corpus vocabulary: OLS slope "
+        "and intercept of ln(freq) against ln(rank) — the classic "
+        "power-law health check for a training corpus (slope near -1 "
+        "is natural text). The regression is NOT a float aggregate: "
+        "ln(rank)/ln(freq) are rounded to 8 dp into exact DECIMALs, "
+        "the five OLS sums accumulate as decimals (order-independent, "
+        "hash-stable), and only the final closed-form slope touches "
+        "doubles. One explode+count for frequencies, a vocabulary-"
+        "sized ranking window, a 1-row result — the corpus scan "
+        "dominates at any scale."
+    ),
+    tags=("agg", "stats", "text", "llm"),
+)
+def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rank = F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("word")))
+    ranked = freq.select(
+        F.round(F.log(rank.cast("double")), 8).cast(_TERM_DEC).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 8).cast(_TERM_DEC).alias("y"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.alias("n_tokens"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "token_entropy_by_source",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(text, '[^\\p{{L}}]+')) AS word
+  FROM documents
+), cnts AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE word <> '' GROUP BY source, word
+), terms AS (
+  SELECT source, cnt,
+         SUM(cnt) OVER (PARTITION BY source) AS total,
+         CAST(round(-(cnt / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE))
+                    * ln(cnt / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE)), 8)
+              AS DECIMAL(18,8)) AS term
+  FROM cnts
+)
+SELECT source,
+       CAST(max(total) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(round(CAST(SUM(term) AS DOUBLE), 6) AS DOUBLE) AS entropy
+FROM terms GROUP BY source
+""",
+    doc=(
+        "Shannon token entropy per document source — the diversity "
+        "screen that catches template-spam / boilerplate sources in a "
+        "training corpus (low entropy = repetitive source). One "
+        "explode into a (source, word) aggregate, a source-keyed "
+        "window for totals (same partitioning as the groupBy — no "
+        "extra Exchange), per-token -p·ln(p) terms rounded to 8 dp "
+        "and summed as exact decimals so the per-source entropy is "
+        "order-independent. Everything keys on source; at 100 TB the "
+        "shuffle carries one row per (source, distinct-token), not "
+        "per occurrence."
+    ),
+    tags=("agg", "stats", "text", "llm"),
+)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    cnts = (
+        docs.select("source", F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source")
+    p = F.col("cnt") / F.sum("cnt").over(w).cast("double")
+    terms = cnts.select(
+        "source",
+        F.sum("cnt").over(w).alias("total"),
+        F.round(-p * F.log(p), 8).cast(_TERM_DEC).alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("total").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(F.sum("term").cast("double"), 6).alias("entropy"),
+    )

@@ -1,0 +1,183 @@
+"""Property + plan tests for the round-7 drift/power-law band
+(queries/driftstats.py): each operator re-derived by a naive
+driver-side reference, the 8-dp decimal-term rounding margins that
+make the log-based oracles sound, and the plan shapes (single scan,
+keyed windows only over tiny aggregates)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+from tda596_lab02mapreduce_spark import io, plans
+from tda596_lab02mapreduce_spark.registry import get
+
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def _margin_ok(unrounded: float, dp: int, tol: float = 1e-6) -> bool:
+    scaled = unrounded * 10**dp
+    return abs(scaled - math.floor(scaled) - 0.5) > tol
+
+
+def test_psi_matches_naive_and_margins(spark, sf_correctness):
+    """Naive Python PSI over the raw events (same bins, same +1
+    smoothing) must reproduce psi_total to 1e-6, every per-bin term
+    must clear the 8-dp rounding boundary, and the bin partition must
+    cover all events exactly once."""
+    ev = [
+        (r.value, r.ts)
+        for r in io.load(spark, sf_correctness, "events").select("value", "ts").collect()
+    ]
+    from datetime import datetime
+
+    boundary = datetime(2024, 1, 16)
+    ref = Counter()
+    cur = Counter()
+    for value, ts in ev:
+        b = min(int(value // 50.0), 9)
+        (ref if ts < boundary else cur)[b] += 1
+    bins = sorted(set(ref) | set(cur))
+    n_bins = len(bins)
+    ref_tot, cur_tot = sum(ref.values()), sum(cur.values())
+    psi = 0.0
+    for b in bins:
+        p = (ref[b] + 1) / (ref_tot + n_bins)
+        q = (cur[b] + 1) / (cur_tot + n_bins)
+        term = (p - q) * math.log(p / q)
+        assert _margin_ok(term, 8), f"bin {b} term {term} at 8-dp boundary"
+        psi += round(term, 8)
+    rows = get("psi_value_drift").spark_fn(spark, sf_correctness).collect()
+    assert {r.bin for r in rows} == set(bins)
+    assert sum(r.ref_cnt for r in rows) + sum(r.cur_cnt for r in rows) == len(ev)
+    for r in rows:
+        assert r.psi_total == round(psi, 6)
+
+
+def test_markov_rows_are_stochastic_and_complete(spark, sf_correctness):
+    """Per-prev probabilities must sum to ~1, transition counts must
+    total (events - users-with-events), and a naive per-user sorted
+    replay must reproduce every (prev, next) count."""
+    ev = (
+        io.load(spark, sf_correctness, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    naive = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            naive[(a, b)] += 1
+    rows = get("markov_event_transitions").spark_fn(spark, sf_correctness).collect()
+    assert {(r.prev_type, r.next_type): r.n_trans for r in rows} == dict(naive)
+    assert sum(r.n_trans for r in rows) == len(ev) - len(by_user)
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r.prev_type] += r.p_trans
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_pareto_curve_is_monotone_and_exhaustive(spark, sf_correctness):
+    """Deciles partition all customers, shares sum to 1, the
+    cumulative share is strictly increasing and ends at 1, and the
+    decile revenue ordering is non-increasing (revenue-desc ntile)."""
+    n_cust = (
+        io.load(spark, sf_correctness, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    rows = sorted(
+        get("pareto_revenue_concentration").spark_fn(spark, sf_correctness).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-4
+    assert abs(rows[-1].cum_share - 1.0) < 1e-6
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_share > a.cum_share
+    per_cust = [r.decile_rev / r.n_customers for r in rows]
+    for a, b in zip(per_cust, per_cust[1:]):
+        assert b <= a * (1 + 1e-9), "avg revenue per customer must fall by decile"
+
+
+def test_zipf_fit_matches_naive_ols(spark, sf_correctness):
+    """Closed-form OLS over (ln rank, ln freq) recomputed in Python
+    from a naive token count must reproduce slope and intercept to
+    1e-3 (the decimal-sum formulation differs only in 8-dp term
+    rounding), and every ln term must clear its rounding boundary."""
+    docs = io.load(spark, sf_correctness, "documents").select("text").collect()
+    freq = Counter(w for r in docs for w in _WORD_RE.findall(r.text))
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs, ys = [], []
+    for i, (_, cnt) in enumerate(ranked, start=1):
+        x, y = math.log(i), math.log(cnt)
+        assert _margin_ok(x, 8) and _margin_ok(y, 8)
+        xs.append(round(x, 8))
+        ys.append(round(y, 8))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    [row] = get("zipf_token_fit").spark_fn(spark, sf_correctness).collect()
+    assert row.n_tokens == n
+    assert abs(row.zipf_slope - slope) < 1e-3
+    assert abs(row.zipf_intercept - intercept) < 1e-3
+    assert row.zipf_slope < 0, "rank-frequency slope must be negative"
+
+
+def test_entropy_matches_naive_and_bounds(spark, sf_correctness):
+    """Per-source entropy recomputed naively must match to 1e-5 and
+    respect 0 <= H <= ln(n_unique); token totals must equal the
+    naive tokenization."""
+    docs = (
+        io.load(spark, sf_correctness, "documents").select("source", "text").collect()
+    )
+    by_src = defaultdict(Counter)
+    for r in docs:
+        by_src[r.source].update(_WORD_RE.findall(r.text))
+    rows = get("token_entropy_by_source").spark_fn(spark, sf_correctness).collect()
+    assert {r.source for r in rows} == set(by_src)
+    for r in rows:
+        cnts = by_src[r.source]
+        total = sum(cnts.values())
+        assert r.n_tokens == total and r.n_unique == len(cnts)
+        h = 0.0
+        for c in cnts.values():
+            p = c / total
+            term = -p * math.log(p)
+            assert _margin_ok(term, 8)
+            h += round(term, 8)
+        assert abs(r.entropy - h) < 1e-5
+        assert -1e-9 <= r.entropy <= math.log(len(cnts)) + 1e-9
+
+
+def test_drift_band_plan_shapes(spark, sf_correctness):
+    """Each operator scans its parquet once (ReusedExchange dedupes
+    the shared aggregate subtree under the scalar-total broadcast),
+    never produces a cartesian, and keeps every data-sized window
+    keyed — the only unkeyed windows run over <=vocabulary-sized
+    aggregates by design (psi 10 bins, pareto ~customer count, zipf
+    vocab)."""
+    for name, max_exchanges in [
+        ("psi_value_drift", 3),
+        ("markov_event_transitions", 3),
+        ("pareto_revenue_concentration", 3),
+        ("zipf_token_fit", 2),
+        ("token_entropy_by_source", 2),
+    ]:
+        df = get(name).spark_fn(spark, sf_correctness)
+        plan = plans.final_plan(df)
+        n_scans = plan.count("Scan parquet")
+        assert n_scans == 1, f"{name}: {n_scans} scans\n{plan[:2000]}"
+        assert not plans.has_operator(df, "CartesianProduct"), name
+        n_ex = plans.count_nodes(plan, "Exchange")
+        assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges\n{plan[:2000]}"
