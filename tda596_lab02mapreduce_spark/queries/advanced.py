@@ -982,12 +982,16 @@ SELECT CAST(c.c_nationkey % 5 AS INT) AS cntrycode,
          AS totacctbal_c
 FROM customer c, pos
 WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS HUGEINT) * pos.n_pos > pos.sum_pos
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01')
 GROUP BY 1
 """,
     doc=(
         "TPC-H Q22 shape (global sales opportunity): customers with "
-        "above-average positive balance and NO orders, rolled up by "
+        "above-average positive balance and no RECENT (1998+) order — "
+        "the original's 7-year dormancy window scaled to the fixture's "
+        "date range (the no-orders-ever form is vacuously empty: every "
+        "fixture customer orders) — rolled up by "
         "'country code' (nationkey mod 5 — the fixture has no phone "
         "column). The two classic sub-patterns compose: an "
         "uncorrelated scalar aggregate feeding a filter (kept exact by "
@@ -1014,7 +1018,9 @@ def subquery_q22_cntrycode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c, pos
         WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS DECIMAL(38,0)) * pos.n_pos
                 > pos.sum_pos
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1998-01-01')
         GROUP BY 1
         """
     )

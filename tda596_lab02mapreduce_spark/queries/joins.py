@@ -167,14 +167,24 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """,
-    doc="Left-anti (NOT EXISTS): customers who never ordered.",
+    doc=(
+        "Left-anti (NOT EXISTS): customers with no URGENT-priority "
+        "order. (The unfiltered 'never ordered' form is vacuously "
+        "empty on the fixtures — every customer orders — and an empty "
+        "result passes any oracle; the priority filter keeps the "
+        "anti-join shape with a non-degenerate answer.)"
+    ),
     tags=("join", "anti"),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = io.load(spark, sf_dir, "customer")
-    orders = io.load(spark, sf_dir, "orders")
+    orders = io.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_mktsegment")

@@ -78,16 +78,26 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-SELECT user_id FROM events WHERE event_type = 'signup'
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'click'
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+FROM events WHERE event_type = 'purchase'
 """,
-    doc="EXCEPT (distinct): signed-up users who never purchased.",
+    doc=(
+        "EXCEPT (distinct): (user, day) pairs with a click but no "
+        "purchase that day. (The coarser user-grain form is vacuously "
+        "empty on the fixtures — every user eventually has every "
+        "event type — and an empty result passes any oracle; the "
+        "daily grain keeps the EXCEPT shape with a real answer.)"
+    ),
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = io.load(spark, sf_dir, "events").filter(F.col("event_type") == "signup").select("user_id")
-    b = io.load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").select("user_id")
+    ev = io.load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    a = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
     return a.subtract(b)
 
 

@@ -86,11 +86,16 @@ def run_oracle(sf_dir: str, oracle: str):
 
 
 def compare(spark, sf_dir: str, spark_fn, oracle: str) -> None:
-    """Assert the Spark query and DuckDB oracle agree. Raises
-    AssertionError with a diff sample on mismatch."""
+    """Assert the Spark query and DuckDB oracle agree — and that the
+    agreement is not vacuous: an empty result matches any oracle that
+    is also empty (the round-7 q9 LIKE-'%1%' lesson: fixture part
+    names contain no digits, so both engines agreed on 0 rows and the
+    gate was green while testing nothing). Every registered query is
+    required to produce rows at the correctness SF."""
     sdf = spark_fn(spark, sf_dir)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
+    assert s_rows, "query returned 0 rows: the oracle comparison is vacuous"
     d_cols, d_rows = run_oracle(sf_dir, oracle)
 
     why = verdict(s_cols, s_rows, d_cols, d_rows)
