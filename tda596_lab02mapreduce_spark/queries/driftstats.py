@@ -375,3 +375,305 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_unique"),
         F.round(F.sum("term").cast("double"), 6).alias("entropy"),
     )
+
+
+@register(
+    "mutual_information_type_hour",
+    oracle="""
+WITH joint AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+         CAST(count(*) AS BIGINT) AS n_xy
+  FROM events GROUP BY event_type, hr
+), tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint),
+terms AS (
+  SELECT event_type, hr, n_xy,
+         SUM(n_xy) OVER (PARTITION BY event_type) AS n_x,
+         SUM(n_xy) OVER (PARTITION BY hr) AS n_y,
+         CAST(round((n_xy / CAST(n AS DOUBLE))
+                    * ln((CAST(n_xy AS DOUBLE) * n)
+                         / (CAST(SUM(n_xy) OVER (PARTITION BY event_type) AS DOUBLE)
+                            * SUM(n_xy) OVER (PARTITION BY hr))), 8)
+              AS DECIMAL(18,8)) AS mi_term
+  FROM joint, tot
+)
+SELECT event_type, hr, n_xy,
+       CAST(round(ln((CAST(n_xy AS DOUBLE) * (SELECT n FROM tot))
+                     / (CAST(n_x AS DOUBLE) * n_y)), 6) AS DOUBLE) AS pmi,
+       CAST(round(CAST(SUM(mi_term) OVER () AS DOUBLE), 6) AS DOUBLE) AS mi_total
+FROM terms
+""",
+    doc=(
+        "Mutual information between event type and hour-of-day — the "
+        "dependence screen behind feature selection (MI ~ 0 means the "
+        "hour tells you nothing about the event mix). One scan, one "
+        "125-key joint aggregate; both marginals are windows over the "
+        "joint (no second scan), the grand total is a broadcast "
+        "scalar. Each p·ln-term sees only exact integer ratios inside "
+        "the ln (deterministic across libm for these inputs), is "
+        "rounded to 8 dp and summed as exact decimals — "
+        "order-independent, like the whole band. Per-cell PMI comes "
+        "free from the same terms."
+    ),
+    tags=("agg", "stats", "drift"),
+)
+def mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    )
+    joint = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n_xy"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    wx = Window.partitionBy("event_type")
+    wy = Window.partitionBy("hr")
+    n_x = F.sum("n_xy").over(wx)
+    n_y = F.sum("n_xy").over(wy)
+    ratio = (F.col("n_xy").cast("double") * F.col("n")) / (
+        n_x.cast("double") * n_y
+    )
+    terms = joint.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "hr",
+        "n_xy",
+        F.round(F.log(ratio), 6).alias("pmi"),
+        F.round((F.col("n_xy") / F.col("n").cast("double")) * F.log(ratio), 8)
+        .cast(_TERM_DEC)
+        .alias("mi_term"),
+    )
+    return terms.select(
+        "event_type",
+        "hr",
+        "n_xy",
+        "pmi",
+        F.round(F.sum("mi_term").over(Window.partitionBy()).cast("double"), 6).alias(
+            "mi_total"
+        ),
+    )
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+WITH cust_rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT revenue,
+         CAST(row_number() OVER (ORDER BY revenue, o_custkey) AS BIGINT) AS i
+  FROM cust_rev
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(revenue) AS s,
+         SUM(CAST(i AS DECIMAL(18,0)) * revenue) AS si
+  FROM ranked
+)
+SELECT n AS n_customers, CAST(s AS DOUBLE) AS total_rev,
+       CAST(round((2.0 * CAST(si AS DOUBLE) - (n + 1) * CAST(s AS DOUBLE))
+                  / (n * CAST(s AS DOUBLE)), 6) AS DOUBLE) AS gini
+FROM sums
+""",
+    doc=(
+        "Gini coefficient of customer revenue — the scalar companion "
+        "to the Pareto decile curve, via the exact rank formula "
+        "G = (2·Σi·x_i − (n+1)·Σx_i)/(n·Σx_i) on revenue sorted "
+        "ascending (custkey tiebreak; ties cannot change the sum). "
+        "Revenue and the rank-weighted sum stay DECIMAL to the end — "
+        "the whole statistic is exact integer/decimal arithmetic "
+        "until one final double division, so it is bit-stable at any "
+        "parallelism. One fact shuffle (per-customer rollup), one "
+        "customer-sized ranking window, a 1-row result."
+    ),
+    tags=("agg", "window", "stats"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    cust_rev = orders.groupBy("o_custkey").agg(F.sum("price").alias("revenue"))
+    ranked = cust_rev.select(
+        "revenue",
+        F.row_number()
+        .over(Window.orderBy("revenue", "o_custkey"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("revenue").alias("s"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("revenue")).alias("si"),
+    )
+    n = F.col("n")
+    s = F.col("s").cast("double")
+    si = F.col("si").cast("double")
+    return sums.select(
+        n.alias("n_customers"),
+        s.alias("total_rev"),
+        F.round((2.0 * si - (n + 1) * s) / (n * s), 6).alias("gini"),
+    )
+
+
+@register(
+    "acf_daily_events",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+), mu AS (
+  SELECT SUM(x) / CAST(count(*) AS DOUBLE) AS m FROM daily
+), dev AS (
+  SELECT day, x - (SELECT m FROM mu) AS dev FROM daily
+), denom AS (
+  SELECT SUM(CAST(round(dev * dev, 6) AS DECIMAL(24,6))) AS den FROM dev
+), lags AS (SELECT unnest(range(1, 8)) AS lag),
+pairs AS (
+  SELECT l.lag,
+         CAST(round(d1.dev * d2.dev, 6) AS DECIMAL(24,6)) AS num_term
+  FROM lags l
+  JOIN dev d1 ON true
+  JOIN dev d2 ON d2.day = d1.day + to_days(CAST(l.lag AS INT))
+)
+SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(round(CAST(SUM(num_term) AS DOUBLE)
+                  / CAST((SELECT den FROM denom) AS DOUBLE), 6) AS DOUBLE) AS acf
+FROM pairs GROUP BY lag
+""",
+    doc=(
+        "Lag-1..7 autocorrelation of the daily event-count series — "
+        "the weekly-seasonality probe for a telemetry stream. The "
+        "series is one date-keyed aggregate (30 rows at fixture "
+        "scale; one row per day at any scale), the seven lagged "
+        "alignments are an equi-join of the tiny series against "
+        "itself shifted by an exploded lag literal — never a window "
+        "per lag, never a re-scan of events. The mean is a single "
+        "integer-ratio division; every covariance term is rounded to "
+        "6 dp and summed as exact decimals, so each r_k is "
+        "order-independent. Denominator is the full-series variance "
+        "(the standard ACF normalisation)."
+    ),
+    tags=("agg", "join", "stats", "timeseries"),
+)
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        io.load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    mu = daily.agg(
+        (F.sum("x") / F.count(F.lit(1)).cast("double")).alias("m")
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day", "x", (F.col("x") - F.col("m")).alias("dev")
+    )
+    denom = dev.agg(
+        F.sum(F.round(F.col("dev") * F.col("dev"), 6).cast("decimal(24,6)")).alias(
+            "denom"
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    d1 = dev.select(F.col("day").alias("day1"), F.col("dev").alias("dev1"))
+    d2 = dev.select(F.col("day").alias("day2"), F.col("dev").alias("dev2"))
+    pairs = (
+        F.broadcast(lags)
+        .join(d1, F.lit(True))
+        .join(
+            d2,
+            F.col("day2")
+            == F.col("day1") + F.make_interval(days=F.col("lag")),
+        )
+        .select(
+            "lag",
+            F.round(F.col("dev1") * F.col("dev2"), 6)
+            .cast("decimal(24,6)")
+            .alias("num_term"),
+        )
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("num_term").alias("num"))
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("denom").cast("double"), 6
+            ).alias("acf"),
+        )
+    )
+
+
+@register(
+    "ks_value_drift",
+    oracle="""
+WITH flagged AS (
+  SELECT value,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+), tot AS (
+  SELECT CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+  FROM flagged
+), by_value AS (
+  SELECT value,
+         CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS c_cur
+  FROM flagged GROUP BY value
+), ecdf AS (
+  SELECT value,
+         SUM(c_ref) OVER (ORDER BY value) AS cum_ref,
+         SUM(c_cur) OVER (ORDER BY value) AS cum_cur
+  FROM by_value
+)
+SELECT max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+       CAST(round(max(abs(cum_ref / CAST(n_ref AS DOUBLE)
+                          - cum_cur / CAST(n_cur AS DOUBLE))), 6) AS DOUBLE) AS ks_d
+FROM ecdf, tot
+""",
+    doc=(
+        "Two-sample Kolmogorov-Smirnov statistic between the first "
+        "and second half of the events month: D = max |F_ref - F_cur| "
+        "over the pooled empirical CDFs — the nonparametric companion "
+        "to the binned PSI (catches shape drift PSI's 10 bins smooth "
+        "over). One scan, per-value conditional counts, one "
+        "value-ordered cumulative window, a max. Every ECDF step is "
+        "an exact integer ratio, so D is deterministic. The global "
+        "value ordering is the scale reserve: at fixture scale the "
+        "distinct-value table is small; at 100 TB you would bin "
+        "values first (turning this into PSI-on-many-bins) or use a "
+        "KLL sketch — documented, not hidden."
+    ),
+    tags=("agg", "window", "stats", "drift"),
+)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    by_value = ev.groupBy("value").agg(
+        F.sum("is_ref").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).alias("c_cur"),
+    )
+    tot = by_value.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = by_value.select(
+        F.sum("c_ref").over(w).alias("cum_ref"),
+        F.sum("c_cur").over(w).alias("cum_cur"),
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_ref") / F.col("n_ref").cast("double")
+                        - F.col("cum_cur") / F.col("n_cur").cast("double")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+        )
+    )

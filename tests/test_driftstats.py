@@ -181,3 +181,103 @@ def test_drift_band_plan_shapes(spark, sf_correctness):
         assert not plans.has_operator(df, "CartesianProduct"), name
         n_ex = plans.count_nodes(plan, "Exchange")
         assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges\n{plan[:2000]}"
+
+
+def test_mutual_information_matches_naive(spark, sf_correctness):
+    """MI recomputed naively from the joint contingency must match to
+    1e-5; MI must be non-negative and bounded by min(H(X), H(Y));
+    every term must clear the 8-dp rounding boundary."""
+    ev = [
+        (r.event_type, r.ts.hour)
+        for r in io.load(spark, sf_correctness, "events")
+        .select("event_type", "ts")
+        .collect()
+    ]
+    joint = Counter(ev)
+    n = len(ev)
+    nx = Counter(t for t, _ in ev)
+    ny = Counter(h for _, h in ev)
+    mi = 0.0
+    for (t, h), c in joint.items():
+        term = (c / n) * math.log(c * n / (nx[t] * ny[h]))
+        assert _margin_ok(term, 8)
+        mi += round(term, 8)
+    hx = -sum((c / n) * math.log(c / n) for c in nx.values())
+    hy = -sum((c / n) * math.log(c / n) for c in ny.values())
+    rows = get("mutual_information_type_hour").spark_fn(spark, sf_correctness).collect()
+    assert len(rows) == len(joint)
+    for r in rows:
+        assert r.mi_total == round(mi, 6)
+    assert -1e-9 <= round(mi, 6) <= min(hx, hy) + 1e-9
+
+
+def test_gini_matches_naive_and_range(spark, sf_correctness):
+    """Gini recomputed by the rank formula over exact per-customer
+    revenue must match to 1e-9, and must land in [0, 1)."""
+    from decimal import Decimal
+
+    rev = defaultdict(Decimal)
+    for r in (
+        io.load(spark, sf_correctness, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        rev[r.o_custkey] += Decimal(str(round(r.o_totalprice, 2)))
+    xs = [v for _, v in sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))]
+    n = len(xs)
+    s = sum(xs)
+    si = sum(Decimal(i) * x for i, x in enumerate(xs, start=1))
+    gini = (2.0 * float(si) - (n + 1) * float(s)) / (n * float(s))
+    [row] = get("gini_revenue_concentration").spark_fn(spark, sf_correctness).collect()
+    assert row.n_customers == n
+    assert abs(row.gini - round(gini, 6)) < 1e-9
+    assert 0.0 <= row.gini < 1.0
+
+
+def test_acf_matches_naive(spark, sf_correctness):
+    """ACF recomputed naively from the daily series (same 6-dp term
+    rounding) must match every lag exactly; lag-k pair count must be
+    n_days - k for the gap-free fixture month; |acf| <= 1."""
+    from datetime import datetime
+
+    days = Counter(
+        r.ts.date()
+        for r in io.load(spark, sf_correctness, "events").select("ts").collect()
+    )
+    series = sorted(days.items())
+    xs = [c for _, c in series]
+    n = len(xs)
+    m = sum(xs) / n
+    den = sum(round((x - m) * (x - m), 6) for x in xs)
+    rows = {r.lag: r for r in get("acf_daily_events").spark_fn(spark, sf_correctness).collect()}
+    assert set(rows) == set(range(1, 8))
+    for k in range(1, 8):
+        num = sum(round((xs[t] - m) * (xs[t + k] - m), 6) for t in range(n - k))
+        assert rows[k].n_pairs == n - k
+        assert rows[k].acf == round(num / den, 6), k
+        assert abs(rows[k].acf) <= 1.0 + 1e-9
+
+
+def test_ks_matches_naive(spark, sf_correctness):
+    """KS D recomputed from the two raw samples must match to 1e-9;
+    D must be in [0, 1]; the two half counts must partition the
+    events."""
+    from datetime import datetime
+
+    boundary = datetime(2024, 1, 16)
+    ref, cur = [], []
+    for r in io.load(spark, sf_correctness, "events").select("value", "ts").collect():
+        (ref if r.ts < boundary else cur).append(r.value)
+    values = sorted(set(ref) | set(cur))
+    ref_s, cur_s = sorted(ref), sorted(cur)
+    import bisect
+
+    d = 0.0
+    for v in values:
+        f1 = bisect.bisect_right(ref_s, v) / len(ref)
+        f2 = bisect.bisect_right(cur_s, v) / len(cur)
+        d = max(d, abs(f1 - f2))
+    [row] = get("ks_value_drift").spark_fn(spark, sf_correctness).collect()
+    assert row.n_ref == len(ref) and row.n_cur == len(cur)
+    assert abs(row.ks_d - round(d, 6)) < 1e-9
+    assert 0.0 <= row.ks_d <= 1.0
