@@ -83,6 +83,13 @@ HEADLINE = [
     "copurchase_brand_pairs",
     "spearman_value_vs_hour",
     "ewma_dyadic_user_value",
+    # round-7 additions (BASELINE.md "Round-7 anchors"; the 45 queries
+    # above remain comparable to their earlier anchors)
+    "tpch_q7_nation_trade_volume",
+    "tpch_q21_sole_supplier_lines",
+    "markov_event_transitions",
+    "token_entropy_by_source",
+    "ks_value_drift",
 ]
 
 
