@@ -677,3 +677,149 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+@register(
+    "cusum_changepoint_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+), mu AS (
+  SELECT SUM(x) / CAST(count(*) AS DOUBLE) AS m FROM daily
+), cusum AS (
+  SELECT day, x,
+         SUM(CAST(round(x - (SELECT m FROM mu), 6) AS DECIMAL(24,6)))
+           OVER (ORDER BY day) AS s
+  FROM daily
+), peak AS (
+  SELECT max(abs(s)) AS mx FROM cusum
+), first_peak AS (
+  SELECT min(day) AS d FROM cusum, peak WHERE abs(s) = mx
+)
+SELECT day, x, CAST(s AS DOUBLE) AS s_cusum,
+       CAST(day = (SELECT d FROM first_peak) AS BOOLEAN) AS is_changepoint
+FROM cusum
+""",
+    doc=(
+        "CUSUM change-point screen over the daily event-count series: "
+        "S_t = cumulative sum of (x_t − μ); the day where |S_t| peaks "
+        "is the most likely level-shift point (Page's test statistic "
+        "without the reset, the standard offline form). The deviations "
+        "are rounded to 6 dp into exact decimals BEFORE the cumulative "
+        "window, so every prefix sum is exact and the argmax is "
+        "bit-deterministic (earliest-day tiebreak). One scan, one "
+        "day-keyed aggregate, one day-ordered window over the "
+        "one-row-per-day series — the same 'window over a tiny "
+        "aggregate' scale posture as the rest of the band."
+    ),
+    tags=("agg", "window", "stats", "drift", "timeseries"),
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        io.load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    mu = daily.agg((F.sum("x") / F.count(F.lit(1)).cast("double")).alias("m"))
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        "x",
+        F.sum(F.round(F.col("x") - F.col("m"), 6).cast("decimal(24,6)"))
+        .over(wcum)
+        .alias("s"),
+    )
+    wall = Window.partitionBy()
+    max_abs = F.max(F.abs(F.col("s"))).over(wall)
+    first_peak = F.min(
+        F.when(F.abs(F.col("s")) == max_abs, F.col("day"))
+    ).over(wall)
+    return cusum.select(
+        "day",
+        "x",
+        F.col("s").cast("double").alias("s_cusum"),
+        ((F.abs(F.col("s")) == max_abs) & (F.col("day") == first_peak)).alias(
+            "is_changepoint"
+        ),
+    )
+
+
+@register(
+    "ab_test_conversion_z",
+    oracle="""
+WITH hours AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+           AS converted
+  FROM events GROUP BY user_id, hr
+), cohorts AS (
+  SELECT CAST(user_id % 2 AS INT) AS cohort,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS c
+  FROM hours GROUP BY cohort
+), wide AS (
+  SELECT
+    max(CASE WHEN cohort = 0 THEN n END) AS n_a,
+    max(CASE WHEN cohort = 0 THEN c END) AS c_a,
+    max(CASE WHEN cohort = 1 THEN n END) AS n_b,
+    max(CASE WHEN cohort = 1 THEN c END) AS c_b
+  FROM cohorts
+)
+SELECT n_a, c_a, n_b, c_b,
+       CAST(round(c_a / CAST(n_a AS DOUBLE), 6) AS DOUBLE) AS rate_a,
+       CAST(round(c_b / CAST(n_b AS DOUBLE), 6) AS DOUBLE) AS rate_b,
+       CAST(round((c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
+                  / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                         * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                         * (1.0 / n_a + 1.0 / n_b)), 6) AS DOUBLE) AS z_stat
+FROM wide
+""",
+    doc=(
+        "Two-proportion z-test between user cohorts (user_id parity — "
+        "a deterministic stand-in for an assignment column): the "
+        "conversion unit is an active user-hour, converted if it "
+        "contains a purchase (user-grain conversion is degenerate on "
+        "the fixtures: every user eventually purchases). Classic "
+        "pooled-variance z. Two keyed aggregates (user-hour grain, "
+        "then 2-key cohort rollup) on one scan; the statistic is pure "
+        "integer-count arithmetic + one sqrt — deterministic across "
+        "engines. The pattern generalizes: swap the parity column for "
+        "a real experiment-assignment join and the plan is unchanged."
+    ),
+    tags=("agg", "stats"),
+)
+def ab_test_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+    )
+    hours = ev.groupBy("user_id", "hr").agg(
+        F.max("is_purchase").cast("int").alias("converted")
+    )
+    cohorts = hours.groupBy((F.col("user_id") % 2).cast("int").alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("c")
+    )
+    wide = cohorts.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("cohort") == 0, F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("cohort") == 1, F.col("c"))).alias("c_b"),
+    )
+    p_a = F.col("c_a") / F.col("n_a").cast("double")
+    p_b = F.col("c_b") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b")).cast("double")
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -281,3 +281,59 @@ def test_ks_matches_naive(spark, sf_correctness):
     assert row.n_ref == len(ref) and row.n_cur == len(cur)
     assert abs(row.ks_d - round(d, 6)) < 1e-9
     assert 0.0 <= row.ks_d <= 1.0
+
+
+def test_cusum_matches_naive(spark, sf_correctness):
+    """CUSUM recomputed naively (same 6-dp deviation rounding) must
+    match every prefix; exactly one changepoint flagged, at the
+    earliest |S| peak; the final S must telescope to ~0 (sum of
+    deviations from the mean)."""
+    days = Counter(
+        r.ts.date()
+        for r in io.load(spark, sf_correctness, "events").select("ts").collect()
+    )
+    series = sorted(days.items())
+    xs = [c for _, c in series]
+    m = sum(xs) / len(xs)
+    s, prefix = 0.0, []
+    for x in xs:
+        s += round(x - m, 6)
+        prefix.append(round(s, 6))
+    rows = sorted(
+        get("cusum_changepoint_daily").spark_fn(spark, sf_correctness).collect(),
+        key=lambda r: r.day,
+    )
+    assert [round(r.s_cusum, 6) for r in rows] == prefix
+    flagged = [r for r in rows if r.is_changepoint]
+    assert len(flagged) == 1
+    peak = max(abs(p) for p in prefix)
+    first_idx = next(i for i, p in enumerate(prefix) if abs(p) == peak)
+    assert flagged[0].day == rows[first_idx].day
+    assert abs(prefix[-1]) < 1e-3
+
+
+def test_ab_test_matches_naive(spark, sf_correctness):
+    """z recomputed naively from the user-hour conversion table must
+    match to 1e-9; the two cohort sizes must partition all active
+    user-hours."""
+    ev = (
+        io.load(spark, sf_correctness, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    hours = defaultdict(int)
+    for r in ev:
+        key = (r.user_id, r.ts.replace(minute=0, second=0, microsecond=0))
+        hours[key] = max(hours[key], 1 if r.event_type == "purchase" else 0)
+    n = Counter()
+    c = Counter()
+    for (uid, _), conv in hours.items():
+        n[uid % 2] += 1
+        c[uid % 2] += conv
+    p_a, p_b = c[0] / n[0], c[1] / n[1]
+    pool = (c[0] + c[1]) / (n[0] + n[1])
+    z = (p_a - p_b) / math.sqrt(pool * (1 - pool) * (1 / n[0] + 1 / n[1]))
+    [row] = get("ab_test_conversion_z").spark_fn(spark, sf_correctness).collect()
+    assert (row.n_a, row.c_a, row.n_b, row.c_b) == (n[0], c[0], n[1], c[1])
+    assert row.n_a + row.n_b == len(hours)
+    assert abs(row.z_stat - round(z, 6)) < 1e-9

@@ -75,6 +75,18 @@ QUERIES = [
     "ewma_dyadic_user_value",
     "spearman_value_vs_hour",
     "anomaly_mad_events",
+    # round-7 drift/power-law band. Orders-side members (pareto, gini)
+    # and the TPC-H band are absent by construction: the harness scales
+    # only documents+events. The events replicas keep the original time
+    # axis, so the PSI/KS halves and the ACF day series stay aligned
+    # and simply see 10× the rows per bin/value/day.
+    "markov_event_transitions",
+    "token_entropy_by_source",
+    "zipf_token_fit",
+    "psi_value_drift",
+    "ks_value_drift",
+    "mutual_information_type_hour",
+    "acf_daily_events",
 ]
 
 
