@@ -706,3 +706,68 @@ def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_bal"),
     )
+
+
+@register(
+    "sink_versioned_time_travel",
+    oracle="""
+WITH v1 AS (
+  SELECT CAST(1 AS INT) AS version,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_bal_cents
+  FROM customer
+), v2 AS (
+  SELECT CAST(2 AS INT) AS version,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                  + CASE WHEN c_mktsegment = 'BUILDING' THEN 500 ELSE 0 END)
+              AS BIGINT) AS sum_bal_cents
+  FROM customer WHERE c_custkey % 10 <> 0
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+""",
+    doc=(
+        "Versioned sink + time-travel read (sources/versioned.py): "
+        "snapshot v1 = the customer table in integer cents; v2 = a "
+        "deterministic update batch (BUILDING segment credited 500 "
+        "cents, every 10th customer deleted) committed as a NEW "
+        "immutable snapshot with an atomic manifest pointer swap — "
+        "the miniature of how log-structured table formats publish "
+        "(data files first, then one atomic metadata replace). The "
+        "query then time-travels: reads v1 BY VERSION NUMBER after v2 "
+        "became current, reads v2 as latest, and aggregates both; "
+        "the oracle recomputes each snapshot from the ORIGINAL table, "
+        "so a reader seeing a half-published version, the manifest "
+        "pointing at the wrong snapshot, or v1 mutated by the v2 "
+        "commit all break the hash."
+    ),
+    tags=("sink", "source", "versioned"),
+)
+def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.sources import versioned
+
+    cust = io.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    base = _sink_path(sf_dir, "versioned_customer")
+    versioned.write_version(cust, base, 1)
+    v2 = cust.filter(F.col("c_custkey") % 10 != 0).withColumn(
+        "bal_cents",
+        F.col("bal_cents")
+        + F.when(F.col("c_mktsegment") == "BUILDING", 500).otherwise(0),
+    )
+    versioned.write_version(v2, base, 2)
+
+    def _agg(df: DataFrame, v: int) -> DataFrame:
+        return df.agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+        )
+
+    old = versioned.read_version(spark, base, version=1)   # time travel
+    latest = versioned.read_version(spark, base)           # manifest current
+    return _agg(old, 1).unionAll(_agg(latest, 2))

@@ -1,0 +1,77 @@
+"""Minimal versioned-table layout with time-travel reads: numbered
+immutable snapshot directories plus an atomically-replaced manifest
+naming the current version.
+
+Layout:
+
+    <base>/v=1/part-*.parquet      (immutable once committed)
+    <base>/v=2/part-*.parquet
+    <base>/_manifest.json          {"current": 2, "versions": [1, 2]}
+
+Commit protocol (single-writer, the same tmp→atomic-rename discipline
+as the reference's output commit, mr/coordinator.go:37-53, and this
+repo's KV sink): the snapshot is written to ``<base>/.v=N.tmp`` and
+``os.replace``d into place, THEN the manifest is rewritten via a temp
+file + ``os.replace``. A reader that loads the manifest either sees
+the old current (new snapshot invisible) or the new one (snapshot
+fully present) — never a half-written version. This is deliberately a
+miniature of the log-structured table formats (Delta/Iceberg publish
+the same way: data files first, then an atomic metadata pointer
+swap); multi-writer conflict resolution is out of scope and
+documented as such.
+
+At 100 TB nothing here is driver-sized: snapshots are ordinary
+distributed parquet writes; the manifest is O(versions) bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(base: str) -> str:
+    return os.path.join(base, "_manifest.json")
+
+
+def read_manifest(base: str) -> dict:
+    with open(_manifest_path(base)) as f:
+        return json.load(f)
+
+
+def write_version(df: DataFrame, base: str, version: int) -> None:
+    """Commit ``df`` as snapshot ``version`` and publish it as current."""
+    os.makedirs(base, exist_ok=True)
+    final = os.path.join(base, f"v={version}")
+    tmp = os.path.join(base, f".v={version}.tmp")
+    for p in (final, tmp):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    df.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, final)
+
+    try:
+        manifest = read_manifest(base)
+    except FileNotFoundError:
+        manifest = {"current": 0, "versions": []}
+    versions = sorted(set(manifest["versions"]) | {version})
+    manifest = {"current": max(versions), "versions": versions}
+    mtmp = _manifest_path(base) + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, _manifest_path(base))
+
+
+def read_version(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: snapshot ``version``, or the manifest's
+    current version when ``version`` is None."""
+    manifest = read_manifest(base)
+    v = manifest["current"] if version is None else version
+    if v not in manifest["versions"]:
+        raise ValueError(f"version {v} not in manifest {manifest['versions']}")
+    return spark.read.parquet(os.path.join(base, f"v={v}"))

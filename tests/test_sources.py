@@ -390,3 +390,39 @@ def test_python_stream_offset_resumes_by_name_on_changed_listing(tmp_path):
     # pre-name-format checkpoint ({"index": N}): positional, clamped
     assert r3._resolve({"index": 99}) == len(r3._files)
     assert r3._resolve({"index": 0}) == 0
+
+
+def test_versioned_manifest_protocol(spark, sf_smoke, tmp_path):
+    """The versioned layout's commit contract: a reader pinned to v1
+    sees identical data before and after the v2 commit; the manifest
+    always names the newest version as current; an unknown version is
+    refused; a stale .tmp staging dir (simulated crash) is invisible
+    to readers and cleaned by the next commit of that version."""
+    import os
+
+    from tda596_lab02mapreduce_spark import io
+    from tda596_lab02mapreduce_spark.sources import versioned
+
+    base = str(tmp_path / "vt")
+    nation = io.load(spark, sf_smoke, "nation").select("n_nationkey", "n_name")
+    versioned.write_version(nation, base, 1)
+    v1_before = sorted(tuple(r) for r in versioned.read_version(spark, base, 1).collect())
+
+    # simulated crashed writer: stale tmp dir for v2
+    os.makedirs(os.path.join(base, ".v=2.tmp"), exist_ok=True)
+    assert versioned.read_manifest(base)["current"] == 1
+
+    v2 = nation.filter("n_nationkey % 2 = 0")
+    versioned.write_version(v2, base, 2)
+    m = versioned.read_manifest(base)
+    assert m == {"current": 2, "versions": [1, 2]}
+    assert not os.path.exists(os.path.join(base, ".v=2.tmp"))
+
+    v1_after = sorted(tuple(r) for r in versioned.read_version(spark, base, 1).collect())
+    assert v1_after == v1_before, "v1 snapshot mutated by the v2 commit"
+    assert versioned.read_version(spark, base).count() == v2.count()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        versioned.read_version(spark, base, version=99)
