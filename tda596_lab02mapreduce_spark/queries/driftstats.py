@@ -30,9 +30,7 @@ _TOK_ORACLE = r"""
 """
 
 
-@register(
-    "psi_value_drift",
-    oracle="""
+PSI_ORACLE = """
 WITH binned AS (
   SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
@@ -62,7 +60,12 @@ SELECT bin, ref_cnt, cur_cnt, ref_share, cur_share,
        CAST(psi_term AS DOUBLE) AS psi_term,
        CAST(round(CAST(SUM(psi_term) OVER () AS DOUBLE), 6) AS DOUBLE) AS psi_total
 FROM terms
-""",
+"""
+
+
+@register(
+    "psi_value_drift",
+    oracle=PSI_ORACLE,
     doc=(
         "Population Stability Index between the first and second half "
         "of the events month (fixed boundary 2024-01-16), value binned "
@@ -80,44 +83,12 @@ FROM terms
     tags=("agg", "stats", "drift", "llm"),
 )
 def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = io.load(spark, sf_dir, "events").select(
-        F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)).alias("bin"),
-        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
-        .otherwise(0)
-        .alias("is_ref"),
-    )
-    cnts = ev.groupBy("bin").agg(
-        F.sum("is_ref").alias("ref_cnt"),
-        F.sum(1 - F.col("is_ref")).alias("cur_cnt"),
-    )
-    tot = cnts.agg(
-        F.sum("ref_cnt").cast("double").alias("ref_tot"),
-        F.sum("cur_cnt").cast("double").alias("cur_tot"),
-        F.count(F.lit(1)).alias("n_bins"),
-    )
-    ref_share = (F.col("ref_cnt") + 1) / (F.col("ref_tot") + F.col("n_bins"))
-    cur_share = (F.col("cur_cnt") + 1) / (F.col("cur_tot") + F.col("n_bins"))
-    terms = cnts.crossJoin(F.broadcast(tot)).select(
-        "bin",
-        "ref_cnt",
-        "cur_cnt",
-        F.round(ref_share, 8).alias("ref_share"),
-        F.round(cur_share, 8).alias("cur_share"),
-        F.round((ref_share - cur_share) * F.log(ref_share / cur_share), 8)
-        .cast(_TERM_DEC)
-        .alias("psi_term"),
-    )
-    return terms.select(
-        "bin",
-        "ref_cnt",
-        "cur_cnt",
-        "ref_share",
-        "cur_share",
-        F.col("psi_term").cast("double").alias("psi_term"),
-        F.round(F.sum("psi_term").over(Window.partitionBy()).cast("double"), 6).alias(
-            "psi_total"
-        ),
-    )
+    # core + tail shared with the streaming monitor
+    # (streaming/drift.py; stream_psi_monitor runs the identical
+    # functions over readStream, so this oracle checks both forms).
+    from tda596_lab02mapreduce_spark.streaming.drift import psi_bin_counts, score_psi
+
+    return score_psi(psi_bin_counts(io.load(spark, sf_dir, "events")))
 
 
 @register(

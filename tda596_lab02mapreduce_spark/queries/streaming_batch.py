@@ -677,3 +677,36 @@ def stream_interval_join_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_ts") < F.col("b"))
         .select("purchase_id", "click_id", "user_id")
     )
+
+
+from tda596_lab02mapreduce_spark.queries.driftstats import PSI_ORACLE as _PSI_ORACLE
+
+
+@register(
+    "stream_psi_monitor",
+    oracle=_PSI_ORACLE,
+    doc=(
+        "PSI drift monitor AS A STREAM: the per-bin conditional counts "
+        "(streaming/drift.py:psi_bin_counts — additive, so Structured "
+        "Streaming maintains them incrementally in complete mode, 10 "
+        "rows of state) are drained through an AvailableNow memory "
+        "sink, then the identical stateless scoring tail "
+        "(score_psi) runs on the final aggregate. Shares BOTH "
+        "functions with the batch psi_value_drift, so the same DuckDB "
+        "oracle hash-checks the streaming path end-to-end — the "
+        "monitor a 100 TB ingest pipeline would run per micro-batch, "
+        "with the reference profile constant and O(bins) state."
+    ),
+    tags=("streaming", "stats", "drift"),
+)
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.streaming.drift import psi_bin_counts, score_psi
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    counts = run_available_now(
+        psi_bin_counts(events_stream(spark, sf_dir)), "psi_monitor_counts"
+    )
+    return score_psi(counts)
