@@ -1002,3 +1002,100 @@ def revenue_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH first_click AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, CAST(e.user_id % 4 AS INT) AS cohort,
+         CAST(min(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(fc.t_click))
+              AS BIGINT) AS dur_us
+  FROM events e JOIN first_click fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > fc.t_click
+  GROUP BY e.user_id, cohort
+)
+SELECT cohort,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(round(SUM(dur_us) / count(*) / 1e6, 6) AS DOUBLE) AS mean_s,
+       CAST(quantile_cont(CAST(dur_us AS DOUBLE), 0.5) / 1e6 AS DOUBLE) AS p50_s,
+       CAST(quantile_cont(CAST(dur_us AS DOUBLE), 0.9) / 1e6 AS DOUBLE) AS p90_s
+FROM conv GROUP BY cohort
+""",
+    doc=(
+        "Funnel latency (time-to-convert): per user, microseconds from "
+        "FIRST click to the first subsequent purchase, rolled up per "
+        "cohort into count, mean, and exact R-7 interpolated p50/p90 "
+        "— the duration companion to user_funnel_conversion's "
+        "stage-count report. Durations stay integer micros (exact "
+        "epoch subtraction); the mean is an exact integer-sum "
+        "division; the quantiles reuse the histogram+cumulative-"
+        "window order-statistic shape of stats_exact_quantiles "
+        "(bounded state, no per-partition value buffering — the "
+        "percentile aggregate's 100 TB memory hazard), IEEE-identical "
+        "to DuckDB's quantile_cont. Two user-keyed aggregates and one "
+        "user-keyed join — everything rides the same user_id "
+        "partitioning."
+    ),
+    tags=("agg", "window", "stats", "timeseries", "funnel"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", (F.col("user_id") % 4).cast("int").alias("cohort"))
+        .agg(
+            F.min(F.unix_micros("ts") - F.unix_micros("t_click")).alias("dur_us")
+        )
+    )
+    counts = conv.groupBy("cohort", F.col("dur_us").cast("double").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("dur_us").alias("us_part"),
+    )
+    w = Window.partitionBy("cohort").orderBy("v")
+    wn = Window.partitionBy("cohort")
+    r = counts.select(
+        "cohort",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+        F.sum("us_part").over(wn).alias("sum_us"),
+    )
+
+    def quantile(p: float, out: str) -> list:
+        idx = (F.col("n") - 1) * F.lit(p)
+        lo, hi = F.floor(idx), F.ceil(idx)
+        return [
+            F.min(F.when(F.col("cum") >= lo + 1, F.col("v"))).alias(f"__lo_{out}"),
+            F.min(F.when(F.col("cum") >= hi + 1, F.col("v"))).alias(f"__hi_{out}"),
+            F.max(idx - lo).alias(f"__f_{out}"),
+        ]
+
+    agg = r.groupBy("cohort").agg(
+        F.max("n").alias("n_converted"),
+        F.max("sum_us").alias("sum_us"),
+        *quantile(0.5, "p50"),
+        *quantile(0.9, "p90"),
+    )
+
+    def interp(out: str):
+        lo, hi, f = F.col(f"__lo_{out}"), F.col(f"__hi_{out}"), F.col(f"__f_{out}")
+        return (lo + (hi - lo) * f) / 1e6
+
+    return agg.select(
+        "cohort",
+        "n_converted",
+        F.round(F.col("sum_us") / F.col("n_converted") / 1e6, 6).alias("mean_s"),
+        interp("p50").alias("p50_s"),
+        interp("p90").alias("p90_s"),
+    )
