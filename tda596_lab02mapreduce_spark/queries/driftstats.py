@@ -542,11 +542,16 @@ def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     d1 = dev.select(F.col("day").alias("day1"), F.col("dev").alias("dev1"))
     d2 = dev.select(F.col("day").alias("day2"), F.col("dev").alias("dev2"))
+    # d2 is the one-row-per-day series (30 rows at fixture scale,
+    # O(days) at any scale): broadcast it EXPLICITLY so the lagged
+    # alignment join has one plan shape at every input size — without
+    # the hint AQE flips broadcast↔shuffle between sf0.1 and the 10×
+    # corpus (observed: 16→17 Exchanges in tools/scale_stress.py).
     pairs = (
         F.broadcast(lags)
         .join(d1, F.lit(True))
         .join(
-            d2,
+            F.broadcast(d2),
             F.col("day2")
             == F.col("day1") + F.make_interval(days=F.col("lag")),
         )
