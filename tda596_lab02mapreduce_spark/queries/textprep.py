@@ -508,3 +508,93 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tokens") - 1).cast("double")
         ).alias("top_bigram_frac"),
     )
+
+
+@register(
+    "dedup_passage_exact",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+  FROM documents
+), chunks AS (
+  SELECT doc_id, CAST((start - 1) // 10 AS BIGINT) AS chunk_id,
+         array_to_string(list_slice(tk, start, start + 9), ' ') AS ctext
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 10)) AS start FROM tok)
+), ranked AS (
+  SELECT doc_id, chunk_id, ctext,
+         row_number() OVER (PARTITION BY ctext
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       string_agg(CASE WHEN rn = 1 THEN ctext END, ' ' ORDER BY chunk_id)
+         AS clean_text
+FROM ranked GROUP BY doc_id
+""",
+    doc=(
+        "Passage-level exact dedup (the C4/RefinedWeb repeated-passage "
+        "rule at chunk grain): documents split into non-overlapping "
+        "10-token passages; every passage that already appeared "
+        "anywhere in the corpus (first occurrence = smallest "
+        "(doc_id, chunk_id)) is dropped, and each document is "
+        "reassembled from its surviving passages in order. The "
+        "passage table shuffles (hash-of-passage, ids) — payload "
+        "rides only once; the first-occurrence rule is ONE window "
+        "over the passage-text key (at 100 TB: an aggregate min + "
+        "self-equi-join on a 64-bit passage hash — same shape, "
+        "documented swap); reassembly is a doc-keyed ordered "
+        "string_agg. 151 passages deduplicate at sf0.01, so the rule "
+        "is exercised, not vacuous."
+    ),
+    tags=("dedup", "text", "llm"),
+)
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = io.load(spark, sf_dir, "documents")
+    tk = tokens_nonempty("text")
+    chunk = F.expr("slice(tk, start, 10)")
+    chunks = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 1)
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(1), F.size("tk"), F.lit(10))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / F.lit(10)).cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", chunk).alias("ctext"),
+        )
+    )
+    w = Window.partitionBy("ctext").orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.col("ctext"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        # nullif: a document whose EVERY passage was already seen
+        # elsewhere reassembles to NULL (DuckDB string_agg semantics),
+        # not '' — that is the fully-duplicate-document signal.
+        F.nullif(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct(F.col("chunk_id"), F.col("ctext")),
+                            )
+                        )
+                    ),
+                    lambda s: s.ctext,
+                ),
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )

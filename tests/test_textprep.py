@@ -112,3 +112,39 @@ def test_bigrams_single_shuffle_with_partial_agg(spark, sf_correctness):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_passage_dedup_matches_naive(spark, sf_correctness):
+    """Naive Python replay of the passage rule (10-token chunks,
+    global first-occurrence by (doc_id, chunk_id)) must reproduce
+    n_chunks / n_kept / clean_text for every document, including the
+    fully-duplicate documents that reassemble to NULL."""
+    import re
+
+    from tda596_lab02mapreduce_spark import io as _io
+    from tda596_lab02mapreduce_spark.registry import get
+
+    word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+    docs = sorted(
+        (r.doc_id, word_re.findall(r.text))
+        for r in _io.load(spark, sf_correctness, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    seen = set()
+    expected = {}
+    for doc_id, toks in docs:
+        kept, total = [], 0
+        for i in range(0, len(toks), 10):
+            ctext = " ".join(toks[i : i + 10])
+            total += 1
+            if ctext not in seen:
+                seen.add(ctext)
+                kept.append(ctext)
+        expected[doc_id] = (total, len(kept), " ".join(kept) or None)
+    rows = get("dedup_passage_exact").spark_fn(spark, sf_correctness).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert (r.n_chunks, r.n_kept, r.clean_text) == expected[r.doc_id], r.doc_id
+    assert any(r.n_kept == 0 for r in rows), "fixture has fully-duplicate docs"
+    assert any(0 < r.n_kept < r.n_chunks for r in rows), "partial dedup exercised"
