@@ -598,3 +598,50 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("clean_text"),
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(CAST(CAST(from_hex(substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIT) AS BIGINT) / 1152921504606846976.0) / n_chars AS es_key
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(round(es_key, 8) AS DOUBLE) AS es_key_r
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT 50
+""",
+    doc=(
+        "Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+        "A-ES): each document draws a deterministic uniform u from the "
+        "md5 family (15 hex chars / 2^60 — the same portable-hash "
+        "discipline as the LSH md5lin family) and is ranked by "
+        "ln(u)/weight with weight = n_chars; the top-50 keys ARE a "
+        "weighted sample without replacement — the classic one-pass, "
+        "join-free distributed algorithm (vs. sequential reservoir "
+        "scans). The top-k is orderBy+limit = TakeOrderedAndProject "
+        "(per-partition heaps, no global sort); ln is a single "
+        "per-row call on identical bits in both engines, so the "
+        "selected SET and order are deterministic, and the reported "
+        "key is rounded to 8 dp for the value hash."
+    ),
+    tags=("sampling", "text", "llm", "topk"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint") / F.lit(float(1 << 60))
+    es_key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("es_key", 8).alias("es_key_r"))
+    )

@@ -148,3 +148,28 @@ def test_passage_dedup_matches_naive(spark, sf_correctness):
         assert (r.n_chunks, r.n_kept, r.clean_text) == expected[r.doc_id], r.doc_id
     assert any(r.n_kept == 0 for r in rows), "fixture has fully-duplicate docs"
     assert any(0 < r.n_kept < r.n_chunks for r in rows), "partial dedup exercised"
+
+
+def test_weighted_reservoir_props(spark, sf_correctness):
+    """A-ES invariants: exactly 50 distinct docs; deterministic across
+    invocations; the char-weighted draw over-represents long docs
+    (sample mean n_chars > corpus mean); keys are negative and
+    strictly ordered."""
+    from tda596_lab02mapreduce_spark import io as _io
+    from tda596_lab02mapreduce_spark.registry import get
+
+    fn = get("sample_weighted_reservoir").spark_fn
+    rows = fn(spark, sf_correctness).collect()
+    again = fn(spark, sf_correctness).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    assert len(rows) == 50 and len({r.doc_id for r in rows}) == 50
+    keys = [r.es_key_r for r in rows]
+    assert all(k < 0 for k in keys)
+    assert keys == sorted(keys, reverse=True)
+    corpus_mean = (
+        _io.load(spark, sf_correctness, "documents")
+        .agg({"n_chars": "avg"})
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
