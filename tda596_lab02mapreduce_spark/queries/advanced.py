@@ -1143,3 +1143,90 @@ def subquery_q17_small_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND CAST(ROUND(l.l_quantity, 0) AS DECIMAL(38,0)) * 5 * pa.n < pa.sq
         """
     )
+
+
+def fk_check(name: str, left: DataFrame, lkey: str, right: DataFrame, rkey: str,
+             broadcast_right: bool) -> DataFrame:
+    """One FK direction: count left rows with no right-side match
+    (keys-only left-anti join). Module-level so the dirty-data unit
+    test drives the identical shape the clean-fixture oracle checks."""
+    r = right.select(rkey)
+    if broadcast_right:
+        r = F.broadcast(r)
+    return (
+        left.select(lkey)
+        .join(r, left[lkey] == r[rkey], "left_anti")
+        .agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+    )
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+SELECT 'lineitem_orphans' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_without_lines',
+       CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'orders_orphan_customer',
+       CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer_orphan_nation',
+       CAST(count(*) AS BIGINT)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'lineitem_orphan_part',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem_orphan_supplier',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+""",
+    doc=(
+        "Referential-integrity audit across the star schema: orphan "
+        "counts for every foreign key (lineitem→orders/part/supplier, "
+        "orders→customer, customer→nation) plus childless orders — "
+        "the pre-flight check every warehouse load runs. Each check "
+        "is a LEFT ANTI join counted; dimension-side checks broadcast "
+        "the dimension, the two fact-fact checks shuffle on the join "
+        "key only (keys-only column pruning — no payload rides the "
+        "audit). The complement row (orders_without_lines) uses the "
+        "reversed anti join, not a full outer — six independent "
+        "branches, each the minimal plan for its direction. All "
+        "counts are 0 on the consistent fixtures; the query SHAPE is "
+        "what scales — point it at a dirty load and the counts light "
+        "up."
+    ),
+    tags=("join", "anti", "agg", "quality"),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    orders = io.load(spark, sf_dir, "orders")
+    cust = io.load(spark, sf_dir, "customer")
+    nation = io.load(spark, sf_dir, "nation")
+    part = io.load(spark, sf_dir, "part")
+    sup = io.load(spark, sf_dir, "supplier")
+    check = fk_check
+
+    return (
+        check("lineitem_orphans", li, "l_orderkey", orders, "o_orderkey", False)
+        .unionAll(check("orders_without_lines", orders, "o_orderkey", li, "l_orderkey", False))
+        .unionAll(check("orders_orphan_customer", orders, "o_custkey", cust, "c_custkey", True))
+        .unionAll(check("customer_orphan_nation", cust, "c_nationkey", nation, "n_nationkey", True))
+        .unionAll(check("lineitem_orphan_part", li, "l_partkey", part, "p_partkey", True))
+        .unionAll(check("lineitem_orphan_supplier", li, "l_suppkey", sup, "s_suppkey", True))
+    )

@@ -1099,3 +1099,60 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp("p50").alias("p50_s"),
         interp("p90").alias("p90_s"),
     )
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+         lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS next_ts
+  FROM events
+), segs AS (
+  SELECT user_id,
+         epoch_us(next_ts) - epoch_us(ts) AS dt_us,
+         CAST(round(value * (epoch_us(next_ts) - epoch_us(ts)) / 1e6, 4)
+              AS DECIMAL(24,4)) AS vdt
+  FROM seq WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(round(SUM(dt_us) / 1e6, 3) AS DOUBLE) AS span_s,
+       CAST(round(CAST(SUM(vdt) AS DOUBLE) / (SUM(dt_us) / 1e6), 6) AS DOUBLE)
+         AS twap
+FROM segs GROUP BY user_id
+""",
+    doc=(
+        "Time-weighted average value per user (TWAP — the correct "
+        "mean for irregularly-sampled step series, where the plain "
+        "AVG over-weights bursty periods): each observation holds "
+        "until the next one (lead over the user timeline), weight = "
+        "holding micros, TWAP = Σ v·Δt / ΣΔt. One user-keyed Exchange "
+        "feeds both the lead window and the rollup; v·Δt terms are "
+        "rounded to 4 dp into exact decimals before summing "
+        "(order-independent — the band's float-sum discipline), "
+        "durations stay integer micros. The last observation of each "
+        "user has no holding interval and is excluded by definition."
+    ),
+    tags=("window", "agg", "timeseries", "stats"),
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select("user_id", "value", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    dt_us = F.unix_micros("next_ts") - F.unix_micros("ts")
+    segs = seq.select(
+        "user_id",
+        dt_us.alias("dt_us"),
+        F.round(F.col("value") * dt_us / 1e6, 4).cast("decimal(24,4)").alias("vdt"),
+    )
+    return segs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(F.sum("dt_us") / 1e6, 3).alias("span_s"),
+        F.round(
+            F.sum("vdt").cast("double") / (F.sum("dt_us") / 1e6), 6
+        ).alias("twap"),
+    )

@@ -240,3 +240,20 @@ def test_yoy_growth_matches_naive_monthly_sums(spark, sf_smoke):
             assert got[m]["prev_year_c"] == monthly[prev]
         else:
             assert got[m]["prev_year_c"] is None
+
+
+def test_fk_audit_counts_injected_violations(spark):
+    """The audit shape must actually detect dirt: on a hand-built pair
+    of tables with 3 orphan children and 2 childless parents, both
+    directions report exactly those counts (the clean-fixture run's
+    all-zeros row is the absence-of-dirt case, not a vacuous check)."""
+    from tda596_lab02mapreduce_spark.queries.advanced import fk_check
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (7,), (8,), (9,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk bigint")
+    [orphans] = fk_check("orphans", child, "fk", parent, "pk", True).collect()
+    assert (orphans.check_name, orphans.n_violations) == ("orphans", 3)
+    [childless] = fk_check("childless", parent, "pk", child, "fk", False).collect()
+    assert (childless.check_name, childless.n_violations) == ("childless", 2)
