@@ -799,3 +799,64 @@ def ab_test_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_b, 6).alias("rate_b"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY day
+), seq AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY day) AS INT) AS t,
+         CAST(count(*) OVER () AS INT) AS n
+  FROM daily
+), rec AS (
+  SELECT 2 AS t,
+         CAST(round(s2.x * 0.5 + (s1.x + (s2.x - s1.x) * 0.25) * 0.5, 6)
+              AS DOUBLE) AS level,
+         CAST(round((s2.x * 0.5 + (s1.x + (s2.x - s1.x) * 0.25) * 0.5 - s1.x)
+                    * 0.25 + (s2.x - s1.x) * 0.75, 6) AS DOUBLE) AS trend
+  FROM seq s1 JOIN seq s2 ON s1.t = 1 AND s2.t = 2
+  UNION ALL
+  SELECT r.t + 1,
+         CAST(round(d.x * 0.5 + (r.level + r.trend) * 0.5, 6) AS DOUBLE),
+         CAST(round((d.x * 0.5 + (r.level + r.trend) * 0.5 - r.level) * 0.25
+                    + r.trend * 0.75, 6) AS DOUBLE)
+  FROM rec r JOIN seq d ON d.t = r.t + 1
+  WHERE r.t < d.n
+), final AS (
+  SELECT level, trend FROM rec ORDER BY t DESC LIMIT 1
+), horizon AS (SELECT unnest(range(1, 8)) AS h)
+SELECT CAST(h AS INT) AS h,
+       CAST(round(level + h * trend, 6) AS DOUBLE) AS forecast
+FROM final, horizon
+"""
+
+
+@register(
+    "holt_forecast_daily",
+    # DuckDB runs _HOLT_SQL verbatim; the Spark side swaps only the
+    # horizon-unnest idiom (explode(sequence)) below.
+    oracle=_HOLT_SQL,
+    doc=(
+        "Holt double-exponential smoothing over the daily event-count "
+        "series (α=0.5, β=0.25 — dyadic so every smoothing step is "
+        "exact binary arithmetic), unrolled as a RECURSIVE CTE: the "
+        "level/trend pair steps once per day INSIDE one Catalyst "
+        "plan (the Spark-4 recursion the reachability query also "
+        "uses), seeded with level₁=x₁, trend₁=x₂−x₁; both state "
+        "components are rounded to 6 dp each step so the recursion is "
+        "bit-identical across engines, then a 7-day linear forecast "
+        "is emitted. The recursion runs over the ONE-ROW-PER-DAY "
+        "aggregate — O(days) tiny steps after a single events scan; "
+        "at 100 TB the scan dominates and the recursion cost is "
+        "unchanged."
+    ),
+    tags=("timeseries", "stats", "recursive", "forecast"),
+)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir, ("events",))
+    sql = _HOLT_SQL.replace(
+        "unnest(range(1, 8)) AS h", "explode(sequence(1, 7)) AS h"
+    )
+    return spark.sql(sql)

@@ -337,3 +337,36 @@ def test_ab_test_matches_naive(spark, sf_correctness):
     assert (row.n_a, row.c_a, row.n_b, row.c_b) == (n[0], c[0], n[1], c[1])
     assert row.n_a + row.n_b == len(hours)
     assert abs(row.z_stat - round(z, 6)) < 1e-9
+
+
+def test_holt_matches_naive(spark, sf_correctness):
+    """The recursive-CTE Holt smoother recomputed as a plain Python
+    fold (same α=0.5 β=0.25, same 6-dp per-step rounding) must
+    reproduce all 7 forecast points exactly."""
+    days = Counter(
+        r.ts.date()
+        for r in io.load(spark, sf_correctness, "events").select("ts").collect()
+    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(v: float) -> float:
+        # SQL ROUND is half-UP on the double's shortest decimal repr;
+        # Python round() is half-EVEN — the difference surfaced as a
+        # 1e-6 drift mid-recursion on a .5-tie. Mirror SQL exactly.
+        return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    xs = [float(c) for _, c in sorted(days.items())]
+    # mirror the SQL exactly: the trend update reuses the UNROUNDED
+    # level expression (the CTE repeats the expression, it does not
+    # reference the rounded column)
+    raw = xs[1] * 0.5 + (xs[0] + (xs[1] - xs[0]) * 0.25) * 0.5
+    level = r6(raw)
+    trend = r6((raw - xs[0]) * 0.25 + (xs[1] - xs[0]) * 0.75)
+    for x in xs[2:]:
+        raw = x * 0.5 + (level + trend) * 0.5
+        trend = r6((raw - level) * 0.25 + trend * 0.75)
+        level = r6(raw)
+    rows = {r.h: r.forecast for r in get("holt_forecast_daily").spark_fn(spark, sf_correctness).collect()}
+    assert set(rows) == set(range(1, 8))
+    for h in range(1, 8):
+        assert rows[h] == r6(level + h * trend), h
