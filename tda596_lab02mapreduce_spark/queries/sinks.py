@@ -771,3 +771,38 @@ def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = versioned.read_version(spark, base, version=1)   # time travel
     latest = versioned.read_version(spark, base)           # manifest current
     return _agg(old, 1).unionAll(_agg(latest, 2))
+
+
+@register(
+    "sink_codec_zstd_roundtrip",
+    oracle="""
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM supplier
+GROUP BY s_nationkey
+""",
+    doc=(
+        "Codec-explicit parquet sink: supplier written with "
+        "compression=zstd (the modern default for cold analytical "
+        "data — better ratio than snappy at similar scan speed), read "
+        "back and aggregated against the ORIGINAL table's oracle. The "
+        "codec is a per-write option, not a session flag, so mixed "
+        "codec estates read transparently; tests/test_sources.py "
+        "asserts the files really are zstd-compressed (footer "
+        "metadata), so the roundtrip can't silently fall back to the "
+        "default codec."
+    ),
+    tags=("sink", "source"),
+)
+def sink_codec_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = io.load(spark, sf_dir, "supplier")
+    path = _sink_path(sf_dir, "supplier_zstd")
+    sup.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = sources.read_parquet(spark, path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_bal"),
+    )

@@ -426,3 +426,28 @@ def test_versioned_manifest_protocol(spark, sf_smoke, tmp_path):
 
     with pytest.raises(ValueError):
         versioned.read_version(spark, base, version=99)
+
+
+def test_zstd_sink_files_really_use_zstd(spark, sf_correctness):
+    """The codec-explicit sink must produce zstd-compressed column
+    chunks — not silently fall back to the session default (snappy)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tda596_lab02mapreduce_spark.registry import get
+
+    get("sink_codec_zstd_roundtrip").spark_fn(spark, sf_correctness).collect()
+    tag = sf_correctness.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        ".tmp", f"supplier_zstd_{tag}")
+    files = glob.glob(os.path.join(root, "*.parquet"))
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    codecs = {
+        meta.row_group(rg).column(c).compression
+        for rg in range(meta.num_row_groups)
+        for c in range(meta.num_columns)
+    }
+    assert codecs == {"ZSTD"}, codecs
