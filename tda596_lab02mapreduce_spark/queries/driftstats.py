@@ -1,7 +1,10 @@
-"""Distribution-drift and power-law analytics (round-7 widening of
-the SURVEY.md §2C training-data band): PSI drift, Markov event
-transitions, Pareto revenue concentration, Zipf rank-frequency fit,
-and per-source token entropy.
+"""Distribution-drift and statistics band (round-7 widening of the
+SURVEY.md §2C training-data surface): PSI drift (batch + the shared
+streaming core in streaming/drift.py), two-sample KS, CUSUM
+change-point, Markov event transitions, Pareto deciles + Gini, Zipf
+rank-frequency fit, per-source token entropy, mutual information,
+daily-series autocorrelation, a two-proportion A/B z-test, and a
+Holt forecast unrolled as a recursive CTE.
 
 Float-log discipline shared by the band: any metric built from
 ``ln`` is computed per row/term, rounded to 8 dp, cast to an exact
