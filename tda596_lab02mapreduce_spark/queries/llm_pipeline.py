@@ -1465,3 +1465,114 @@ def vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s1 / nd).alias("mean"),
         F.sqrt((s2 - (s1 * s1) / nd) / nd).alias("std"),
     )
+
+
+@register(
+    "embedding_centroid_outliers",
+    oracle="""
+WITH long AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, dim,
+         CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                             list(v ORDER BY v)),
+                                (acc, x) -> acc + x) / count(*), 6)
+              AS DOUBLE) AS c
+  FROM long GROUP BY label, dim
+), dists AS (
+  SELECT l.vec_id, l.label,
+         CAST(round(sqrt(list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              list((l.v - c.c) * (l.v - c.c) ORDER BY l.dim)),
+                 (acc, x) -> acc + x)), 6) AS DOUBLE) AS dist_r
+  FROM long l JOIN cent c ON l.label = c.label AND l.dim = c.dim
+  GROUP BY l.vec_id, l.label
+), stats AS (
+  SELECT label,
+         SUM(CAST(round(dist_r, 6) AS DECIMAL(18,6))) AS s1,
+         SUM(CAST(round(dist_r * dist_r, 6) AS DECIMAL(18,6))) AS s2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dists GROUP BY label
+), mu AS (
+  SELECT label, CAST(s1 AS DOUBLE) / n AS mean,
+         sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n) AS sd
+  FROM stats
+)
+SELECT d.vec_id, d.label, d.dist_r,
+       CAST(round((d.dist_r - m.mean) / m.sd, 4) AS DOUBLE) AS z_r,
+       CAST((d.dist_r - m.mean) / m.sd > 2.5 AS BOOLEAN) AS is_outlier
+FROM dists d JOIN mu m ON d.label = m.label
+""",
+    doc=(
+        "Embedding-QA outlier screen: per-vector L2 distance to its "
+        "label centroid, z-scored within the label — the standard "
+        "mislabeled/edge-vector detector before index build or "
+        "classifier training. (A plain NORM screen is degenerate "
+        "here: the corpus is unit-normalized, every norm is 1 — "
+        "caught when sd=0 divided by zero, the check that motivated "
+        "distance-to-centroid instead.) Float discipline throughout: "
+        "centroid = sorted cross-row fold (vector_centroid_by_label's "
+        "exact-match form) rounded to 6 dp; per-vector distance = "
+        "dim-ordered fold of squared residuals; label moments = exact "
+        "decimal sums of rounded distances. Plan: one posexplode, a "
+        "(label,dim) aggregate broadcast back onto the long table, a "
+        "per-vector rollup, and a 5-row moment join — all keyed, "
+        "payloads never duplicated."
+    ),
+    tags=("similarity", "stats", "llm", "quality"),
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = (
+        long.groupBy("label", "dim")
+        .agg(F.array_sort(F.collect_list("v")).alias("vs"))
+        .select(
+            "label",
+            "dim",
+            F.round(
+                F.aggregate("vs", F.lit(0.0), lambda a, x: a + x) / F.size("vs"), 6
+            ).alias("c"),
+        )
+    )
+    sq = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", (F.col("v") - F.col("c")) ** 2))),
+            lambda s: s.getField("col2"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dists = (
+        long.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(sq), 6).alias("dist_r"))
+    )
+    stats = dists.groupBy("label").agg(
+        F.sum(F.round(F.col("dist_r"), 6).cast("decimal(18,6)")).alias("s1"),
+        F.sum(F.round(F.col("dist_r") * F.col("dist_r"), 6).cast("decimal(18,6)")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = stats.select(
+        "label",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
+            / F.col("n")
+        ).alias("sd"),
+    )
+    z = (F.col("dist_r") - F.col("mean")) / F.col("sd")
+    return dists.join(F.broadcast(mu), "label").select(
+        "vec_id",
+        "label",
+        "dist_r",
+        F.round(z, 4).alias("z_r"),
+        (z > 2.5).alias("is_outlier"),
+    )
