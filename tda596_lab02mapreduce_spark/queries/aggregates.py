@@ -487,3 +487,76 @@ def agg_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("l_orderkey").alias("keys_xor"),
         )
     )
+
+
+@register(
+    "rollup_share_of_parent",
+    oracle="""
+WITH nat AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY region, nation
+)
+SELECT region, nation,
+       CAST(nation_rev AS DOUBLE) AS nation_rev,
+       CAST(round(CAST(nation_rev AS DOUBLE)
+                  / CAST(SUM(nation_rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+            AS DOUBLE) AS share_of_region,
+       CAST(round(CAST(SUM(nation_rev) OVER (PARTITION BY region) AS DOUBLE)
+                  / CAST(SUM(nation_rev) OVER () AS DOUBLE), 6) AS DOUBLE)
+         AS region_share_of_total
+FROM nat
+""",
+    doc=(
+        "Hierarchical share-of-parent report (nation→region→total): "
+        "each nation's share of its region and the region's share of "
+        "the grand total, from ONE exact-decimal rollup — the parent "
+        "totals are windows over the 25-row nation aggregate, never a "
+        "second scan or a join back to the fact. Dimensions broadcast "
+        "into the fact scan; the single wide shuffle is the "
+        "(region,nation) aggregate; shares are exact-decimal-input "
+        "divisions. The drill-down complement of grouping_rollup "
+        "(which produces the totals as extra ROWS; this produces them "
+        "as ratios in place)."
+    ),
+    tags=("agg", "window", "join"),
+)
+def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = io.load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = io.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    region = io.load(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    nat = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("region", "nation")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("nation_rev"))
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        F.col("nation_rev").cast("double").alias("nation_rev"),
+        F.round(
+            F.col("nation_rev").cast("double")
+            / F.sum("nation_rev").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("nation_rev").over(wr).cast("double")
+            / F.sum("nation_rev").over(wall).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    )

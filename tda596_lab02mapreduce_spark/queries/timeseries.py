@@ -1156,3 +1156,46 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vdt").cast("double") / (F.sum("dt_us") / 1e6), 6
         ).alias("twap"),
     )
+
+
+@register(
+    "debounce_events_5s",
+    oracle="""
+WITH seq AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type
+FROM seq
+WHERE prev_ts IS NULL
+   OR epoch_us(ts) - epoch_us(prev_ts) > 5000000
+""",
+    doc=(
+        "Debounce filter (the telemetry double-fire / double-click "
+        "scrub): an event survives unless the SAME user emitted the "
+        "SAME type within the previous 5 s. One (user,type)-keyed lag "
+        "window — in-partition sort, single Exchange, no self-join; "
+        "the gap compares integer micros (exact). Note the semantics "
+        "pinned here are lag-based (gap to the previous RAW event), "
+        "not gap-to-previous-SURVIVOR — the two differ on bursts "
+        "longer than the window and this form is the one-pass "
+        "streaming-friendly one (survivor-relative debounce needs a "
+        "session-style running state)."
+    ),
+    tags=("window", "timeseries", "dedup"),
+)
+def debounce_events_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 5_000_000)
+        )
+        .select("event_id", "user_id", "event_type")
+    )
