@@ -1159,7 +1159,7 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "debounce_events_5s",
+    "debounce_events_1h",
     oracle="""
 WITH seq AS (
   SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
@@ -1170,12 +1170,12 @@ WITH seq AS (
 SELECT event_id, user_id, event_type
 FROM seq
 WHERE prev_ts IS NULL
-   OR epoch_us(ts) - epoch_us(prev_ts) > 5000000
+   OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
 """,
     doc=(
         "Debounce filter (the telemetry double-fire / double-click "
         "scrub): an event survives unless the SAME user emitted the "
-        "SAME type within the previous 5 s. One (user,type)-keyed lag "
+        "SAME type within the previous hour. (A literal 5 s window is vacuous on the fixture's ~2-day per-(user,type) cadence — every event would survive and the filter would test nothing; 1 h suppresses 184 events at sf0.01, so the rule is exercised.) One (user,type)-keyed lag "
         "window — in-partition sort, single Exchange, no self-join; "
         "the gap compares integer micros (exact). Note the semantics "
         "pinned here are lag-based (gap to the previous RAW event), "
@@ -1186,7 +1186,7 @@ WHERE prev_ts IS NULL
     ),
     tags=("window", "timeseries", "dedup"),
 )
-def debounce_events_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
+def debounce_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
@@ -1195,7 +1195,7 @@ def debounce_events_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("prev_ts", F.lag("ts").over(w))
         .filter(
             F.col("prev_ts").isNull()
-            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 5_000_000)
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 3_600_000_000)
         )
         .select("event_id", "user_id", "event_type")
     )
