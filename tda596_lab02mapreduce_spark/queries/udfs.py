@@ -196,3 +196,42 @@ def udtf_trigram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.ngram "
         "FROM documents d, LATERAL q_trigrams(d.text) t"
     )
+
+
+@register(
+    "pandas_api_groupby",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders GROUP BY o_orderstatus
+""",
+    doc=(
+        "pandas-on-Spark API surface (pyspark.pandas): the same "
+        "per-status rollup written as idiomatic pandas — "
+        "read_parquet → assign → groupby → agg → reset_index — and "
+        "converted back with to_spark(). The point is the MIGRATION "
+        "surface: pandas code runs distributed with no rewrite, and "
+        "the plan Catalyst sees is the same partial+final aggregate "
+        "the DataFrame form produces (pandas-on-Spark compiles to "
+        "DataFrame ops, not to a driver-side pandas). Money in "
+        "integer cents so the sum is exact."
+    ),
+    tags=("udf", "api", "agg"),
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    psdf = psdf.assign(cents=(psdf.o_totalprice * 100).round(0).astype("int64"))
+    out = (
+        psdf.groupby("o_orderstatus")
+        .agg(n_orders=("o_orderkey", "count"), sum_cents=("cents", "sum"))
+        .reset_index()
+    )
+    return out.to_spark().select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )

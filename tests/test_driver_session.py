@@ -69,3 +69,30 @@ def test_red_events_queries_on_config_free_session(spark, sf_smoke, name):
     _unset_nanos_conf(spark)
     df = registry.get(name).spark_fn(spark, sf_smoke)
     assert df.count() >= 0  # materializes without a type error
+
+
+def test_observe_metrics_match_aggregate(spark, sf_correctness):
+    """DataFrame.observe(): pipeline-embedded metrics (the accumulator
+    surface a production job uses for row-count/sum telemetry without
+    a second pass) must report exactly the values a separate aggregate
+    computes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark import io
+
+    obs = Observation("li_metrics")
+    li = io.load(spark, sf_correctness, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+    )
+    observed.filter(F.col("l_returnflag") == "R").groupBy("l_linestatus").count().collect()
+    expected = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_rows"] == expected["n"]
+    assert got["sum_qty"] == expected["s"]
