@@ -534,8 +534,14 @@ def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = daily.agg(
         (F.sum("x") / F.count(F.lit(1)).cast("double")).alias("m")
     )
-    dev = daily.crossJoin(F.broadcast(mu)).select(
-        "day", "x", (F.col("x") - F.col("m")).alias("dev")
+    # dev (one row per day) feeds FOUR consumers (denominator + both
+    # join sides); without materialization each consumer re-plans the
+    # whole events scan (measured: 2 parquet scans in the final plan).
+    # The series is O(days) rows — checkpoint it once, scan events once.
+    dev = (
+        daily.crossJoin(F.broadcast(mu))
+        .select("day", "x", (F.col("x") - F.col("m")).alias("dev"))
+        .localCheckpoint(eager=True)
     )
     denom = dev.agg(
         F.sum(F.round(F.col("dev") * F.col("dev"), 6).cast("decimal(24,6)")).alias(

@@ -370,3 +370,46 @@ def test_holt_matches_naive(spark, sf_correctness):
     assert set(rows) == set(range(1, 8))
     for h in range(1, 8):
         assert rows[h] == r6(level + h * trend), h
+
+
+def test_round7_late_band_plan_hygiene(spark, sf_correctness):
+    """Blanket plan hygiene for the late round-7 operators: no
+    cartesian products (the broadcast scalar joins must stay
+    BroadcastNestedLoop over 1-row sides, never CartesianProduct),
+    no unexpected rangepartitioning outside the queries that
+    legitimately rank (pareto/gini/zipf/reservoir), and bounded
+    parquet scan counts."""
+    cases = {
+        # name: (max parquet scans, global-sort allowed)
+        "mutual_information_type_hour": (1, False),
+        "gini_revenue_concentration": (1, True),
+        "ks_value_drift": (1, True),
+        "cusum_changepoint_daily": (1, True),
+        "ab_test_conversion_z": (1, False),
+        "acf_daily_events": (0, True),  # localCheckpointed series — no parquet in final plan
+        "holt_forecast_daily": (2, True),  # recursion seed + step share the view
+        "twap_user_value": (1, False),
+        "debounce_events_1h": (1, False),
+        "rollup_share_of_parent": (4, False),
+        "dedup_passage_exact": (1, False),
+        "embedding_centroid_outliers": (2, False),
+        "funnel_time_to_convert": (2, False),
+        "sample_weighted_reservoir": (1, False),
+        "stream_psi_monitor": (0, True),  # reads the drained memory sink
+        "sink_versioned_time_travel": (4, False),
+        "sink_codec_zstd_roundtrip": (2, False),
+        "pandas_api_groupby": (1, False),
+    }
+    for name, (max_scans, sort_ok) in cases.items():
+        df = get(name).spark_fn(spark, sf_correctness)
+        plan = plans.final_plan(df)
+        assert not plans.has_operator(df, "CartesianProduct"), name
+        # count tree NODES (op followed by its id), not raw substring
+        # hits — non-adaptive plans repeat each node in the detail
+        # section below the tree
+        n_scans = plans.count_nodes(plan, "Scan parquet")
+        assert n_scans <= max_scans, f"{name}: {n_scans} scans\n{plan[:1500]}"
+        if not sort_ok:
+            assert "rangepartitioning" not in plan.lower(), (
+                f"{name} global-sorts\n{plan[:1500]}"
+            )
