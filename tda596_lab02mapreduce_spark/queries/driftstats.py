@@ -821,9 +821,9 @@ WITH RECURSIVE daily AS (
   FROM daily
 ), rec AS (
   SELECT 2 AS t,
-         CAST(round(s2.x * 0.5 + (s1.x + (s2.x - s1.x) * 0.25) * 0.5, 6)
+         CAST(round(s2.x * 0.5 + (s1.x + (s2.x - s1.x)) * 0.5, 6)
               AS DOUBLE) AS level,
-         CAST(round((s2.x * 0.5 + (s1.x + (s2.x - s1.x) * 0.25) * 0.5 - s1.x)
+         CAST(round((s2.x * 0.5 + (s1.x + (s2.x - s1.x)) * 0.5 - s1.x)
                     * 0.25 + (s2.x - s1.x) * 0.75, 6) AS DOUBLE) AS trend
   FROM seq s1 JOIN seq s2 ON s1.t = 1 AND s2.t = 2
   UNION ALL

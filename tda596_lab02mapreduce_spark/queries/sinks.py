@@ -753,6 +753,12 @@ def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
     )
     base = _sink_path(sf_dir, "versioned_customer")
+    # fresh scratch base per run: write_version keeps the FIRST commit
+    # of a version (immutability guard), so a stale base from an older
+    # fixture generation would pin outdated data under v=1
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
     versioned.write_version(cust, base, 1)
     v2 = cust.filter(F.col("c_custkey") % 10 != 0).withColumn(
         "bal_cents",

@@ -573,7 +573,6 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("ctext").orderBy("doc_id", "chunk_id")
     ranked = chunks.withColumn("rn", F.row_number().over(w))
-    kept = F.when(F.col("rn") == 1, F.col("ctext"))
     return ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),

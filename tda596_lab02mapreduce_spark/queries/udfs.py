@@ -221,13 +221,14 @@ FROM orders GROUP BY o_orderstatus
     tags=("udf", "api", "agg"),
 )
 def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyspark.pandas as ps
-
-    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    # through io.load (the one ingestion chokepoint) and with an
+    # explicit index_col — the default distributed-sequence index
+    # costs an extra index-attachment job that to_spark() discards
+    psdf = io.load(spark, sf_dir, "orders").pandas_api(index_col="o_orderkey")
     psdf = psdf.assign(cents=(psdf.o_totalprice * 100).round(0).astype("int64"))
     out = (
         psdf.groupby("o_orderstatus")
-        .agg(n_orders=("o_orderkey", "count"), sum_cents=("cents", "sum"))
+        .agg(n_orders=("o_custkey", "count"), sum_cents=("cents", "sum"))
         .reset_index()
     )
     return out.to_spark().select(

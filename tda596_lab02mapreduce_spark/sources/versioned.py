@@ -43,15 +43,22 @@ def read_manifest(base: str) -> dict:
 
 
 def write_version(df: DataFrame, base: str, version: int) -> None:
-    """Commit ``df`` as snapshot ``version`` and publish it as current."""
+    """Commit ``df`` as snapshot ``version`` and publish it as current.
+
+    Re-committing an EXISTING version is a no-op for the data files:
+    a committed snapshot is immutable, and deleting it to rewrite
+    would leave a window where a version-pinned reader finds no
+    directory at all (the review finding that motivated this guard).
+    Only the manifest is (re-)published in that case — idempotent
+    re-runs of a sink query keep the first commit."""
     os.makedirs(base, exist_ok=True)
     final = os.path.join(base, f"v={version}")
     tmp = os.path.join(base, f".v={version}.tmp")
-    for p in (final, tmp):
-        if os.path.exists(p):
-            shutil.rmtree(p)
-    df.write.mode("overwrite").parquet(tmp)
-    os.replace(tmp, final)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale staging from a crashed writer — never visible
+    if not os.path.exists(final):
+        df.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, final)
 
     try:
         manifest = read_manifest(base)

@@ -293,12 +293,20 @@ def test_cusum_matches_naive(spark, sf_correctness):
         for r in io.load(spark, sf_correctness, "events").select("ts").collect()
     )
     series = sorted(days.items())
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def d6(v: float) -> Decimal:
+        # SQL ROUND semantics (half-up on the shortest repr), kept as
+        # an exact Decimal so the prefix accumulation mirrors Spark's
+        # DECIMAL(24,6) sums with no float chain in between
+        return Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
     xs = [c for _, c in series]
     m = sum(xs) / len(xs)
-    s, prefix = 0.0, []
+    acc, prefix = Decimal(0), []
     for x in xs:
-        s += round(x - m, 6)
-        prefix.append(round(s, 6))
+        acc += d6(x - m)
+        prefix.append(float(acc))
     rows = sorted(
         get("cusum_changepoint_daily").spark_fn(spark, sf_correctness).collect(),
         key=lambda r: r.day,
@@ -359,7 +367,7 @@ def test_holt_matches_naive(spark, sf_correctness):
     # mirror the SQL exactly: the trend update reuses the UNROUNDED
     # level expression (the CTE repeats the expression, it does not
     # reference the rounded column)
-    raw = xs[1] * 0.5 + (xs[0] + (xs[1] - xs[0]) * 0.25) * 0.5
+    raw = xs[1] * 0.5 + (xs[0] + (xs[1] - xs[0])) * 0.5
     level = r6(raw)
     trend = r6((raw - xs[0]) * 0.25 + (xs[1] - xs[0]) * 0.75)
     for x in xs[2:]:

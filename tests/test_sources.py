@@ -427,6 +427,15 @@ def test_versioned_manifest_protocol(spark, sf_smoke, tmp_path):
     with pytest.raises(ValueError):
         versioned.read_version(spark, base, version=99)
 
+    # immutability on re-commit: committing version 1 AGAIN with
+    # different data must keep the first snapshot (and never leave a
+    # window with no v=1 directory)
+    versioned.write_version(nation.limit(1), base, 1)
+    assert (
+        sorted(tuple(r) for r in versioned.read_version(spark, base, 1).collect())
+        == v1_before
+    )
+
 
 def test_zstd_sink_files_really_use_zstd(spark, sf_correctness):
     """The codec-explicit sink must produce zstd-compressed column
@@ -438,10 +447,10 @@ def test_zstd_sink_files_really_use_zstd(spark, sf_correctness):
 
     from tda596_lab02mapreduce_spark.registry import get
 
+    from tda596_lab02mapreduce_spark.queries.sinks import _sink_path
+
     get("sink_codec_zstd_roundtrip").spark_fn(spark, sf_correctness).collect()
-    tag = sf_correctness.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        ".tmp", f"supplier_zstd_{tag}")
+    root = _sink_path(sf_correctness, "supplier_zstd")
     files = glob.glob(os.path.join(root, "*.parquet"))
     assert files
     meta = pq.ParquetFile(files[0]).metadata
