@@ -1199,3 +1199,74 @@ def debounce_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "event_type")
     )
+
+
+@register(
+    "window_session_dynamic_gap",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'error' THEN 300000000
+              ELSE 1800000000 END AS gap_us
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, gap_us,
+         CASE WHEN max(epoch_us(ts) + gap_us)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                OR epoch_us(ts) >=
+                   max(epoch_us(ts) + gap_us)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+), numbered AS (
+  SELECT user_id, ts, gap_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS t_start,
+       CAST(max(epoch_us(ts) + gap_us) AS BIGINT) AS t_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, sid
+""",
+    doc=(
+        "Session window with a DYNAMIC per-event gap (Spark's "
+        "session_window with an expression gap): error events close "
+        "their session after 5 minutes of silence, everything else "
+        "after 30 — the per-event-severity sessionization the fixed-"
+        "gap builtin can't express. The builtin merges overlapping "
+        "[ts, ts+gap) intervals; the oracle replays exactly that "
+        "interval-union rule as a running max of interval ends "
+        "(a new session starts iff the event's ts clears EVERY "
+        "previous end, not just the last one — the subtlety a plain "
+        "lag-based gaps-and-islands gets wrong with mixed gaps). One "
+        "user-keyed Exchange, in-partition sort, streaming-capable by "
+        "construction."
+    ),
+    tags=("window", "streaming", "timeseries"),
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        # session_window requires CalendarIntervalType: string-literal
+        # branches (the documented dynamic-gap form), not day-time
+        # INTERVAL expressions
+        F.when(F.col("event_type") == "error", F.lit("5 minutes"))
+        .otherwise(F.lit("30 minutes"))
+        .alias("gap"),
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", F.col("gap")).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("t_start"),
+            F.unix_micros("sw.end").alias("t_end_us"),
+            "n_events",
+        )
+    )
