@@ -611,3 +611,67 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitmap_count("bm").alias("daily_users"),
         F.bitmap_count(F.bitmap_or_agg("bm").over(wk)).alias("weekly_users"),
     )
+
+
+@register(
+    "sampled_sum_estimate",
+    oracle="""
+WITH tagged AS (
+  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev,
+         substr(md5('aqp:' || CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a' AS in_sample
+  FROM lineitem
+)
+SELECT CAST(count(*) FILTER (in_sample) AS BIGINT) AS n_sampled,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(round(CAST(SUM(rev) FILTER (in_sample) AS DOUBLE)
+                  / 0.1015625, 2) AS DOUBLE) AS est_revenue,
+       CAST(round(CAST(SUM(rev) AS DOUBLE), 2) AS DOUBLE) AS exact_revenue,
+       CAST(round(abs(CAST(SUM(rev) FILTER (in_sample) AS DOUBLE)
+                      / 0.1015625
+                      / CAST(SUM(rev) AS DOUBLE) - 1.0), 6) AS DOUBLE) AS rel_error
+FROM tagged
+""",
+    doc=(
+        "Approximate query processing by deterministic sampling: a "
+        "~10.2% md5-bucket sample (first byte < 0x1a, the exact "
+        "26/256 rate used as the scale factor) estimates total "
+        "revenue; the same pass computes the exact decimal total and "
+        "the realized relative error — the estimate-with-ground-truth "
+        "report an AQP engine's calibration needs. One scan, both "
+        "sums as sibling conditional aggregates (exact decimals; the "
+        "only doubles are the two final scaled ratios). At 100 TB "
+        "you'd persist the sample as its own table; the md5-bucket "
+        "rule makes that sample reproducible anywhere, any engine."
+    ),
+    tags=("agg", "sampling", "stats"),
+)
+def sampled_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    in_sample = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("aqp:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            2,
+        )
+        < "1a"
+    )
+    tagged = li.select(rev.alias("rev"), in_sample.alias("in_sample"))
+    rate = 26.0 / 256.0
+    est = F.sum(F.when(F.col("in_sample"), F.col("rev"))).cast("double") / F.lit(rate)
+    exact = F.sum("rev").cast("double")
+    return tagged.agg(
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias("n_sampled"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(est, 2).alias("est_revenue"),
+        F.round(exact, 2).alias("exact_revenue"),
+        F.round(F.abs(est / exact - 1.0), 6).alias("rel_error"),
+    )

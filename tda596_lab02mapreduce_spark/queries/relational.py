@@ -165,3 +165,56 @@ def global_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     )
+
+
+@register(
+    "keyset_pagination_orders",
+    oracle="""
+WITH page1 AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+  ORDER BY price DESC, o_orderkey
+  LIMIT 10
+), anchor AS (
+  SELECT price AS a_price, o_orderkey AS a_key
+  FROM page1 ORDER BY price, o_orderkey DESC LIMIT 1
+)
+SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS price
+FROM orders o, anchor
+WHERE o.o_totalprice < anchor.a_price
+   OR (o.o_totalprice = anchor.a_price AND o.o_orderkey > anchor.a_key)
+ORDER BY price DESC, o.o_orderkey
+LIMIT 10
+""",
+    doc=(
+        "Keyset (seek) pagination — page 2 of the price-ranked order "
+        "list WITHOUT OFFSET: the anchor is page 1's last "
+        "(price, orderkey) tuple, and page 2 is a top-10 over the "
+        "keyset predicate (price, key) AFTER anchor. Both pages are "
+        "TakeOrderedAndProject (per-partition heaps); the anchor is a "
+        "1-row broadcast. This is THE scalable pagination shape: "
+        "OFFSET n scans-and-discards n rows on every page (O(pages²) "
+        "total work and a deep single-partition sort at 100 TB), the "
+        "keyset form does O(top-k) per page forever. Tiebreak on the "
+        "unique orderkey makes every page boundary deterministic."
+    ),
+    tags=("topk", "filter", "sql"),
+)
+def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    page1 = orders.orderBy(F.col("price").desc(), F.col("o_orderkey")).limit(10)
+    anchor = page1.orderBy(F.col("price"), F.col("o_orderkey").desc()).limit(1).select(
+        F.col("price").alias("a_price"), F.col("o_orderkey").alias("a_key")
+    )
+    return (
+        orders.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("price") < F.col("a_price"))
+            | ((F.col("price") == F.col("a_price")) & (F.col("o_orderkey") > F.col("a_key")))
+        )
+        .orderBy(F.col("price").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "price")
+    )
