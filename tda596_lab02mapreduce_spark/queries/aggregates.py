@@ -675,3 +675,51 @@ def sampled_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 2).alias("exact_revenue"),
         F.round(F.abs(est / exact - 1.0), 6).alias("rel_error"),
     )
+
+
+@register(
+    "sliding_distinct_users_7d",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+)
+SELECT d.day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users_7d
+FROM days d
+JOIN events e
+  ON CAST(date_trunc('day', e.ts) AS TIMESTAMP) <= d.day
+ AND CAST(date_trunc('day', e.ts) AS TIMESTAMP) > d.day - INTERVAL 7 DAY
+GROUP BY d.day
+""",
+    doc=(
+        "Sliding 7-day distinct actives — the canonical 'weekly "
+        "active users per day' metric — via RE-AGGREGABLE bitmaps: "
+        "one pass builds per-day user bitmaps, then a 7-row window "
+        "OR-merges them per day (bitmap_or_agg over a rows frame) and "
+        "counts. The naive form (the oracle's day×events interval "
+        "join) re-touches every event up to 7 times and shuffles raw "
+        "ids; the bitmap form touches events ONCE and slides over "
+        "kilobyte bitmaps — the same partial-merge property the "
+        "weekly rollup uses, now in a moving frame. Day gaps would "
+        "make a rows-frame wrong (7 rows ≠ 7 days); the fixture month "
+        "is gap-free and tests/test_driftstats.py asserts that "
+        "precondition so a fixture change fails loudly."
+    ),
+    tags=("agg", "distinct", "sketch", "window", "timeseries"),
+)
+def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = (
+        io.load(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            (F.col("user_id") + 1).alias("uid1"),
+        )
+        .groupBy("day")
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("uid1")).alias("bm"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day", F.bitmap_count(F.bitmap_or_agg("bm").over(w)).alias("users_7d")
+    )

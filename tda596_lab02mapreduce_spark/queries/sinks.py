@@ -812,3 +812,64 @@ def sink_codec_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_bal"),
     )
+
+
+@register(
+    "snapshot_diff_cdf",
+    oracle="""
+WITH v1 AS (
+  SELECT c_custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal
+  FROM customer
+), v2 AS (
+  SELECT c_custkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+           + CASE WHEN c_mktsegment = 'BUILDING' THEN 500 ELSE 0 END AS bal
+  FROM customer WHERE c_custkey % 10 <> 0
+)
+SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS c_custkey,
+       CASE WHEN v2.c_custkey IS NULL THEN 'delete'
+            WHEN v1.bal <> v2.bal THEN 'update'
+            ELSE 'unchanged' END AS action,
+       v1.bal AS old_bal, v2.bal AS new_bal
+FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+""",
+    doc=(
+        "Change data feed by snapshot diff: versions 1 and 2 of the "
+        "versioned customer table (the exact snapshots "
+        "sink_versioned_time_travel commits) full-outer-joined on the "
+        "key into a row-level action feed — delete (gone in v2), "
+        "update (balance changed), unchanged — the derived CDF a "
+        "log-less table format has to reconstruct by diffing. Reads "
+        "go through the versioned reader (manifest + pinned "
+        "versions); the oracle recomputes both snapshots from the "
+        "ORIGINAL table, so a reader mixing versions or a diff "
+        "misclassifying a row breaks the hash. One keyed "
+        "shuffle-join of two snapshots; at 100 TB you'd bucket both "
+        "snapshots on the key at write time and the diff is "
+        "co-located."
+    ),
+    tags=("sink", "source", "versioned", "join"),
+)
+def snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.queries.sinks import sink_versioned_time_travel  # noqa: F401
+    from tda596_lab02mapreduce_spark.sources import versioned
+
+    # ensure both snapshots exist (idempotent: keep-first commits)
+    io.load(spark, sf_dir, "customer")  # touch fixtures for error locality
+    _ = sink_versioned_time_travel(spark, sf_dir).collect()
+    base = _sink_path(sf_dir, "versioned_customer")
+    v1 = versioned.read_version(spark, base, 1).select(
+        F.col("c_custkey").alias("k1"), F.col("bal_cents").alias("old_bal")
+    )
+    v2 = versioned.read_version(spark, base, 2).select(
+        F.col("c_custkey").alias("k2"), F.col("bal_cents").alias("new_bal")
+    )
+    return v1.join(v2, v1.k1 == v2.k2, "full_outer").select(
+        F.coalesce(F.col("k1"), F.col("k2")).alias("c_custkey"),
+        F.when(F.col("k2").isNull(), "delete")
+        .when(F.col("old_bal") != F.col("new_bal"), "update")
+        .otherwise("unchanged")
+        .alias("action"),
+        "old_bal",
+        "new_bal",
+    )
