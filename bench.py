@@ -90,6 +90,9 @@ HEADLINE = [
     "markov_event_transitions",
     "token_entropy_by_source",
     "ks_value_drift",
+    "dedup_passage_exact",
+    "bitmap_distinct_rollup",
+    "sliding_distinct_users_7d",
 ]
 
 

@@ -873,3 +873,56 @@ def snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_bal",
         "new_bal",
     )
+
+
+@register(
+    "source_partition_layout_evolution",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders GROUP BY o_orderstatus
+""",
+    doc=(
+        "Partition-LAYOUT evolution (the lakehouse cousin of schema "
+        "evolution): generation 1 of the orders estate is written "
+        "hive-partitioned by o_orderstatus (odd orderkeys), "
+        "generation 2 flat/unpartitioned (even orderkeys) — the "
+        "situation every long-lived table reaches when its "
+        "partitioning strategy changes mid-life. The reader loads "
+        "each generation with its own layout (the partition column "
+        "comes from DIRECTORY NAMES in gen1 and from DATA in gen2), "
+        "unionByName's them, and aggregates; the oracle runs on the "
+        "original table, so a dropped partition value, a type drift "
+        "on the partition column (hive directories stringify it), or "
+        "a row lost at the seam breaks the hash."
+    ),
+    tags=("sink", "source", "union"),
+)
+def source_partition_layout_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    gen1_path = _sink_path(sf_dir, "orders_gen1_partitioned")
+    gen2_path = _sink_path(sf_dir, "orders_gen2_flat")
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(gen1_path)
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(
+        gen2_path
+    )
+    gen1 = spark.read.parquet(gen1_path).withColumn(
+        # hive partition directories stringify the column; restore the
+        # original type explicitly at the seam
+        "o_orderstatus",
+        F.col("o_orderstatus").cast("string"),
+    )
+    gen2 = spark.read.parquet(gen2_path)
+    both = gen1.unionByName(gen2.select(*gen1.columns))
+    return both.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -87,6 +87,17 @@ QUERIES = [
     "ks_value_drift",
     "mutual_information_type_hour",
     "acf_daily_events",
+    # fact-table band (10× orders+lineitem, unchanged dimensions):
+    # the shuffle joins and fact aggregates that carry the 100 TB
+    # story. q9 is the broadcast-only contrast (no fact-fact join).
+    "pricing_summary",
+    "join_sortmerge_revenue",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q10_returned_revenue",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q20_half_quantity_suppliers",
+    "tpch_q21_sole_supplier_lines",
 ]
 
 
@@ -138,6 +149,41 @@ def stage(spark) -> None:
         "props",
     )
     ev10.repartition(32).write.parquet(f"{OUT}/events.parquet")
+
+    # Fact-table replicas for the TPC-H / join band: 10× orders and
+    # lineitem with replica-offset order keys (joins stay
+    # within-replica) but UNCHANGED customer/part/supplier keys —
+    # the realistic growth axis: the same dimensions, 10× the facts.
+    orders = _io.load(spark, SRC, "orders")
+    off_o = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    orders10 = orders.crossJoin(F.broadcast(reps)).select(
+        (F.col("o_orderkey") + F.col("replica").cast("long") * off_o).alias(
+            "o_orderkey"
+        ),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    orders10.repartition(32).write.parquet(f"{OUT}/orders.parquet")
+    li = _io.load(spark, SRC, "lineitem")
+    li10 = li.crossJoin(F.broadcast(reps)).select(
+        (F.col("l_orderkey") + F.col("replica").cast("long") * off_o).alias(
+            "l_orderkey"
+        ),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    li10.repartition(32).write.parquet(f"{OUT}/lineitem.parquet")
+
+    # unscaled tables copied so every registered query resolves
+    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+        src = f"{SRC}/{t}.parquet"
+        dst = f"{OUT}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
 
 
 import re as _re
