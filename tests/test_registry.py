@@ -32,3 +32,25 @@ def test_no_nested_top_level_columns(spark, sf_smoke, query):
         "canonicalizer cannot hash them — flatten (posexplode / concat_ws / "
         "to_json) before returning"
     )
+
+
+def test_readme_inventory_counts_match_registry():
+    """The README's headline inventory counts are part of the evidence
+    ledger — they must equal the live registry (the review caught them
+    10 queries stale; this pins them forever)."""
+    import os
+    import re
+
+    from tda596_lab02mapreduce_spark.registry import registry
+
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+    ).read()
+    m = re.search(
+        r"## Query inventory \((\d+) named queries, (\d+) DuckDB-oracle-checked\)",
+        readme,
+    )
+    assert m, "README inventory header missing"
+    r = registry()
+    assert int(m.group(1)) == len(r), (m.group(1), len(r))
+    assert int(m.group(2)) == sum(1 for q in r.values() if q.oracle is not None)

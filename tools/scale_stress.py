@@ -101,6 +101,23 @@ QUERIES = [
 ]
 
 
+# Fact-fact joins legitimately CROSS the broadcast threshold between
+# the fixture and the 10× corpus: at sf0.1 AQE converts
+# lineitem⋈orders to a broadcast join (0 join exchanges), at 10× the
+# build side is too big and the intended shuffle join appears with
+# its exchanges. That is the designed regime transition, not an
+# optimizer cliff — the 10× plan IS the cluster plan. Queries listed
+# here report shape_stable=True when their exchange count GROWS at
+# 10× (a shrink would still flag).
+BROADCAST_TRANSITION_OK = {
+    "join_sortmerge_revenue",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q21_sole_supplier_lines",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q10_returned_revenue",
+}
+
+
 def stage(spark) -> None:
     # one suffix letter per replica: beyond 20, substring returns ''
     # and replicas silently share tokens, breaking the disjointness
@@ -267,7 +284,11 @@ def main() -> None:
             "ratio": round(big[q]["sec"] / base[q]["sec"], 2),
             "exchanges_sf0.1": base[q]["exchanges"],
             "exchanges_x10": big[q]["exchanges"],
-            "shape_stable": base[q]["keys"] == big[q]["keys"],
+            "shape_stable": base[q]["keys"] == big[q]["keys"]
+            or (
+                q in BROADCAST_TRANSITION_OK
+                and big[q]["exchanges"] >= base[q]["exchanges"]
+            ),
             "keys_sf0.1": base[q]["keys"],
             "keys_x10": big[q]["keys"],
         }
