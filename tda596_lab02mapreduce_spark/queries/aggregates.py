@@ -595,21 +595,31 @@ JOIN weekly w ON date_trunc('week', d.day) = w.week
     tags=("agg", "distinct", "sketch"),
 )
 def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     ev = io.load(spark, sf_dir, "events").select(
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.date_trunc("week", F.col("ts")).alias("week"),
         (F.col("user_id") + 1).alias("uid1"),
     )
-    daily = ev.groupBy("day", "week").agg(
-        F.bitmap_construct_agg(F.bitmap_bit_position("uid1")).alias("bm")
+    # bucketed bitmaps: bitmap_bit_position is (id-1) % 32768, so ids
+    # 1 and 32769 share a bit — WITHOUT bitmap_bucket_number in the
+    # group key the counts silently alias once the id space passes 32k
+    # (latent on the 150-user fixture; real at scale — review catch).
+    # One (day, bucket) bitmap each; distincts = sum of per-bucket
+    # counts, weekly = per-bucket OR then sum.
+    db = ev.groupBy(
+        "day", "week", F.bitmap_bucket_number("uid1").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("uid1")).alias("bm"))
+    daily = db.groupBy("day", "week").agg(
+        F.sum(F.bitmap_count("bm")).alias("daily_users")
     )
-    wk = Window.partitionBy("week")
-    return daily.select(
-        "day",
-        F.bitmap_count("bm").alias("daily_users"),
-        F.bitmap_count(F.bitmap_or_agg("bm").over(wk)).alias("weekly_users"),
+    weekly = (
+        db.groupBy("week", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("wbm"))
+        .groupBy("week")
+        .agg(F.sum(F.bitmap_count("wbm")).alias("weekly_users"))
+    )
+    return daily.join(F.broadcast(weekly), "week").select(
+        "day", "daily_users", "weekly_users"
     )
 
 
@@ -702,24 +712,38 @@ GROUP BY d.day
         "kilobyte bitmaps — the same partial-merge property the "
         "weekly rollup uses, now in a moving frame. Day gaps would "
         "make a rows-frame wrong (7 rows ≠ 7 days); the fixture month "
-        "is gap-free and tests/test_driftstats.py asserts that "
-        "precondition so a fixture change fails loudly."
+        "is gap-free, and tests/test_driftstats.py's "
+        "test_fixture_days_are_contiguous pins that precondition "
+        "explicitly."
     ),
     tags=("agg", "distinct", "sketch", "window", "timeseries"),
 )
 def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    daily = (
+    db = (
         io.load(spark, sf_dir, "events")
         .select(
             F.date_trunc("day", F.col("ts")).alias("day"),
             (F.col("user_id") + 1).alias("uid1"),
         )
-        .groupBy("day")
+        # bucketed like bitmap_distinct_rollup: bit positions alias
+        # past 32768 ids without bitmap_bucket_number in the key
+        .groupBy("day", F.bitmap_bucket_number("uid1").alias("bucket"))
         .agg(F.bitmap_construct_agg(F.bitmap_bit_position("uid1")).alias("bm"))
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
-    return daily.select(
-        "day", F.bitmap_count(F.bitmap_or_agg("bm").over(w)).alias("users_7d")
+    # dense (day × bucket) spine: the rows(-6,0) frame slides over
+    # ROWS per bucket, so a bucket silent on some day would otherwise
+    # pull its 8th-day-old bitmap into the frame
+    spine = db.select("day").distinct().crossJoin(
+        F.broadcast(db.select("bucket").distinct())
     )
+    dense = spine.join(db, ["day", "bucket"], "left")
+    w = Window.partitionBy("bucket").orderBy("day").rowsBetween(-6, 0)
+    sliding = dense.select(
+        "day",
+        F.coalesce(
+            F.bitmap_count(F.bitmap_or_agg("bm").over(w)), F.lit(0)
+        ).alias("cnt7"),
+    )
+    return sliding.groupBy("day").agg(F.sum("cnt7").alias("users_7d"))

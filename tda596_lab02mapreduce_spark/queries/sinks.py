@@ -851,12 +851,12 @@ FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
     tags=("sink", "source", "versioned", "join"),
 )
 def snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tda596_lab02mapreduce_spark.queries.sinks import sink_versioned_time_travel  # noqa: F401
     from tda596_lab02mapreduce_spark.sources import versioned
 
-    # ensure both snapshots exist (idempotent: keep-first commits)
-    io.load(spark, sf_dir, "customer")  # touch fixtures for error locality
-    _ = sink_versioned_time_travel(spark, sf_dir).collect()
+    # (re)commit both snapshots — the sink clears its scratch base and
+    # writes v1/v2 eagerly inside the call; its returned summary
+    # DataFrame is not needed here
+    sink_versioned_time_travel(spark, sf_dir)
     base = _sink_path(sf_dir, "versioned_customer")
     v1 = versioned.read_version(spark, base, 1).select(
         F.col("c_custkey").alias("k1"), F.col("bal_cents").alias("old_bal")

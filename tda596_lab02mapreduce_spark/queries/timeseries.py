@@ -1210,7 +1210,7 @@ WITH ev AS (
               ELSE 1800000000 END AS gap_us
   FROM events
 ), flagged AS (
-  SELECT user_id, ts, gap_us,
+  SELECT user_id, event_id, ts, gap_us,
          CASE WHEN max(epoch_us(ts) + gap_us)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -1223,7 +1223,7 @@ WITH ev AS (
   FROM ev
 ), numbered AS (
   SELECT user_id, ts, gap_us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )

@@ -421,3 +421,17 @@ def test_round7_late_band_plan_hygiene(spark, sf_correctness):
             assert "rangepartitioning" not in plan.lower(), (
                 f"{name} global-sorts\n{plan[:1500]}"
             )
+
+
+def test_fixture_days_are_contiguous(spark, sf_correctness):
+    """The events month has every calendar day present — the explicit
+    precondition behind every rows-frame-over-days operator (sliding
+    7-day distinct, ACF's n-k pair counts, the CUSUM/Holt day
+    series). A fixture regeneration that introduces a day gap must
+    fail HERE with a clear message, not as a subtle frame
+    misalignment downstream."""
+    days = sorted(
+        {r.ts.date() for r in io.load(spark, sf_correctness, "events").select("ts").collect()}
+    )
+    span = (days[-1] - days[0]).days + 1
+    assert span == len(days), f"day gap: {span} calendar days, {len(days)} present"

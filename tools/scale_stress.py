@@ -113,8 +113,6 @@ BROADCAST_TRANSITION_OK = {
     "join_sortmerge_revenue",
     "tpch_q12_priority_by_linestatus",
     "tpch_q21_sole_supplier_lines",
-    "tpch_q7_nation_trade_volume",
-    "tpch_q10_returned_revenue",
 }
 
 
@@ -287,7 +285,10 @@ def main() -> None:
             "shape_stable": base[q]["keys"] == big[q]["keys"]
             or (
                 q in BROADCAST_TRANSITION_OK
-                and big[q]["exchanges"] >= base[q]["exchanges"]
+                # STRICT growth only: equal counts must still match on
+                # keys, or the cliff guard would be disabled for these
+                # queries entirely (review catch)
+                and big[q]["exchanges"] > base[q]["exchanges"]
             ),
             "keys_sf0.1": base[q]["keys"],
             "keys_x10": big[q]["keys"],
