@@ -647,3 +647,52 @@ def join_asof_forward_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("purchase_us"),
         F.unix_micros("asof_ts").alias("next_click_us"),
     )
+
+
+@register(
+    "join_asof_anti_cold_purchases",
+    oracle="""
+SELECT p.event_id, p.user_id, epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click'
+      AND c.user_id = p.user_id
+      AND c.ts <= p.ts
+      AND c.ts >= p.ts - INTERVAL 30 MINUTE
+  )
+""",
+    doc=(
+        "As-of ANTI join — the negative space of the attribution "
+        "family: purchases with NO click by the same user in the "
+        "preceding 30 minutes ('cold' conversions, the rows every "
+        "attribution model silently drops and every funnel analyst "
+        "eventually asks for). Built as the tolerance-bounded LEFT "
+        "as-of walk (operators/asof.py: one union + one user-keyed "
+        "window, single shuffle — identical cost to the positive "
+        "join) filtered to null matches; the oracle is the "
+        "independent NOT EXISTS band formulation. Same one-Exchange "
+        "posture as join_asof_purchase_click at any scale."
+    ),
+    tags=("join", "asof", "anti"),
+)
+def join_asof_anti_cold_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = io.load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=[],
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+        how="left",
+    )
+    return joined.filter(F.col("asof_ts").isNull()).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("purchase_us")
+    )
