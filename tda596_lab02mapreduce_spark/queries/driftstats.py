@@ -869,3 +869,127 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unnest(range(1, 8)) AS h", "explode(sequence(1, 7)) AS h"
     )
     return spark.sql(sql)
+
+
+@register(
+    "psi_value_drift_qbins",
+    oracle="""
+WITH ref AS (
+  SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'
+), edges AS (
+  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+  FROM ref
+), binned AS (
+  SELECT len(list_filter(edges.e, x -> x < ev.value)) AS bin,
+         CASE WHEN ev.ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+  FROM events ev, edges
+), cnts AS (
+  SELECT bin,
+         CAST(SUM(is_ref) AS BIGINT) AS ref_cnt,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS cur_cnt
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(ref_cnt) AS DOUBLE) AS ref_tot,
+         CAST(SUM(cur_cnt) AS DOUBLE) AS cur_tot,
+         CAST(count(*) AS BIGINT) AS n_bins
+  FROM cnts
+), terms AS (
+  SELECT bin, ref_cnt, cur_cnt,
+         CAST(round(((ref_cnt + 1) / (ref_tot + n_bins)
+                     - (cur_cnt + 1) / (cur_tot + n_bins))
+                    * ln(((ref_cnt + 1) / (ref_tot + n_bins))
+                         / ((cur_cnt + 1) / (cur_tot + n_bins))), 8)
+              AS DECIMAL(18,8)) AS psi_term
+  FROM cnts, tot
+)
+SELECT bin, ref_cnt, cur_cnt,
+       CAST(psi_term AS DOUBLE) AS psi_term,
+       CAST(round(CAST(SUM(psi_term) OVER () AS DOUBLE), 6) AS DOUBLE) AS psi_total
+FROM terms
+""",
+    doc=(
+        "PSI on QUANTILE bins — the industry-standard formulation "
+        "(deciles of the REFERENCE distribution as bin edges, so the "
+        "reference lands ~uniform and the score measures pure shape "
+        "drift; the fixed-width variant psi_value_drift keeps "
+        "interpretable bins instead). The nine edges are exact R-7 "
+        "interpolated reference deciles computed by the bounded-state "
+        "histogram+cumulative-window method (no per-partition value "
+        "buffering — stats_exact_quantiles' discipline, global "
+        "grain), carried as ONE broadcast array row; bin assignment "
+        "is a row-local count of edges below the value (ties at an "
+        "edge take the lower bin in both engines). Terms follow the "
+        "band's exact-decimal-sum rule. Two scans of events (edges "
+        "need the reference pass before binning can start — inherent "
+        "to reference-quantile PSI), both map-heavy."
+    ),
+    tags=("agg", "stats", "drift", "window", "llm"),
+)
+def psi_value_drift_qbins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    # exact R-7 reference deciles, bounded state: per-value counts →
+    # cumulative window → floor/ceil order statistics → interpolation
+    ref_counts = (
+        ev.filter(F.col("is_ref") == 1)
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    r = ref_counts.select(
+        "value",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qaggs = []
+    for i, p in enumerate([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]):
+        idx = (F.col("n") - 1) * F.lit(p)
+        lo, hi = F.floor(idx), F.ceil(idx)
+        qaggs += [
+            F.min(F.when(F.col("cum") >= lo + 1, F.col("value"))).alias(f"lo{i}"),
+            F.min(F.when(F.col("cum") >= hi + 1, F.col("value"))).alias(f"hi{i}"),
+            F.max(idx - lo).alias(f"f{i}"),
+        ]
+    qrow = r.agg(*qaggs)
+    edge_cols = [
+        (F.col(f"lo{i}") + (F.col(f"hi{i}") - F.col(f"lo{i}")) * F.col(f"f{i}"))
+        for i in range(9)
+    ]
+    edges = qrow.select(F.array(*edge_cols).alias("e"))
+    binned = ev.crossJoin(F.broadcast(edges)).select(
+        F.size(F.filter("e", lambda x: x < F.col("value"))).alias("bin"),
+        "is_ref",
+    )
+    cnts = binned.groupBy("bin").agg(
+        F.sum("is_ref").alias("ref_cnt"),
+        F.sum(1 - F.col("is_ref")).alias("cur_cnt"),
+    )
+    tot = cnts.agg(
+        F.sum("ref_cnt").cast("double").alias("ref_tot"),
+        F.sum("cur_cnt").cast("double").alias("cur_tot"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    ref_share = (F.col("ref_cnt") + 1) / (F.col("ref_tot") + F.col("n_bins"))
+    cur_share = (F.col("cur_cnt") + 1) / (F.col("cur_tot") + F.col("n_bins"))
+    terms = cnts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.round((ref_share - cur_share) * F.log(ref_share / cur_share), 8)
+        .cast(_TERM_DEC)
+        .alias("psi_term"),
+    )
+    return terms.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.col("psi_term").cast("double").alias("psi_term"),
+        F.round(F.sum("psi_term").over(Window.partitionBy()).cast("double"), 6).alias(
+            "psi_total"
+        ),
+    )
