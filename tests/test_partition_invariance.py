@@ -88,6 +88,51 @@ SLICE = [
     "attribution_decay_touch",
     "benford_first_digit",
     "revenue_monthly_yoy",
+    # round-7 TPC-H band: decorrelated min-join-back, one-shuffle
+    # multi-broadcast joins, conditional-ratio aggregates, semi/anti
+    # pairs, windowed two-grain rollup
+    "tpch_q2_min_price_supplier",
+    "tpch_q4_priority_late_ship",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_revenue",
+    "tpch_q16_supplier_count",
+    "tpch_q20_half_quantity_suppliers",
+    "tpch_q21_sole_supplier_lines",
+    # round-7 drift/stats band: exact-decimal term sums, reference
+    # quantile edges, running-max interval unions, recursion, bitmaps
+    "psi_value_drift",
+    "psi_value_drift_qbins",
+    "ks_value_drift",
+    "cusum_changepoint_daily",
+    "markov_event_transitions",
+    "mutual_information_type_hour",
+    "acf_daily_events",
+    "zipf_token_fit",
+    "token_entropy_by_source",
+    "pareto_revenue_concentration",
+    "gini_revenue_concentration",
+    "ab_test_conversion_z",
+    "holt_forecast_daily",
+    "twap_user_value",
+    "debounce_events_1h",
+    "funnel_time_to_convert",
+    "fk_integrity_audit",
+    "dedup_passage_exact",
+    "sample_weighted_reservoir",
+    "embedding_centroid_outliers",
+    "bitmap_distinct_rollup",
+    "sliding_distinct_users_7d",
+    "window_session_dynamic_gap",
+    "keyset_pagination_orders",
+    "sampled_sum_estimate",
+    "rollup_share_of_parent",
+    "snapshot_diff_cdf",
+    "join_asof_anti_cold_purchases",
+    "sink_versioned_time_travel",
+    "source_partition_layout_evolution",
+    "pandas_api_groupby",
+    "stream_psi_monitor",
 ]
 
 
