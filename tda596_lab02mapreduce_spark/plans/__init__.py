@@ -5,6 +5,7 @@ from tda596_lab02mapreduce_spark.plans.inspect import (
     formatted_plan,
     has_broadcast_join,
     has_operator,
+    partitionless_window_count,
     pushed_filters,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "formatted_plan",
     "has_broadcast_join",
     "has_operator",
+    "partitionless_window_count",
     "pushed_filters",
 ]

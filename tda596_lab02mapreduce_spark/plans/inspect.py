@@ -50,6 +50,42 @@ def final_plan(df: DataFrame) -> str:
     return plan.split("+- == Initial Plan ==")[0]
 
 
+def partitionless_window_count(df: DataFrame) -> int:
+    """Number of WindowExec nodes with an EMPTY partition spec — the
+    single-task global window Spark warns about ("No Partition Defined
+    for Window operation").  Zero is the scale contract for any
+    unbounded-grain input; bounded frames use functions.rank.
+    small_df_rank / broadcast-total joins and so never count here.
+    Parses the simple plan string: a Window node prints ``Window
+    [exprs]<, [partSpec]><, [orderSpec]>`` with EMPTY specs omitted,
+    so the node is partition-less iff it has fewer than 3 top-level
+    bracket groups and the last group is not a pure partition spec
+    (an order spec carries ASC/DESC markers; a partition spec never
+    does)."""
+    plan = str(df._jdf.queryExecution().executedPlan())  # type: ignore[attr-defined]
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"(?<![\w])Window (\[.*)$", line)
+        if not m:
+            continue
+        depth, groups, cur = 0, [], ""
+        for ch in m.group(1):
+            if ch == "[":
+                depth += 1
+            cur += ch
+            if ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur.strip())
+                    cur = ""
+        if len(groups) >= 3:
+            continue  # partition spec + order spec both present
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            continue  # partitioned, unordered (full-frame marginal)
+        n += 1
+    return n
+
+
 def count_nodes(plan: str, op: str) -> int:
     """Occurrences of operator ``op`` as tree nodes (``Op (n)``) in a
     formatted/final plan string — immune to the detail section and to

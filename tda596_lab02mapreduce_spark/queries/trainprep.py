@@ -308,19 +308,20 @@ def vocab_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary counts roll up from the SAME posexplode stream the
     # encode join consumes — one corpus tokenization, not two (the
     # position column is free to the count).
-    vocab = (
+    # top-K selection is TakeOrderedAndProject (distributed); ids over
+    # the K=16 survivors come from a triangular self-join, not a
+    # partition-less row_number window (functions/rank.py)
+    from tda596_lab02mapreduce_spark.functions.rank import small_df_rank
+
+    top = (
         pos.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), "word")
         .limit(_VOCAB_SIZE)
-        .select(
-            "word",
-            F.row_number()
-            .over(Window.orderBy(F.desc("c"), "word"))
-            .cast("bigint")
-            .alias("token_id"),
-        )
     )
+    vocab = small_df_rank(
+        top, [("c", "desc"), ("word", "asc")], rank_col="token_id"
+    ).select("word", "token_id")
     enc = pos.join(F.broadcast(vocab), "word", "left")
     ordered_ids = F.transform(
         F.sort_array(F.collect_list(F.struct(F.col("pos0"), F.col("token_id")))),
@@ -457,14 +458,17 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("left_sym", "right_sym")
         .agg(F.sum("freq").alias("pair_count"))
     )
-    rank = F.row_number().over(
-        Window.orderBy(F.desc("pair_count"), "left_sym", "right_sym")
-    )
-    return (
-        pairs.withColumn("rank", rank.cast("bigint"))
-        .filter(F.col("rank") <= _BPE_TOP)
-        .select("left_sym", "right_sym", "pair_count", "rank")
-    )
+    # top-N via TakeOrderedAndProject (distributed), then ranks over
+    # the N survivors from a triangular self-join — row_number(<=N)
+    # and orderBy().limit(N) agree because the order is total
+    from tda596_lab02mapreduce_spark.functions.rank import small_df_rank
+
+    top = pairs.orderBy(F.desc("pair_count"), "left_sym", "right_sym").limit(_BPE_TOP)
+    return small_df_rank(
+        top,
+        [("pair_count", "desc"), ("left_sym", "asc"), ("right_sym", "asc")],
+        rank_col="rank",
+    ).select("left_sym", "right_sym", "pair_count", "rank")
 
 
 # ---------------------------------------------------------------------------

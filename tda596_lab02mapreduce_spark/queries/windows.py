@@ -145,20 +145,34 @@ SELECT c_custkey,
 FROM customer
 """,
     doc=(
-        "Distribution funcs over a global ordering. NOTE: a single unpartitioned "
-        "window is a one-partition sort — fine for a bounded dimension table, "
-        "never for a fact table at scale (partition or pre-bucket instead)."
+        "Distribution funcs over a global ordering — computed from ONE "
+        "distributed exact rank (functions.rank.global_rank_cumsum: "
+        "range-partitioned local ranks + broadcast offsets) instead of "
+        "a single-partition window. The ORDER BY carries the c_custkey "
+        "unique tiebreak, so ranks have no ties and percent_rank = "
+        "(r-1)/(n-1), cume_dist = r/n, ntile(4) = the exact bucket "
+        "formula — all row-local arithmetic over (rank, broadcast n), "
+        "IEEE-identical to the engines' built-ins on a tie-free order."
     ),
     tags=("window", "distribution"),
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = io.load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    from tda596_lab02mapreduce_spark.functions.rank import (
+        global_rank_cumsum,
+        ntile_from_rank,
+    )
+
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_rank_cumsum(
+        cust, ["c_acctbal", "c_custkey"], rank_col="__r"
+    )
+    tot = ranked.agg(F.max("__r").alias("__n"))
+    r, n = F.col("__r"), F.col("__n")
+    return ranked.crossJoin(F.broadcast(tot)).select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cum_dist"),
+        ntile_from_rank(r, n, 4).cast("long").alias("quartile"),
+        ((r - 1).cast("double") / (n - 1).cast("double")).alias("pct_rank"),
+        (r.cast("double") / n.cast("double")).alias("cum_dist"),
     )
 
 

@@ -19,7 +19,7 @@ materializes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _TERM_DEC = "decimal(18,8)"
@@ -61,14 +61,15 @@ def score_psi(cnts: DataFrame) -> DataFrame:
         .cast(_TERM_DEC)
         .alias("psi_term"),
     )
-    return terms.select(
+    # total over the ≤ 10 bin rows rides a broadcast 1-row aggregate
+    # (like the per-bin tot above) — no partition-less window node
+    grand = terms.agg(F.sum("psi_term").alias("__psi_sum"))
+    return terms.crossJoin(F.broadcast(grand)).select(
         "bin",
         "ref_cnt",
         "cur_cnt",
         "ref_share",
         "cur_share",
         F.col("psi_term").cast("double").alias("psi_term"),
-        F.round(F.sum("psi_term").over(Window.partitionBy()).cast("double"), 6).alias(
-            "psi_total"
-        ),
+        F.round(F.col("__psi_sum").cast("double"), 6).alias("psi_total"),
     )

@@ -128,7 +128,7 @@ def test_zipf_fit_matches_naive_ols(spark, sf_correctness):
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
     [row] = get("zipf_token_fit").spark_fn(spark, sf_correctness).collect()
-    assert row.n_tokens == n
+    assert row.vocab_size == n
     assert abs(row.zipf_slope - slope) < 1e-3
     assert abs(row.zipf_intercept - intercept) < 1e-3
     assert row.zipf_slope < 0, "rank-frequency slope must be negative"
@@ -161,26 +161,37 @@ def test_entropy_matches_naive_and_bounds(spark, sf_correctness):
 
 
 def test_drift_band_plan_shapes(spark, sf_correctness):
-    """Each operator scans its parquet once (ReusedExchange dedupes
-    the shared aggregate subtree under the scalar-total broadcast),
-    never produces a cartesian, and keeps every data-sized window
-    keyed — the only unkeyed windows run over <=vocabulary-sized
-    aggregates by design (psi 10 bins, pareto ~customer count, zipf
-    vocab)."""
-    for name, max_exchanges in [
-        ("psi_value_drift", 3),
-        ("markov_event_transitions", 3),
-        ("pareto_revenue_concentration", 3),
-        ("zipf_token_fit", 2),
-        ("token_entropy_by_source", 2),
+    """Each operator never produces a cartesian, keeps a bounded
+    Exchange count, and — since round 8 — has ZERO partition-less
+    WindowExec nodes: the rank/cumsum queries route through
+    functions.rank.global_rank_cumsum (range-partitioned local ranks
+    + broadcast offsets; the localCheckpoint that pins the range
+    boundaries replaces the parquet scan with an ExistingRDD scan in
+    the final plan, so scan counts are asserted only for the
+    checkpoint-free queries)."""
+    for name, max_exchanges, expect_scan in [
+        ("psi_value_drift", 3, True),
+        ("markov_event_transitions", 3, True),
+        ("pareto_revenue_concentration", 8, False),
+        ("zipf_token_fit", 5, False),
+        ("token_entropy_by_source", 2, True),
+        ("ks_value_drift", 6, False),
+        ("psi_value_drift_qbins", 8, False),
+        ("gini_revenue_concentration", 5, False),
+        ("mutual_information_type_hour", 6, True),
     ]:
         df = get(name).spark_fn(spark, sf_correctness)
         plan = plans.final_plan(df)
-        n_scans = plan.count("Scan parquet")
-        assert n_scans == 1, f"{name}: {n_scans} scans\n{plan[:2000]}"
+        if expect_scan:
+            n_scans = plan.count("Scan parquet")
+            assert n_scans == 1, f"{name}: {n_scans} scans\n{plan[:2000]}"
         assert not plans.has_operator(df, "CartesianProduct"), name
         n_ex = plans.count_nodes(plan, "Exchange")
         assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges\n{plan[:2000]}"
+        n_pw = plans.partitionless_window_count(
+            get(name).spark_fn(spark, sf_correctness)
+        )
+        assert n_pw == 0, f"{name}: {n_pw} partition-less windows"
 
 
 def test_mutual_information_matches_naive(spark, sf_correctness):

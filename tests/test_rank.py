@@ -1,0 +1,157 @@
+"""functions/rank.py — the distributed exact rank/cumsum/ntile that
+replaced the single-partition WindowExec family (VERDICT r7 "what's
+wrong" #1).  Contract: bit-identical results to the partition-less
+window formulation, at ANY partition count, with ZERO partition-less
+WindowExec nodes in the plan."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tda596_lab02mapreduce_spark import plans
+from tda596_lab02mapreduce_spark.functions.rank import (
+    global_ntile,
+    global_rank_cumsum,
+    small_df_rank,
+)
+from tda596_lab02mapreduce_spark.registry import get
+
+
+def _skewed_df(spark, n=20011):
+    # non-uniform key distribution (quadratic clustering) so range
+    # partitions are unevenly sized — the offsets must still be exact
+    return spark.range(n).select(
+        ((F.col("id") * F.col("id")) % 977).alias("v"),
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).alias("c"),
+    )
+
+
+def test_global_rank_cumsum_matches_window(spark):
+    df = _skewed_df(spark)
+    got = (
+        global_rank_cumsum(
+            df, [F.col("v").desc(), "k"], [("cum_c", "c")], rank_col="r"
+        )
+        .orderBy("r")
+        .collect()
+    )
+    w = Window.orderBy(F.col("v").desc(), "k")
+    exp = (
+        df.select(
+            "v",
+            "k",
+            F.row_number().over(w).alias("r"),
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+                "cum_c"
+            ),
+        )
+        .orderBy("r")
+        .collect()
+    )
+    assert [(g.v, g.k, g.r, g.cum_c) for g in got] == [
+        (e.v, e.k, e.r, e.cum_c) for e in exp
+    ]
+
+
+def test_global_rank_partition_count_invariance(spark):
+    """Exactness cannot depend on the partition count — 1, 5, and 64
+    range partitions must produce identical ranks (64 > row-groups,
+    so empty partitions are exercised too)."""
+    df = _skewed_df(spark, n=997)
+    base = None
+    for n_parts in (1, 5, 64):
+        rows = sorted(
+            (r.v, r.k, r.r)
+            for r in global_rank_cumsum(
+                df, ["v", "k"], rank_col="r", num_partitions=n_parts
+            ).collect()
+        )
+        if base is None:
+            base = rows
+        else:
+            assert rows == base, f"rank drift at num_partitions={n_parts}"
+
+
+def test_global_ntile_matches_builtin(spark):
+    df = _skewed_df(spark, n=5003)
+    for k in (4, 16, 10007):  # 10007 > n: every row its own bucket
+        got = {
+            (r.v, r.k): r.b
+            for r in global_ntile(df, ["v", "k"], k, bucket_col="b").collect()
+        }
+        exp = {
+            (r.v, r.k): r.b
+            for r in df.select(
+                "v", "k", F.ntile(k).over(Window.orderBy("v", "k")).alias("b")
+            ).collect()
+        }
+        assert got == exp, f"ntile({k}) mismatch"
+
+
+def test_global_rank_plan_is_distributed(spark):
+    """The point of the helper: no partition-less WindowExec, and the
+    heavy path goes through a rangepartitioning exchange."""
+    df = _skewed_df(spark)
+    out = global_rank_cumsum(df, ["v", "k"], [("cum_c", "c")])
+    assert plans.partitionless_window_count(out) == 0
+    plan = str(out._jdf.queryExecution().executedPlan())
+    # the range shuffle is pinned behind the localCheckpoint (its
+    # ExistingRDD scan IS the evidence it ran exactly once); the local
+    # window repartitions by the partition id, never globally
+    assert "Scan ExistingRDD" in plan
+    assert "hashpartitioning(__rank_pid" in plan
+
+
+def test_small_df_rank_matches_window(spark):
+    df = spark.createDataFrame(
+        [("b", 3), ("a", 3), ("c", 1), ("d", 9), ("e", 1)], "w string, c int"
+    )
+    got = {
+        (r.w, r.c): r.rnk
+        for r in small_df_rank(df, [("c", "desc"), ("w", "asc")]).collect()
+    }
+    exp = {
+        (r.w, r.c): r.rnk
+        for r in df.select(
+            "w",
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "w"))
+            .cast("bigint")
+            .alias("rnk"),
+        ).collect()
+    }
+    assert got == exp
+    assert plans.partitionless_window_count(
+        small_df_rank(df, [("c", "desc"), ("w", "asc")])
+    ) == 0
+
+
+def test_rewired_queries_have_no_partitionless_windows(spark, sf_correctness):
+    """The full round-8 rewire set: every query the r7 verdict flagged
+    as perf-weak (plus the bench-path and bounded-frame conversions)
+    now plans zero partition-less WindowExec nodes."""
+    for name in [
+        "histogram_equidepth_price",
+        "pareto_revenue_concentration",
+        "gini_revenue_concentration",
+        "ks_value_drift",
+        "psi_value_drift_qbins",
+        "zipf_token_fit",
+        "vocab_encode_topk",
+        "bpe_top_merges",
+        "approx_topk_tokens",
+        "window_distribution",
+        "stats_chi2_type_hour",
+        "benford_first_digit",
+        "rollup_share_of_parent",
+        "mutual_information_type_hour",
+        "psi_value_drift",
+    ]:
+        df = get(name).spark_fn(spark, sf_correctness)
+        n = plans.partitionless_window_count(df)
+        assert n == 0, f"{name}: {n} partition-less windows"
