@@ -14,6 +14,23 @@ public power-iteration form): rank'(v) = (1-d) + d * Σ_{u~v}
 rank(u)/deg(u), run a FIXED number of rounds — deterministic output,
 no float-threshold convergence test for engines to disagree on.
 
+Cross-engine determinism (round 8): the ENTIRE iteration runs in
+exact integer micro-units — rank carried as a BIGINT in 1e-6 units,
+each neighbor share quantized to 1e-8 units with explicit half-up
+integer division ((200·rank_u + deg) div (2·deg)), the in-mass an
+integer sum (order-independent), and the damping update again pure
+integer arithmetic ((170·in_mass + 10000) div 20000 + 150000 for
+d=0.85).  No floating point exists anywhere in the loop, so the
+10-round recursion is bit-identical at any parallelism and in ANY
+engine, and pagerank_neardup_hubs carries a full DuckDB hash oracle
+(the unrolled-SQL replay in queries/llm_pipeline.py).  A first
+attempt used round-to-6dp DOUBLES per round (the Holt trick): it
+failed — 0.85·(exact decimal) + 0.15 lands EXACTLY on x.xxxxx5
+boundaries structurally, and Spark's BigDecimal HALF_UP vs DuckDB's
+shifted-nearbyint disagree on which side the nearest double falls.
+Quantization error vs. the real-valued fixpoint is < 1e-5 per rank —
+far inside every consumer's tolerance.
+
 Scale notes (100 TB posture, mirrors components.py):
 - the symmetric edge list is cached pre-partitioned on the join key,
   so every round reuses one shuffle layout;
@@ -58,9 +75,17 @@ def pagerank(
     sym = sym.repartition("src").persist()
 
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # (id, deg, rank) rides as one frame: one up-front join, none in the loop.
+    # damping must be expressible in hundredths so the update is pure
+    # integer arithmetic (d_pct/100); 0.85 -> 85
+    d_pct = round(damping * 100)
+    if abs(d_pct / 100.0 - damping) > 1e-12:
+        raise ValueError(f"damping must be a multiple of 0.01, got {damping}")
+    base_u = (100 - d_pct) * 10_000  # (1-d) in 1e-6 micro-units
+
+    # (id, deg, rank_u) rides as one frame: one up-front join, none in
+    # the loop; rank_u is the rank in exact 1e-6 integer units.
     state = deg.select(
-        F.col("src").alias("id"), "deg", F.lit(1.0).alias("rank")
+        F.col("src").alias("id"), "deg", F.lit(1_000_000).cast("bigint").alias("rank_u")
     ).localCheckpoint()
 
     for _ in range(iters):
@@ -68,12 +93,16 @@ def pagerank(
             sym.join(
                 state.select(
                     F.col("id").alias("src"),
-                    (F.col("rank") / F.col("deg")).alias("share"),
+                    # share = rank/deg quantized to 1e-8 units,
+                    # half-up: (200·rank_u + deg) div (2·deg)
+                    F.expr("(200 * rank_u + deg) div (2 * deg)").alias(
+                        "share_e8"
+                    ),
                 ),
                 "src",
             )
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("share").alias("in_mass"))
+            .agg(F.sum("share_e8").alias("in_mass_e8"))
         )
         state = (
             state.select("id", "deg")
@@ -81,12 +110,19 @@ def pagerank(
             .select(
                 "id",
                 "deg",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.col("in_mass")).alias(
-                    "rank"
-                ),
+                # rank' = (1-d) + d·in_mass, half-up back to 1e-6 units
+                (
+                    F.lit(base_u).cast("bigint")
+                    + F.expr(
+                        f"(2 * {d_pct} * in_mass_e8 + 10000) div 20000"
+                    )
+                ).alias("rank_u"),
             )
             .localCheckpoint()
         )
 
     sym.unpersist()
-    return state.select(F.col("id").alias(id_out), F.col("rank").alias(rank_out))
+    return state.select(
+        F.col("id").alias(id_out),
+        (F.col("rank_u").cast("double") / F.lit(1_000_000.0)).alias(rank_out),
+    )

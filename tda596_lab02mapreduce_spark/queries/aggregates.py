@@ -697,12 +697,16 @@ def sampled_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_distinct_users_7d",
     oracle="""
 WITH days AS (
-  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+  SELECT unnest(generate_series(
+           CAST(date_trunc('day', min(ts)) AS TIMESTAMP),
+           CAST(date_trunc('day', max(ts)) AS TIMESTAMP),
+           INTERVAL 1 DAY)) AS day
+  FROM events
 )
 SELECT d.day,
        CAST(count(DISTINCT e.user_id) AS BIGINT) AS users_7d
 FROM days d
-JOIN events e
+LEFT JOIN events e
   ON CAST(date_trunc('day', e.ts) AS TIMESTAMP) <= d.day
  AND CAST(date_trunc('day', e.ts) AS TIMESTAMP) > d.day - INTERVAL 7 DAY
 GROUP BY d.day
@@ -716,20 +720,27 @@ GROUP BY d.day
         "join) re-touches every event up to 7 times and shuffles raw "
         "ids; the bitmap form touches events ONCE and slides over "
         "kilobyte bitmaps — the same partial-merge property the "
-        "weekly rollup uses, now in a moving frame. Day gaps would "
-        "make a rows-frame wrong (7 rows ≠ 7 days); the fixture month "
-        "is gap-free, and tests/test_driftstats.py's "
-        "test_fixture_days_are_contiguous pins that precondition "
-        "explicitly."
+        "weekly rollup uses, now in a moving frame. The day spine is "
+        "generated from sequence(min_day, max_day, 1 day) — NOT from "
+        "days present in the data — so the rows(-6,0) frame equals 7 "
+        "calendar days BY CONSTRUCTION even on inputs with day gaps "
+        "(ADVICE r7: the present-days spine silently widened the "
+        "window across gaps); days with no active users report 0."
     ),
     tags=("agg", "distinct", "sketch", "window", "timeseries"),
 )
 def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sliding_distinct_7d_core(io.load(spark, sf_dir, "events"))
+
+
+def _sliding_distinct_7d_core(events: DataFrame) -> DataFrame:
+    """Shared core over any (ts, user_id) table — unit-tested on a
+    synthetic GAPPED series (tests/test_aggregates.py) in addition to
+    the gap-free fixture oracle."""
     from pyspark.sql.window import Window
 
     db = (
-        io.load(spark, sf_dir, "events")
-        .select(
+        events.select(
             F.date_trunc("day", F.col("ts")).alias("day"),
             (F.col("user_id") + 1).alias("uid1"),
         )
@@ -740,10 +751,17 @@ def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # dense (day × bucket) spine: the rows(-6,0) frame slides over
     # ROWS per bucket, so a bucket silent on some day would otherwise
-    # pull its 8th-day-old bitmap into the frame
-    spine = db.select("day").distinct().crossJoin(
-        F.broadcast(db.select("bucket").distinct())
+    # pull its 8th-day-old bitmap into the frame. Days come from the
+    # full calendar range, not days present — a day gap in the data
+    # must not compress the 7-day window (ADVICE r7)
+    day_range = db.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    ).select(
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr("interval 1 day"))
+        ).alias("day")
     )
+    spine = day_range.crossJoin(F.broadcast(db.select("bucket").distinct()))
     dense = spine.join(db, ["day", "bucket"], "left")
     w = Window.partitionBy("bucket").orderBy("day").rowsBetween(-6, 0)
     sliding = dense.select(

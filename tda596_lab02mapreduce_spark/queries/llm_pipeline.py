@@ -1030,31 +1030,115 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int = 10) -> str:
+    """Unrolled SQL replay of operators/pagerank.py's fixed-round
+    integer-micro-unit iteration (rank in exact 1e-6 BIGINT units,
+    shares half-up-quantized to 1e-8 units, integer sums — zero
+    floating point in the loop, so DuckDB reproduces Spark
+    bit-for-bit by construction).  Unrolled rather than WITH
+    RECURSIVE because the round count is FIXED and plain CTE stages
+    dodge every engine's recursive-aggregate restrictions."""
+    stages = [
+        "pr0 AS (SELECT id, deg, CAST(1000000 AS BIGINT) AS rank_u FROM deg)"
+    ]
+    for i in range(1, iters + 1):
+        stages.append(
+            f"""pr{i} AS (
+  SELECT d.id, d.deg,
+         CAST(150000 + (170 * m.in_mass_e8 + 10000) // 20000 AS BIGINT) AS rank_u
+  FROM (SELECT e.dst AS id,
+               SUM((200 * p.rank_u + p.deg) // (2 * p.deg)) AS in_mass_e8
+        FROM pr{i - 1} p JOIN e ON e.src = p.id GROUP BY e.dst) m
+  JOIN deg d ON d.id = m.id
+)"""
+        )
+    return (
+        r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 50),
+exr AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+p AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY u, v
+  HAVING count(*) >= 2
+),
+e AS (SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+"""
+        + ",\n".join(stages)
+        + f"\nSELECT id AS doc_id, CAST(rank_u AS DOUBLE) / 1000000.0 AS rank FROM pr{iters}"
+    )
+
+
 @register(
     "pagerank_neardup_hubs",
-    oracle=None,  # float power iteration: per-node neighbor sums have no
-    # engine-independent fold order, and the drift compounds over 10
-    # rounds — contracted as rows-only; the analytic star-graph fixpoint,
-    # mass conservation, and graph-coverage properties are pytest-asserted
-    # in tests/test_components.py instead.
+    oracle=_pagerank_oracle(10),
     doc=(
-        "PageRank over the near-dup similarity graph (same blocked "
-        "3-shingle Jaccard >= 0.5 pair source as union_find_components): "
-        "rank exposes the HUB documents — boilerplate/template sources "
-        "with many near-copies — which is how cluster canonicals or "
-        "spam families get picked at corpus scale. Fixed 10 power-"
-        "iteration rounds (operators/pagerank.py): edge list cached "
-        "pre-partitioned, degree carried with the rank state so each "
-        "round is one join+agg, lineage localCheckpoint'ed per round, "
-        "zero driver actions in the loop."
+        "PageRank over the shared-shingle similarity graph: docs are "
+        "linked when they share >= 2 distinct 3-shingles drawn from "
+        "DF-CAPPED posting lists (shingles in > 50 docs are dropped — "
+        "the standard inverted-index candidate-generation bound, so "
+        "per-shingle pair fan-out is O(cap²) and total work stays "
+        "linear in corpus shingles at 100 TB). Rank exposes the HUB "
+        "documents — boilerplate/template sources with many near-"
+        "copies — which is how cluster canonicals or spam families "
+        "get picked at corpus scale. (Round 8 swapped the pair source "
+        "from the prefix-blocked Jaccard graph, whose fixture "
+        "components are all degree-regular — every rank exactly 1.0, "
+        "a vacuous oracle; this graph has 17+ distinct degrees at "
+        "sf0.01.) Fixed 10 power-iteration rounds (operators/"
+        "pagerank.py): edge list cached pre-partitioned, degree "
+        "carried with the rank state so each round is one join+agg, "
+        "lineage localCheckpoint'ed per round, zero driver actions in "
+        "the loop. Hash-checked since round 8: the iteration runs in "
+        "exact integer micro-units (no floating point in the loop — "
+        "see operators/pagerank.py for why the rounded-doubles "
+        "variant is unsound), and the oracle replays the identical "
+        "unrolled recursion in DuckDB (VERDICT r7 task 3)."
     ),
-    tags=("dedup", "llm"),
+    tags=("dedup", "llm", "graph"),
 )
 def pagerank_neardup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tda596_lab02mapreduce_spark.operators.pagerank import pagerank
 
     docs = io.load(spark, sf_dir, "documents")
-    pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    toked = docs.select(
+        "doc_id", tokens_nonempty(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    ex = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngram_shingles(F.col("toks"), 3))).alias(
+            "shingle"
+        ),
+    )
+    rare = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("shingle")
+    )
+    exr = ex.join(rare, "shingle")
+    pairs = (
+        exr.alias("a")
+        .join(
+            exr.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
     return pagerank(pairs, "id_a", "id_b", id_out="doc_id", rank_out="rank")
 
 

@@ -4,13 +4,21 @@ survived bit-exactly against the DuckDB oracle over the ORIGINAL
 tables. The reference's analogue is its final `mr-out-*` text output
 diffed against the sequential oracle (main/test-mr.sh:103-104).
 
-Output paths live under <repo>/.tmp (gitignored); each query overwrites
-its own directory, so repeated invocations are idempotent.
+Output paths live under <repo>/.tmp/pid-<os.getpid()> (gitignored);
+each query overwrites its own directory, so repeated invocations are
+idempotent — and because the scratch base is PER PROCESS, concurrent
+harnesses (pytest + the config-free sweep, or an overlapped driver
+run) can never delete each other's in-flight sink state (the race
+behind the round-7 transient 'version 1 not in manifest' failure).
+Dead processes' scratch is reaped lazily at the next import; this
+process's scratch is removed at interpreter exit.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,11 +27,41 @@ from tda596_lab02mapreduce_spark import io, sources
 from tda596_lab02mapreduce_spark.registry import register
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TMP_ROOT = os.path.join(_REPO_ROOT, ".tmp")
+_SCRATCH = os.path.join(_TMP_ROOT, f"pid-{os.getpid()}")
+
+
+def _reap_stale_scratch() -> None:
+    """Best-effort removal of scratch left by DEAD processes only —
+    never a live concurrent harness's directory."""
+    try:
+        entries = os.listdir(_TMP_ROOT)
+    except FileNotFoundError:
+        return
+    for entry in entries:
+        if not entry.startswith("pid-"):
+            continue  # pre-round-8 flat layout or foreign files: leave
+        try:
+            pid = int(entry[4:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe, no delivery
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_TMP_ROOT, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — definitely not ours to reap
+
+
+_reap_stale_scratch()
+atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
 
 
 def _sink_path(sf_dir: str, name: str) -> str:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    return os.path.join(_REPO_ROOT, ".tmp", f"{name}_{tag}")
+    return os.path.join(_SCRATCH, f"{name}_{tag}")
 
 
 @register(
@@ -755,7 +793,10 @@ def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _sink_path(sf_dir, "versioned_customer")
     # fresh scratch base per run: write_version keeps the FIRST commit
     # of a version (immutability guard), so a stale base from an older
-    # fixture generation would pin outdated data under v=1
+    # fixture generation would pin outdated data under v=1. Safe to
+    # delete since round 8: _sink_path is pid-suffixed, so this rmtree
+    # can only ever hit THIS process's snapshots (the round-7 sweep
+    # failure was a concurrent harness losing its v=1 here).
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)

@@ -329,10 +329,9 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uses. A fresh mkdtemp per invocation leaked state-store/offset
     # dirs across bench and test sweeps (advisory finding); delete-at-
     # end is not an option because the returned statestore DataFrame
-    # reads the checkpoint lazily, after this function returns. Like
-    # every .tmp-convention query, this assumes one harness process per
-    # repo checkout at a time (concurrent processes would race on the
-    # shared path).
+    # reads the checkpoint lazily, after this function returns. Since
+    # round 8 _sink_path is per-process (pid-suffixed scratch base), so
+    # concurrent harnesses no longer race on this path.
     ck = _sink_path(sf_dir, "state_inspect_ckpt")
     shutil.rmtree(ck, ignore_errors=True)
     ev = events_stream(spark, sf_dir)

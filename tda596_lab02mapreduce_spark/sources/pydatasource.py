@@ -294,7 +294,11 @@ class WholeFileStreamReader(DataSourceStreamReader):
             yield (os.path.basename(path), fh.read())
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are positional into an immutable listing
+        # nothing to finalize: the checkpointed (index, last-name)
+        # offset is self-describing — _resolve replays it against the
+        # current listing (by name when the listing changed), so no
+        # source-side bookkeeping survives past the offset itself
+        pass
 
 
 def register_wholefile_stream(spark: SparkSession) -> None:

@@ -42,21 +42,33 @@ def read_manifest(base: str) -> dict:
         return json.load(f)
 
 
-def write_version(df: DataFrame, base: str, version: int) -> None:
+def write_version(
+    df: DataFrame, base: str, version: int, *, allow_existing: bool = False
+) -> None:
     """Commit ``df`` as snapshot ``version`` and publish it as current.
 
-    Re-committing an EXISTING version is a no-op for the data files:
-    a committed snapshot is immutable, and deleting it to rewrite
-    would leave a window where a version-pinned reader finds no
-    directory at all (the review finding that motivated this guard).
-    Only the manifest is (re-)published in that case — idempotent
-    re-runs of a sink query keep the first commit."""
+    A committed snapshot is immutable: deleting it to rewrite would
+    leave a window where a version-pinned reader finds no directory at
+    all (the review finding that motivated this guard).  Re-committing
+    an EXISTING version therefore never touches the data files — but
+    silently keeping the first snapshot while the caller supplied NEW
+    data would let a write diverge from what readers see (ADVICE r7),
+    so it raises unless the caller declares the re-run idempotent with
+    ``allow_existing=True`` (which keeps the first commit and only
+    republishes the manifest)."""
     os.makedirs(base, exist_ok=True)
     final = os.path.join(base, f"v={version}")
     tmp = os.path.join(base, f".v={version}.tmp")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)  # stale staging from a crashed writer — never visible
-    if not os.path.exists(final):
+    if os.path.exists(final):
+        if not allow_existing:
+            raise FileExistsError(
+                f"version {version} already committed at {final}; snapshots are "
+                "immutable — pass allow_existing=True for an idempotent re-run "
+                "(keeps the FIRST commit), or commit a new version number"
+            )
+    else:
         df.write.mode("overwrite").parquet(tmp)
         os.replace(tmp, final)
 

@@ -170,3 +170,28 @@ def test_zscore_decimal_arithmetic_survives_int64_overflow(spark):
     )
     [r] = df.select((F.col("dev") * F.col("dev")).alias("sq")).collect()
     assert int(r.sq) == 4_000_000_000 ** 2
+
+
+def test_sliding_distinct_7d_handles_day_gaps(spark):
+    """ADVICE r7: the rows(-6,0) frame must span 7 CALENDAR days, not
+    7 data-present days. A user active on day 1 must NOT count toward
+    day 10 just because days 2-9 are absent from the input — the
+    sequence()-generated spine makes the frame calendar-true, and
+    spine days with no active users report 0."""
+    from datetime import datetime
+
+    from tda596_lab02mapreduce_spark.queries.aggregates import (
+        _sliding_distinct_7d_core,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1), 1),
+        (datetime(2024, 1, 1), 2),
+        (datetime(2024, 1, 10), 2),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = {r.day.day: r.users_7d for r in _sliding_distinct_7d_core(df).collect()}
+    assert sorted(out) == list(range(1, 11)), "spine must cover the full range"
+    assert out[1] == 2 and out[7] == 2, "both users visible through day 7"
+    assert out[8] == 0 and out[9] == 0, "window must empty out after day 7"
+    assert out[10] == 1, "only the day-10 user within its trailing week"

@@ -59,7 +59,9 @@ def test_pagerank_star_graph_analytic_fixpoint(spark):
     assert abs(got[0] - 0.66 / 0.2775) < 5e-3
     for leaf in range(1, 5):
         assert abs(got[leaf] - (0.15 + 0.2125 * (0.66 / 0.2775))) < 5e-3
-    assert abs(sum(got.values()) - 5.0) < 1e-9  # mass conserved exactly
+    # mass conserved up to the 1e-6 integer-unit quantization the
+    # exact cross-engine iteration carries (operators/pagerank.py)
+    assert abs(sum(got.values()) - 5.0) < 1e-4
 
 
 def test_pagerank_neardup_mass_and_coverage(spark, sf_correctness):
@@ -71,8 +73,14 @@ def test_pagerank_neardup_mass_and_coverage(spark, sf_correctness):
     out = get("pagerank_neardup_hubs").spark_fn(spark, sf_correctness).collect()
     n = len(out)
     assert n > 0
-    assert abs(sum(r.rank for r in out) - n) < 1e-6 * n
+    assert abs(sum(r.rank for r in out) - n) < 1e-5 * n
     assert all(r.rank >= 0.15 - 1e-12 for r in out)
+    # non-degeneracy guard (the vacuous-oracle lesson): the round-7
+    # prefix-blocked graph was degree-regular and every rank was
+    # exactly 1.0 — an oracle that can't fail. The shared-shingle
+    # graph must keep real hub structure for the hash to mean anything.
+    distinct_ranks = len({r.rank for r in out})
+    assert distinct_ranks >= 10, f"degenerate rank distribution: {distinct_ranks}"
 
 
 def test_star_equals_label_on_synthetic_graphs(spark):

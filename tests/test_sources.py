@@ -427,10 +427,12 @@ def test_versioned_manifest_protocol(spark, sf_smoke, tmp_path):
     with pytest.raises(ValueError):
         versioned.read_version(spark, base, version=99)
 
-    # immutability on re-commit: committing version 1 AGAIN with
-    # different data must keep the first snapshot (and never leave a
-    # window with no v=1 directory)
-    versioned.write_version(nation.limit(1), base, 1)
+    # immutability on re-commit: committing version 1 AGAIN raises
+    # unless declared idempotent; with allow_existing=True the FIRST
+    # snapshot is kept (and there is never a window with no v=1 dir)
+    with pytest.raises(FileExistsError):
+        versioned.write_version(nation.limit(1), base, 1)
+    versioned.write_version(nation.limit(1), base, 1, allow_existing=True)
     assert (
         sorted(tuple(r) for r in versioned.read_version(spark, base, 1).collect())
         == v1_before
