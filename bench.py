@@ -93,6 +93,20 @@ HEADLINE = [
     "dedup_passage_exact",
     "bitmap_distinct_rollup",
     "sliding_distinct_users_7d",
+    # round-8 additions (BASELINE.md "Round-8 anchors"; the 53 queries
+    # above remain comparable to their earlier anchors). The first
+    # four are the rewired former single-partition-window queries —
+    # benched so a regression in the distributed-rank path is visible;
+    # pagerank is benched since it gained the bit-exact oracle; the
+    # GEMM twin rides next to similarity_topk for the JVM-vs-BLAS
+    # comparison.
+    "histogram_equidepth_price",
+    "gini_revenue_concentration",
+    "pareto_revenue_concentration",
+    "psi_value_drift_qbins",
+    "pagerank_neardup_hubs",
+    "window_distribution",
+    "similarity_topk_gemm",
 ]
 
 

@@ -60,6 +60,93 @@ def brute_force_topk(
     )
 
 
+def gemm_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    margin: int = 8,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched matrix multiplication —
+    the vectorized fast path of ``brute_force_topk`` (same contract,
+    same output shape, ~identical rows; see rounding note).
+
+    Per Arrow batch a single numpy GEMM (X_normalized @ Q_normalizedᵀ)
+    scores every (corpus row, query) pair at BLAS speed instead of one
+    JVM fold per pair; each batch emits only its top (k+margin)
+    candidates per query (top-k of a union ⊆ union of per-part top-k,
+    so the global window over ≤ (k+margin)·|q|·n_batches candidate
+    rows is exact), and the corpus is never collected — only the
+    bounded query matrix rides a broadcast variable.
+
+    Rounding note: numpy's pairwise-summation dot differs from a
+    strict left fold (and from DuckDB's list_cosine_similarity) in the
+    last ~ulp, so the reported cosine is rounded to 9 dp — 1e-16
+    arithmetic spread against a 5e-10 rounding boundary makes the
+    result cross-engine deterministic; the per-batch `margin` absorbs
+    any candidate reordering below the rounding grain."""
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()  # bounded query set
+    bq = spark.sparkContext.broadcast(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+    )
+    kk = k + margin
+
+    def score_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        q = bq.value
+        qids = np.array([t[0] for t in q], dtype=np.int64)
+        Q = np.array([t[1] for t in q], dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            lst = batch.column(1)
+            n = len(lst)
+            if n == 0:
+                continue
+            X = (
+                lst.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = Xn @ Qn.T  # (n, |q|) — one BLAS call scores the batch
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                col = S[:, j]
+                # top (k+margin) by (cosine desc, id asc) — lexsort keys
+                # are last-key-primary
+                take = np.lexsort((ids, -col))[:kk]
+                out_q.append(np.full(len(take), qids[j], dtype=np.int64))
+                out_n.append(ids[take].astype(np.int64))
+                out_c.append(np.round(col[take], 9))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_n)),
+                    pa.array(np.concatenate(out_c)),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
+    cand = corpus.select(
+        F.col(id_col).cast("long"), F.col(vec_col)
+    ).mapInArrow(score_batches, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("nbr_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nbr_rank") <= k)
+    )
+
+
 def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> F.Column:
     """The (tiny: k×dim) centroid set as a literal array<struct<cell,
     centroid>> — assignment then needs NO join and NO shuffle, just a
@@ -249,6 +336,14 @@ def ivf_fit(
     return model
 
 
+# serving-path index cache: the ASSIGNED corpus (id, vec, cell) is the
+# inverted file itself — at 100 TB it is a stored table partitioned by
+# cell (built once with the model, like any ANN index); the in-process
+# persist() below is the local-mode stand-in, keyed per Spark app so a
+# stopped session's DataFrame is never served to a new one.
+_IVF_ASSIGNED_CACHE: dict[tuple, DataFrame] = {}
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -261,6 +356,7 @@ def ivf_topk(
     kmeans_iters: int = 3,
     train_fraction: float | None = None,
     model: IvfModel | None = None,
+    dataset_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the classic ANN scale path
     (Faiss IVF-Flat shape). Corpus is partitioned once into n_cells by a
@@ -270,7 +366,11 @@ def ivf_topk(
 
     ``model`` is the fit/probe split: pass ``ivf_fit(...)`` output to
     probe a prebuilt quantizer (the serving path); omitting it fits
-    inline (the one-shot path, used by recall tests).
+    inline (the one-shot path, used by recall tests).  With
+    ``dataset_key`` the ASSIGNED corpus (the inverted file) is also
+    cached and persisted in-process, so repeated probes skip the
+    per-row argmin re-assignment entirely — the full ANN index-once/
+    query-many shape.
 
     Same output shape as brute_force_topk; recall is pytest-asserted
     (tests/test_dedup.py), driver check is rows-only."""
@@ -284,11 +384,26 @@ def ivf_topk(
     )
     cent_lit = _centroid_literal(cent_rows)
 
-    # corpus assignment: map-only argmin against the literal centroids
-    c_assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cvec"),
-    ).withColumn("cell", _nearest_cell("__cvec", cent_lit))
+    # corpus assignment: map-only argmin against the literal centroids;
+    # cached per (app, dataset, params) — the assignment IS the index
+    akey = None
+    if dataset_key is not None:
+        akey = (
+            corpus.sparkSession.sparkContext.applicationId,
+            dataset_key,
+            vec_col,
+            id_col,
+            n_cells,
+        )
+    c_assigned = _IVF_ASSIGNED_CACHE.get(akey) if akey is not None else None
+    if c_assigned is None:
+        c_assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cvec"),
+        ).withColumn("cell", _nearest_cell("__cvec", cent_lit))
+        if akey is not None:
+            c_assigned = c_assigned.persist()
+            _IVF_ASSIGNED_CACHE[akey] = c_assigned
 
     # each query probes its n_probe nearest cells — row-local: sort the
     # k (d2, cell) scores in-row and explode the first n_probe

@@ -330,6 +330,45 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_gemm",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 9) AS cosine
+  FROM q, c
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(nbr_rank AS BIGINT) AS nbr_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nbr_rank
+      FROM scored)
+WHERE nbr_rank <= 5
+""",
+    doc=(
+        "Exact cosine top-5 via Arrow-batched GEMM "
+        "(operators/similarity.py:gemm_topk) — the vectorized twin of "
+        "similarity_topk: one numpy matrix multiply scores each Arrow "
+        "batch against the broadcast query matrix at BLAS speed, each "
+        "batch emits only its top (k+margin) candidates per query, and "
+        "a tiny global window finishes the exact top-k. Same result "
+        "set as the JVM fold-expression path (cosine rounded to 9 dp "
+        "on both sides — numpy pairwise summation vs left-fold differ "
+        "below the rounding grain). This is the 'Python when it wins' "
+        "demonstrator: Arrow batches + BLAS beat per-pair scalar "
+        "expression trees on wide-vector workloads, while the "
+        "candidate bound keeps the Python emission O(k·|q|) per batch."
+    ),
+    tags=("similarity", "udf"),
+)
+def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.gemm_topk(emb, queries, k=5)
+
+
+@register(
     "knn_label_classify",
     oracle="""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -474,7 +513,9 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = sim.ivf_fit(
         emb, n_cells=8, kmeans_iters=3, train_fraction=0.2, dataset_key=sf_dir
     )
-    return sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3, model=model)
+    return sim.ivf_topk(
+        emb, queries, k=5, n_cells=8, n_probe=3, model=model, dataset_key=sf_dir
+    )
 
 
 @register(

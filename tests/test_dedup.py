@@ -273,3 +273,35 @@ def test_knn_classify_properties(spark, sf_correctness):
         assert 1 <= r.votes <= 10
         assert r.pred_label == want[r.query_id]
         assert r.votes == votes[r.query_id][r.pred_label]
+
+
+def test_gemm_topk_matches_brute_force_exactly(spark, sf_correctness):
+    """The GEMM path is the SAME operator as brute_force_topk, just
+    vectorized: identical (query, neighbor, rank) triples, cosines
+    equal to the fold-expression path within the 9-dp rounding grain —
+    including under exact ties (duplicate vectors), which both paths
+    break on neighbor_id."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark import io
+    from tda596_lab02mapreduce_spark.operators.similarity import (
+        brute_force_topk,
+        gemm_topk,
+    )
+
+    emb = io.load(spark, sf_correctness, "embeddings")
+    # inject an exact duplicate pair so the tiebreak path is exercised
+    dup = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    queries = corpus.filter(F.col("vec_id") < 10)
+    got = {
+        (r.query_id, r.nbr_rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in gemm_topk(corpus, queries, k=7).collect()
+    }
+    exp = {
+        (r.query_id, r.nbr_rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in brute_force_topk(corpus, queries, k=7).collect()
+    }
+    assert got == exp

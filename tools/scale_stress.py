@@ -87,6 +87,15 @@ QUERIES = [
     "ks_value_drift",
     "mutual_information_type_hour",
     "acf_daily_events",
+    # round-8: the remaining rewired former single-partition-window
+    # queries (VERDICT r7 task 1 'done' = they join this table).
+    # pareto/gini ride the 10× orders staging added in r7; the
+    # equi-depth histogram rides 10× lineitem; quantile-PSI rides
+    # 10× events.
+    "histogram_equidepth_price",
+    "gini_revenue_concentration",
+    "pareto_revenue_concentration",
+    "psi_value_drift_qbins",
     # fact-table band (10× orders+lineitem, unchanged dimensions):
     # the shuffle joins and fact aggregates that carry the 100 TB
     # story. q9 is the broadcast-only contrast (no fact-fact join).
@@ -98,6 +107,20 @@ QUERIES = [
     "tpch_q12_priority_by_linestatus",
     "tpch_q20_half_quantity_suppliers",
     "tpch_q21_sole_supplier_lines",
+    # round-8: similarity/embedding band (VERDICT r7 task 5). 10×
+    # embeddings via per-(replica, dim) deterministic sign flips:
+    # cross-replica cosine is ~0 (half the dims negate), so top-k
+    # neighbor structure stays within-replica and the honest
+    # expectation is linear growth. The vec_id<10 query set stays
+    # fixed — the ANN serving contract: same queries, 10× corpus.
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "knn_label_classify",
+    "similarity_mmr_rerank",
+    "embedding_centroid_outliers",
+    "vector_dim_stats",
+    "embedding_quantize_int8",
 ]
 
 
@@ -191,8 +214,44 @@ def stage(spark) -> None:
     )
     li10.repartition(32).write.parquet(f"{OUT}/lineitem.parquet")
 
+    # 10× embeddings: replica-offset ids + per-(replica, dim) sign
+    # flips (md5 parity — deterministic, engine-free). Two replicas
+    # disagree on ~half of the 64 dims, so cross-replica cosine ~0 and
+    # every similarity query's neighbor structure stays within-replica
+    # — the same honest-linear construction as the token-suffix corpus.
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    flip = lambda x, i: (  # noqa: E731
+        x
+        * F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.col("replica").cast("string"), i.cast("string"))
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .cast("float")
+    ).cast("float")
+    emb10 = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("replica").cast("long") * 10_000_000).alias(
+            "vec_id"
+        ),
+        F.transform("embedding", flip).alias("embedding"),
+        "label",
+    )
+    emb10.repartition(32).write.parquet(f"{OUT}/embeddings.parquet")
+
     # unscaled tables copied so every registered query resolves
-    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         src = f"{SRC}/{t}.parquet"
         dst = f"{OUT}/{t}.parquet"
         if os.path.isdir(src):
