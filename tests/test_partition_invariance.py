@@ -133,6 +133,15 @@ SLICE = [
     "source_partition_layout_evolution",
     "pandas_api_groupby",
     "stream_psi_monitor",
+    # round-8: distributed-rank rewires (exactness must hold at any
+    # range-partition count — the whole point of the helper), the
+    # integer-unit PageRank, the GEMM per-batch candidate cut (batch
+    # boundaries move with parallelism; the top-k must not), and the
+    # equi-depth histogram's distributed ntile
+    "histogram_equidepth_price",
+    "window_distribution",
+    "pagerank_neardup_hubs",
+    "similarity_topk_gemm",
 ]
 
 
