@@ -75,6 +75,19 @@ def pagerank(
     sym = sym.repartition("src").persist()
 
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the RECEIVER's degree rides on the edge list (joined once, before
+    # the loop): each round is then a single join + single aggregate —
+    # the rank update happens inside the aggregate's grouping keys
+    # instead of a second per-round join against the state frame
+    sym_d = (
+        sym.join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg")),
+            "dst",
+        )
+        .select("src", "dst", "dst_deg")
+        .repartition("src")
+        .persist()
+    )
     # damping must be expressible in hundredths so the update is pure
     # integer arithmetic (d_pct/100); 0.85 -> 85
     d_pct = round(damping * 100)
@@ -88,9 +101,9 @@ def pagerank(
         F.col("src").alias("id"), "deg", F.lit(1_000_000).cast("bigint").alias("rank_u")
     ).localCheckpoint()
 
-    for _ in range(iters):
-        contribs = (
-            sym.join(
+    for it in range(iters):
+        state = (
+            sym_d.join(
                 state.select(
                     F.col("id").alias("src"),
                     # share = rank/deg quantized to 1e-8 units,
@@ -101,12 +114,8 @@ def pagerank(
                 ),
                 "src",
             )
-            .groupBy(F.col("dst").alias("id"))
+            .groupBy(F.col("dst").alias("id"), F.col("dst_deg").alias("deg"))
             .agg(F.sum("share_e8").alias("in_mass_e8"))
-        )
-        state = (
-            state.select("id", "deg")
-            .join(contribs, "id")
             .select(
                 "id",
                 "deg",
@@ -118,10 +127,17 @@ def pagerank(
                     )
                 ).alias("rank_u"),
             )
-            .localCheckpoint()
         )
+        # checkpoint every OTHER round: two rounds of lineage stay flat
+        # (one extra join layer over the cached edge list) while the
+        # per-round job-scheduling + materialization overhead halves;
+        # results are independent of checkpoint placement (pure
+        # integer plan)
+        if it % 2 == 1 or it == iters - 1:
+            state = state.localCheckpoint()
 
     sym.unpersist()
+    sym_d.unpersist()
     return state.select(
         F.col("id").alias(id_out),
         (F.col("rank_u").cast("double") / F.lit(1_000_000.0)).alias(rank_out),
