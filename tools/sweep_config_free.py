@@ -32,13 +32,35 @@ from tests.oracle import run_oracle, verdict
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+# Bounded-grain exceptions to the zero-partition-less-window contract:
+# windows over one-row-per-DAY / per-MONTH aggregates (cusum, Holt,
+# monthly YoY) and the DPP threshold probe whose scalar-join rewrite
+# would lose the dynamic prune (documented at its use site). Everything
+# else in the registry must plan ZERO partition-less WindowExec nodes
+# (functions/rank.py is the replacement for unbounded grains).
+PARTITIONLESS_WINDOW_OK = {
+    "cusum_changepoint_daily",
+    "holt_forecast_daily",
+    "revenue_monthly_yoy",
+    "source_dynamic_partition_pruning",
+}
+
+
 def main() -> None:
+    from tda596_lab02mapreduce_spark.plans import partitionless_window_count
+
     spark = SparkSession.builder.master("local[*]").getOrCreate()
     ok = rows_only = 0
     fail: list[dict] = []
+    window_sins: list[str] = []
     for name, q in sorted(registry.registry().items()):
         try:
             sdf = q.spark_fn(spark, SF_DIR)
+            if (
+                name not in PARTITIONLESS_WINDOW_OK
+                and partitionless_window_count(sdf) > 0
+            ):
+                window_sins.append(name)
             s_cols = list(sdf.columns)
             s_rows = [tuple(r) for r in sdf.collect()]
             if q.oracle is None:
@@ -56,7 +78,13 @@ def main() -> None:
             )
     print(
         json.dumps(
-            {"sf": SF_DIR, "oracle_pass": ok, "rows_only": rows_only, "fail": fail}
+            {
+                "sf": SF_DIR,
+                "oracle_pass": ok,
+                "rows_only": rows_only,
+                "fail": fail,
+                "partitionless_windows": window_sins,
+            }
         )
     )
 
