@@ -225,34 +225,106 @@ WINDOW w AS (PARTITION BY event_type ORDER BY us
     doc=(
         "Event-TIME range frame (trailing 1 hour per event type) — the "
         "frame the rows-based sliding window cannot express when event "
-        "spacing is irregular. Ordered on integer epoch micros with an "
-        "integer range bound so Spark and DuckDB bound the frame "
-        "identically; values folded as exact int64 cents (no float "
-        "accumulation order to disagree on). RANGE frames are "
-        "tie-safe by definition: equal-timestamp peers share one "
-        "frame, so no unique-tiebreak column is needed. One shuffle "
-        "on event_type; the frame scan is a per-partition sorted "
-        "sliding pointer, O(n) not O(n * frame)."
+        "spacing is irregular. Values fold as exact int64 cents, so "
+        "the result is bit-stable at any parallelism. Round 8 "
+        "re-planned the physical form: a window partitioned only by "
+        "event_type (5 distinct values) caps parallelism at 5 tasks "
+        "forever — the keyed cousin of the partition-less-window trap, "
+        "visible as the worst 20× scale ratio in BASELINE.md. Now: "
+        "trailing agg = inclusive-prefix(t) − prefix(us ≤ t−W−1µs), "
+        "both prefixes computed under (event_type, W-wide time CHUNK) "
+        "keys — each event also emits a zero-weight PROBE row at its "
+        "threshold position, local prefixes use a RANGE frame (peer-"
+        "inclusive, matching the original tie semantics), chunk-grain "
+        "carry-ins broadcast back, and one event_id regroup pairs "
+        "each event with its probe. Parallelism now scales with "
+        "types × hours, and every step is integer arithmetic — the "
+        "oracle is unchanged and still hash-matches."
     ),
     tags=("window", "timeseries"),
 )
 def window_time_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = 3_600_000_000  # frame width == chunk width, epoch micros
     ev = io.load(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         F.unix_micros(F.col("ts")).alias("us"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("us")
-        .rangeBetween(-3_600_000_000, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
+    data = ev.select(
         "event_type",
-        F.count(F.lit(1)).over(w).alias("n_1h"),
-        F.sum("cents").over(w).alias("sum_cents_1h"),
+        F.col("us").alias("pos"),
+        F.lit(0).alias("kind"),
+        "event_id",
+        "cents",
+    )
+    # probe at t-W-1: prefix there = events with us < t-W, i.e. the
+    # part the trailing [t-W, t] frame must NOT count
+    probes = ev.select(
+        "event_type",
+        (F.col("us") - W - 1).alias("pos"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(0).cast("bigint").alias("cents"),
+    )
+    m = data.unionByName(probes).withColumn("chunk", F.floor(F.col("pos") / W))
+    # local prefix within (type, chunk): RANGE frame so equal-position
+    # peers share one prefix (the original window's tie semantics);
+    # probes weigh zero, so their interleaving is harmless
+    wloc = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("pos")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    is_data = F.col("kind") == 0
+    loc = m.select(
+        "event_type",
+        "chunk",
+        "kind",
+        "event_id",
+        F.sum(F.when(is_data, 1).otherwise(0)).over(wloc).alias("lcnt"),
+        F.sum(F.when(is_data, F.col("cents")).otherwise(0))
+        .over(wloc)
+        .alias("lcents"),
+    )
+    # chunk-grain carry-ins: EXCLUSIVE prefix of per-chunk totals per
+    # type (every chunk present in m gets a row — probe-only chunks
+    # carry zero totals, so the exclusive prefix is always defined)
+    tot = m.groupBy("event_type", "chunk").agg(
+        F.sum(F.when(is_data, 1).otherwise(0)).alias("ccnt"),
+        F.sum(F.when(is_data, F.col("cents")).otherwise(0)).alias("ccents"),
+    )
+    wch = (
+        Window.partitionBy("event_type")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = tot.select(
+        "event_type",
+        "chunk",
+        F.coalesce(F.sum("ccnt").over(wch), F.lit(0)).alias("pcnt"),
+        F.coalesce(F.sum("ccents").over(wch), F.lit(0)).alias("pcents"),
+    )
+    g = loc.join(F.broadcast(pre), ["event_type", "chunk"]).select(
+        "event_id",
+        "kind",
+        "event_type",
+        (F.col("pcnt") + F.col("lcnt")).alias("cum_cnt"),
+        (F.col("pcents") + F.col("lcents")).alias("cum_cents"),
+    )
+    # one regroup pairs each event with its probe: trailing = cum(t) −
+    # cum(threshold)
+    k0, k1 = F.col("kind") == 0, F.col("kind") == 1
+    return g.groupBy("event_id").agg(
+        F.max(F.when(k0, F.col("event_type"))).alias("event_type"),
+        (
+            F.max(F.when(k0, F.col("cum_cnt")))
+            - F.max(F.when(k1, F.col("cum_cnt")))
+        ).alias("n_1h"),
+        (
+            F.max(F.when(k0, F.col("cum_cents")))
+            - F.max(F.when(k1, F.col("cum_cents")))
+        ).alias("sum_cents_1h"),
     )
 
 
