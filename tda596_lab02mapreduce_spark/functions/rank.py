@@ -91,6 +91,7 @@ def global_rank_cumsum(
     *,
     rank_col: str = "rnk",
     num_partitions: int | None = None,
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Add an exact global 1-based ``rank_col`` (row_number over
     ``order_exprs``) and, for each ``(out_name, col)`` in ``sum_cols``,
@@ -100,35 +101,95 @@ def global_rank_cumsum(
     ``order_exprs`` must be a total order (include a unique tiebreak):
     range partitioning splits strictly between distinct key tuples, so
     duplicate full keys could straddle a boundary and double-count.
+    ``bucket_expr`` selects the deterministic monotone-bucket fast path
+    (see grouped_rank_cumsum).
     """
+    return grouped_rank_cumsum(
+        df,
+        (),
+        order_exprs,
+        sum_cols,
+        rank_col=rank_col,
+        num_partitions=num_partitions,
+        bucket_expr=bucket_expr,
+    )
+
+
+def grouped_rank_cumsum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_exprs: Sequence[Column | str],
+    sum_cols: Sequence[tuple[str, Column | str]] = (),
+    *,
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Exact PER-GROUP 1-based row_number / inclusive running sums for
+    LOW-CARDINALITY group keys — the case where an ordinary keyed
+    window (``Window.partitionBy(group)``) caps parallelism at the
+    group count (5 event types = 5 tasks forever, the keyed cousin of
+    the partition-less-window trap).
+
+    Range-partition on (group, order) so a group spans MANY partitions
+    without any task holding a whole group; per-(partition, group)
+    keyed windows produce local ranks/prefixes; per-group offsets come
+    from a triangular join over the ≤ partitions × groups summary rows
+    (tiny for low-cardinality groups — high-cardinality groups should
+    just use the ordinary keyed window, which is already parallel).
+
+    (group_cols + order_exprs) must be a total order per group; with
+    ``group_cols=()`` this is exactly ``global_rank_cumsum``.
+
+    ``bucket_expr`` — deterministic fast path.  When the caller has a
+    MONOTONE bucketing of the order key (every row of bucket b sorts
+    before every row of bucket b+1 within its group: an integer value
+    div a width, the leading byte of the hash the order sorts on, …),
+    pass it and the helper skips BOTH the range-boundary sampling job
+    and the localCheckpoint pin (sampled boundaries are what make the
+    two plan branches nondeterministic; an expression is deterministic
+    by construction).  One hash exchange on (group, bucket), keyed
+    local windows, per-(group, bucket) offsets.  Balance is the
+    caller's contract — uniform hashes bucket perfectly, value widths
+    track the data distribution."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    gcols = list(group_cols)
     order_exprs = list(order_exprs)
+    if bucket_expr is not None:
+        return _bucketed_rank_cumsum(
+            df, gcols, order_exprs, sum_cols, bucket_expr, rank_col, n
+        )
     part = (
-        df.repartitionByRange(n, *order_exprs)
+        df.repartitionByRange(n, *gcols, *order_exprs)
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy(_PID).orderBy(*order_exprs)
+    w = Window.partitionBy(_PID, *gcols).orderBy(*order_exprs)
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     local = part.withColumn(_LRANK, F.row_number().over(w))
     for name, col in sum_cols:
         local = local.withColumn(f"__lcum_{name}", F.sum(col).over(wcum))
 
-    totals = local.groupBy(_PID).agg(
+    totals = local.groupBy(_PID, *gcols).agg(
         F.max(_LRANK).alias("__pcnt"),
         *[F.max(f"__lcum_{name}").alias(f"__ptot_{name}") for name, _ in sum_cols],
     )
     prior = totals.select(
         F.col(_PID).alias("__bpid"),
+        *[F.col(g).alias(f"__bg_{g}") for g in gcols],
         F.col("__pcnt").alias("__bcnt"),
         *[F.col(f"__ptot_{name}").alias(f"__btot_{name}") for name, _ in sum_cols],
     )
-    # Triangular join over ≤ n partition-summary rows: offset_p = sum
-    # of totals with pid < p.  Tiny × tiny — broadcast nested loop.
+    # Triangular join over the ≤ n × |groups| summary rows: offset of
+    # (group, p) = sum of the SAME group's totals with pid < p.  Tiny ×
+    # tiny — broadcast nested loop (equi-part on group + range on pid).
+    cond = F.col("__bpid") < F.col(_PID)
+    for g in gcols:
+        cond = cond & (F.col(f"__bg_{g}") == F.col(g))
     offs = (
-        totals.join(F.broadcast(prior), F.col("__bpid") < F.col(_PID), "left")
-        .groupBy(_PID)
+        totals.join(F.broadcast(prior), cond, "left")
+        .groupBy(_PID, *gcols)
         .agg(
             F.coalesce(F.sum("__bcnt"), F.lit(0)).alias("__off_cnt"),
             *[
@@ -137,7 +198,7 @@ def global_rank_cumsum(
             ],
         )
     )
-    out = local.join(F.broadcast(offs), _PID)
+    out = local.join(F.broadcast(offs), [_PID, *gcols])
     out = out.withColumn(rank_col, (F.col("__off_cnt") + F.col(_LRANK)).cast("bigint"))
     drop = [_PID, _LRANK, "__off_cnt"]
     for name, _ in sum_cols:
@@ -184,3 +245,64 @@ def ntile_from_rank(r: Column, n: Column, k: int) -> Column:
         rem + F.ceil((r - big_span) / F.when(q > 0, q))
     )
     return bucket.cast("bigint")
+
+
+def _bucketed_rank_cumsum(
+    df: DataFrame,
+    gcols: list[str],
+    order_exprs: list,
+    sum_cols: Sequence[tuple[str, "Column | str"]],
+    bucket_expr: "Column",
+    rank_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic-bucket variant of grouped_rank_cumsum: the caller
+    supplies a monotone bucket of the order key, so both plan branches
+    agree without sampling or a checkpoint pin."""
+    BKT = "__rank_bkt"
+    # the pin here is NOT for determinism (the bucket expression is
+    # deterministic, unlike sampled range boundaries) — it stops the
+    # local/totals/offsets branches from re-running the caller's
+    # upstream lineage (scan + aggregate) once per branch
+    part = (
+        df.withColumn(BKT, bucket_expr)
+        .repartition(n, *gcols, BKT)
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy(BKT, *gcols).orderBy(*order_exprs)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    local = part.withColumn(_LRANK, F.row_number().over(w))
+    for name, col in sum_cols:
+        local = local.withColumn(f"__lcum_{name}", F.sum(col).over(wcum))
+
+    totals = local.groupBy(BKT, *gcols).agg(
+        F.max(_LRANK).alias("__pcnt"),
+        *[F.max(f"__lcum_{name}").alias(f"__ptot_{name}") for name, _ in sum_cols],
+    )
+    prior = totals.select(
+        F.col(BKT).alias("__bbkt"),
+        *[F.col(g).alias(f"__bg_{g}") for g in gcols],
+        F.col("__pcnt").alias("__bcnt"),
+        *[F.col(f"__ptot_{name}").alias(f"__btot_{name}") for name, _ in sum_cols],
+    )
+    cond = F.col("__bbkt") < F.col(BKT)
+    for g in gcols:
+        cond = cond & (F.col(f"__bg_{g}") == F.col(g))
+    offs = (
+        totals.join(F.broadcast(prior), cond, "left")
+        .groupBy(BKT, *gcols)
+        .agg(
+            F.coalesce(F.sum("__bcnt"), F.lit(0)).alias("__off_cnt"),
+            *[
+                F.coalesce(F.sum(f"__btot_{name}"), F.lit(0)).alias(f"__off_{name}")
+                for name, _ in sum_cols
+            ],
+        )
+    )
+    out = local.join(F.broadcast(offs), [BKT, *gcols])
+    out = out.withColumn(rank_col, (F.col("__off_cnt") + F.col(_LRANK)).cast("bigint"))
+    drop = [BKT, _LRANK, "__off_cnt"]
+    for name, _ in sum_cols:
+        out = out.withColumn(name, F.col(f"__off_{name}") + F.col(f"__lcum_{name}"))
+        drop += [f"__lcum_{name}", f"__off_{name}"]
+    return out.drop(*drop)

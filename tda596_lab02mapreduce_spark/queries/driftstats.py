@@ -673,6 +673,9 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value"],
         [("cum_ref", "c_ref"), ("cum_cur", "c_cur")],
         rank_col="__ks_rank",
+        # value is a nonneg double: 16-unit stripes are a deterministic
+        # monotone bucket — no sampling job, no checkpoint pin
+        bucket_expr=F.floor(F.col("value") / F.lit(16.0)),
     ).select("cum_ref", "cum_cur")
     return (
         ecdf.crossJoin(F.broadcast(tot))
@@ -976,7 +979,11 @@ def psi_value_drift_qbins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntot = ref_counts.agg(F.sum("c").alias("n"))
     r = (
         global_rank_cumsum(
-            ref_counts, ["value"], [("cum", "c")], rank_col="__q_rank"
+            ref_counts,
+            ["value"],
+            [("cum", "c")],
+            rank_col="__q_rank",
+            bucket_expr=F.floor(F.col("value") / F.lit(16.0)),
         )
         .crossJoin(F.broadcast(ntot))
         .select("value", "cum", "n")

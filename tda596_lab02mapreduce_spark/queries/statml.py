@@ -134,34 +134,43 @@ GROUP BY c.event_type
         "exact ORDER STATISTICS (the k-th smallest cents value, k = "
         "ceil(q*n) by integer math), not interpolated quantiles — the "
         "multiset's k-th element is engine-independent even under ties, "
-        "where interpolated double quantiles are not. Shape: one "
-        "row_number window per group + a broadcast-back of per-group "
-        "(lo, hi) bounds, then one exact decimal clamp-sum; the global-"
-        "sort-free analogue at 100 TB swaps the window for "
-        "approx_percentile bounds (inventory: stats_approx_quantiles)."
+        "where interpolated double quantiles are not. Shape (round 8): "
+        "the order statistics come from VALUE-grain per-(type, cents) "
+        "counts run through functions.rank.grouped_rank_cumsum — an "
+        "event_type-keyed row-grain window capped parallelism at 5 "
+        "tasks — then a broadcast-back of per-group (lo, hi) bounds "
+        "and one exact decimal clamp-sum; the global-sort-free "
+        "analogue at 100 TB swaps the exact bounds for "
+        "approx_percentile (inventory: stats_approx_quantiles)."
     ),
     tags=("agg", "stats", "window"),
 )
 def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from tda596_lab02mapreduce_spark.functions.rank import grouped_rank_cumsum
 
     c = io.load(spark, sf_dir, "events").select(
         "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
     )
-    w = Window.partitionBy("event_type").orderBy("cents")
-    wn = Window.partitionBy("event_type")
-    r = c.select(
-        "event_type",
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    vc = c.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("m"))
+    g = grouped_rank_cumsum(
+        vc,
+        ["event_type"],
+        ["cents"],
+        [("cum", "m")],
+        rank_col="__w_rn",
+        # deterministic monotone bucket: ~2048-cent stripes of the
+        # value domain — no sampling job, no checkpoint pin
+        bucket_expr=F.floor(F.col("cents") / F.lit(2048)),
     )
+    ntot = vc.groupBy("event_type").agg(F.sum("m").alias("n"))
+    r = g.join(F.broadcast(ntot), "event_type")
     k_lo = ((F.col("n") + 19) / 20).cast("bigint")
     k_hi = ((19 * F.col("n") + 19) / 20).cast("bigint")
+    # k-th smallest value = least cents whose cumulative count reaches k
     bounds = r.groupBy("event_type").agg(
         F.min("n").alias("n"),
-        F.min(F.when(F.col("rn") == k_lo, F.col("cents"))).alias("lo"),
-        F.min(F.when(F.col("rn") == k_hi, F.col("cents"))).alias("hi"),
+        F.min(F.when(F.col("cum") >= k_lo, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= k_hi, F.col("cents"))).alias("hi"),
     )
     clamped = c.join(F.broadcast(bounds), "event_type").select(
         "event_type",
@@ -386,7 +395,7 @@ FROM s
     tags=("agg", "stats", "window"),
 )
 def spearman_value_vs_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from tda596_lab02mapreduce_spark.functions.rank import grouped_rank_cumsum
 
     ev = io.load(spark, sf_dir, "events")
     pts = ev.select(
@@ -395,15 +404,39 @@ def spearman_value_vs_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts").cast("long") % 86400).cast("decimal(18,0)").alias("y"),
     )
 
-    def rank2(col: str):
-        w_rank = Window.partitionBy("event_type").orderBy(col)
-        w_tie = Window.partitionBy("event_type", col)
-        return (
-            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
-        ).cast("decimal(18,0)")
+    # doubled midrank 2·rank + ties − 1 = 2·cum_before + m + 1, built
+    # from VALUE-grain (type, v, m) counts via the grouped distributed
+    # cumsum (an event_type-keyed row-grain rank window would cap
+    # parallelism at 5 tasks — the keyed window trap), then joined back
+    # to rows on the (type, value) key — an ordinary parallel equi-join
+    def rank2_map(col: str) -> DataFrame:
+        vc = pts.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("m"))
+        g = grouped_rank_cumsum(
+            vc,
+            ["event_type"],
+            [col],
+            [("cum", "m")],
+            rank_col="__s_rn",
+            # both rank domains are nonneg integers (cents / seconds of
+            # day): 2048-wide stripes are a deterministic monotone bucket
+            bucket_expr=F.floor(F.col(col) / F.lit(2048)),
+        )
+        return g.select(
+            "event_type",
+            F.col(col),
+            (2 * (F.col("cum") - F.col("m")) + F.col("m") + 1)
+            .cast("decimal(18,0)")
+            .alias(f"r2_{col}"),
+        )
 
-    rk = pts.select(
-        "event_type", rank2("x").alias("rx"), rank2("y").alias("ry")
+    rk = (
+        pts.join(rank2_map("x"), ["event_type", "x"])
+        .join(rank2_map("y"), ["event_type", "y"])
+        .select(
+            "event_type",
+            F.col("r2_x").alias("rx"),
+            F.col("r2_y").alias("ry"),
+        )
     )
     s = rk.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),

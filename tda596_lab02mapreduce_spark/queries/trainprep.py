@@ -364,23 +364,39 @@ WHERE rn <= CAST(ceil({_STRATA_FRACTION} * stratum_n) AS BIGINT)
         "trick as the train/valid/test split — no rand(), no "
         "sampleBy whose Bernoulli draw the oracle could never repeat). "
         "Guarantees every stratum is represented (ceil >= 1), unlike "
-        "fraction sampling which can drop small strata entirely. One "
-        "lang-keyed Exchange; rank and stratum size come from the same "
-        "window pass."
+        "fraction sampling which can drop small strata entirely. The "
+        "per-stratum rank runs through functions.rank."
+        "grouped_rank_cumsum (range-partition on (lang, hash) + "
+        "broadcast per-(partition, lang) offsets) — a lang-keyed "
+        "window caps parallelism at the handful of languages, a real "
+        "ceiling when each stratum is billions of docs; stratum sizes "
+        "ride a broadcast of the tiny per-lang count."
     ),
     tags=("sampling", "llm"),
 )
 def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import grouped_rank_cumsum
+
     docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    ranked = docs.select(
-        "doc_id",
-        "lang",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("stratum_n"),
+    base = docs.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("__h")
     )
+    ranked = grouped_rank_cumsum(
+        base,
+        ["lang"],
+        [F.col("__h"), F.col("doc_id")],
+        rank_col="rn",
+        # the order key IS a uniform hash: its leading 2 hex chars are a
+        # perfectly balanced monotone bucket (256 stripes per stratum)
+        bucket_expr=F.substring(F.col("__h"), 1, 2),
+    )
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("stratum_n"))
     target = F.ceil(F.lit(_STRATA_FRACTION) * F.col("stratum_n"))
-    return ranked.filter(F.col("rn") <= target)
+    return (
+        ranked.join(F.broadcast(sizes), "lang")
+        .filter(F.col("rn") <= target)
+        .select("doc_id", "lang", "rn", "stratum_n")
+    )
 
 
 # ---------------------------------------------------------------------------
