@@ -459,33 +459,38 @@ FROM lineitem GROUP BY l_returnflag
         "stats_approx_quantiles. NOT built on the percentile aggregate "
         "(its state buffers every distinct value per partition — a "
         "100 TB memory hazard and 3.2 s at sf0.1): instead a value "
-        "histogram (partial+final count on (group, value)) + one "
-        "cumulative-count window picks the R-7 floor/ceil order "
-        "statistics and interpolates v_lo·(1−frac) + v_hi·frac with "
-        "the same IEEE arithmetic DuckDB's quantile_cont uses — "
-        "bitwise equal, ~1.7 s at sf0.1 (vs 3.2 s for the buffering "
-        "aggregate), state bounded by distinct values per "
-        "partition. At 100 TB the GK sketch remains the one to run; "
-        "this exact form is the correctness anchor its error bound is "
-        "asserted against."
+        "histogram (partial+final count on (group, value)) + the "
+        "grouped distributed cumsum (functions.rank, price-stripe "
+        "buckets — the 3-value returnflag key would otherwise cap the "
+        "cumulative pass at 3 tasks over millions of distinct prices) "
+        "picks the R-7 floor/ceil order statistics and interpolates "
+        "v_lo·(1−frac) + v_hi·frac with the same IEEE arithmetic "
+        "DuckDB's quantile_cont uses — bitwise equal. At 100 TB the "
+        "GK sketch remains the one to run; this exact form is the "
+        "correctness anchor its error bound is asserted against."
     ),
     tags=("agg", "stats"),
 )
 def stats_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from tda596_lab02mapreduce_spark.functions.rank import grouped_rank_cumsum
 
     li = io.load(spark, sf_dir, "lineitem")
     counts = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
     ).agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("l_returnflag").orderBy("v")
-    wn = Window.partitionBy("l_returnflag")
-    r = counts.select(
-        "l_returnflag",
-        "v",
-        F.sum("c").over(w).alias("cum"),  # rows with value ≤ v
-        F.sum("c").over(wn).alias("n"),
-    )
+    # cumulative counts via the grouped distributed cumsum: the
+    # l_returnflag-keyed window capped parallelism at 3 tasks over the
+    # distinct-value table (millions of prices at 100 TB); 4096-unit
+    # price stripes are a deterministic monotone bucket
+    ntot = counts.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    r = grouped_rank_cumsum(
+        counts,
+        ["l_returnflag"],
+        ["v"],
+        [("cum", "c")],
+        rank_col="__q_rn",
+        bucket_expr=F.floor(F.col("v") / F.lit(4096.0)),
+    ).join(F.broadcast(ntot), "l_returnflag")
 
     def quantile(p: float, out: str) -> list:
         idx = (F.col("n") - 1) * F.lit(p)  # 0-based R-7 position

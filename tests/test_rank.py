@@ -155,3 +155,67 @@ def test_rewired_queries_have_no_partitionless_windows(spark, sf_correctness):
         df = get(name).spark_fn(spark, sf_correctness)
         n = plans.partitionless_window_count(df)
         assert n == 0, f"{name}: {n} partition-less windows"
+
+
+def test_grouped_rank_cumsum_matches_keyed_window(spark):
+    """Per-group distributed ranks must equal the ordinary keyed
+    window bit-for-bit — including on skewed group sizes."""
+    from tda596_lab02mapreduce_spark.functions.rank import grouped_rank_cumsum
+
+    df = spark.range(6007).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 131) % 1009).alias("v"),
+        F.col("id").alias("k"),
+        (F.col("id") % 5 + 1).alias("c"),
+    ).filter((F.col("g") != "2") | (F.col("id") < 500))  # skewed groups
+    got = {
+        (r.g, r.v, r.k): (r.r, r.cum_c)
+        for r in grouped_rank_cumsum(
+            df, ["g"], ["v", "k"], [("cum_c", "c")], rank_col="r"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "k")
+    exp = {
+        (r.g, r.v, r.k): (r.r, r.cum_c)
+        for r in df.select(
+            "g",
+            "v",
+            "k",
+            F.row_number().over(w).cast("bigint").alias("r"),
+            F.sum("c")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum_c"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_bucketed_fast_path_matches_sampled_path(spark):
+    """bucket_expr (deterministic monotone buckets) must produce the
+    identical ranks/cumsums as the sampled-range path — exercised with
+    an intentionally unbalanced stripe width so several buckets are
+    empty and several hold many rows."""
+    from tda596_lab02mapreduce_spark.functions.rank import grouped_rank_cumsum
+
+    df = spark.range(3001).select(
+        (F.col("id") % 2).alias("g"),
+        ((F.col("id") * F.col("id")) % 977).alias("v"),
+        F.col("id").alias("k"),
+        F.lit(1).alias("c"),
+    )
+    kw = dict(rank_col="r")
+    a = grouped_rank_cumsum(df, ["g"], ["v", "k"], [("cum", "c")], **kw)
+    b = grouped_rank_cumsum(
+        df,
+        ["g"],
+        ["v", "k"],
+        [("cum", "c")],
+        bucket_expr=F.floor(F.col("v") / F.lit(100)),
+        **kw,
+    )
+    ra = sorted((r.g, r.v, r.k, r.r, r.cum) for r in a.collect())
+    rb = sorted((r.g, r.v, r.k, r.r, r.cum) for r in b.collect())
+    assert ra == rb
+    from tda596_lab02mapreduce_spark import plans
+
+    assert plans.partitionless_window_count(b) == 0
