@@ -17,8 +17,18 @@ the old current (new snapshot invisible) or the new one (snapshot
 fully present) — never a half-written version. This is deliberately a
 miniature of the log-structured table formats (Delta/Iceberg publish
 the same way: data files first, then an atomic metadata pointer
-swap); multi-writer conflict resolution is out of scope and
-documented as such.
+swap).
+
+Concurrent writers (VERDICT r7 item 9): the manifest's version list is
+DERIVED from the committed ``v=*`` directories at publish time (never
+from the possibly-stale manifest alone), and the read-scan-replace is
+serialized by an ``fcntl.flock`` on ``<base>/_manifest.lock`` — so two
+writers committing different versions both end up in the manifest
+instead of the later read-modify-write silently dropping the earlier
+one. flock is a LOCAL-filesystem guarantee, matching this sink's
+local/shared-fs scope (same as the KV sink); a distributed deployment
+replaces it with the log store's conditional put, exactly as Delta's
+LogStore contract does.
 
 At 100 TB nothing here is driver-sized: snapshots are ordinary
 distributed parquet writes; the manifest is O(versions) bytes.
@@ -26,6 +36,7 @@ distributed parquet writes; the manifest is O(versions) bytes.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -35,6 +46,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _manifest_path(base: str) -> str:
     return os.path.join(base, "_manifest.json")
+
+
+@contextlib.contextmanager
+def _manifest_lock(base: str):
+    """Exclusive advisory lock serializing manifest publishes on a
+    local/shared filesystem (fcntl is POSIX-only; on platforms without
+    it the single-writer documentation stands)."""
+    try:
+        import fcntl
+    except ImportError:  # pragma: no cover - non-POSIX
+        yield
+        return
+    with open(os.path.join(base, "_manifest.lock"), "a") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
+def _committed_versions(base: str) -> list[int]:
+    """Versions provable from the filesystem: fully-committed ``v=N``
+    directories (the ``.v=N.tmp`` staging never matches)."""
+    out = []
+    for name in os.listdir(base):
+        if name.startswith("v=") and os.path.isdir(os.path.join(base, name)):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                pass
+    return out
 
 
 def read_manifest(base: str) -> dict:
@@ -72,16 +114,19 @@ def write_version(
         df.write.mode("overwrite").parquet(tmp)
         os.replace(tmp, final)
 
-    try:
-        manifest = read_manifest(base)
-    except FileNotFoundError:
-        manifest = {"current": 0, "versions": []}
-    versions = sorted(set(manifest["versions"]) | {version})
-    manifest = {"current": max(versions), "versions": versions}
-    mtmp = _manifest_path(base) + ".tmp"
-    with open(mtmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(mtmp, _manifest_path(base))
+    with _manifest_lock(base):
+        try:
+            prior = set(read_manifest(base)["versions"])
+        except FileNotFoundError:
+            prior = set()
+        # derive from committed directories ∪ prior manifest: a stale
+        # manifest read can never drop a concurrently-committed version
+        versions = sorted(prior | set(_committed_versions(base)) | {version})
+        manifest = {"current": max(versions), "versions": versions}
+        mtmp = _manifest_path(base) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, _manifest_path(base))
 
 
 def read_version(

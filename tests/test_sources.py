@@ -439,6 +439,40 @@ def test_versioned_manifest_protocol(spark, sf_smoke, tmp_path):
     )
 
 
+def test_versioned_concurrent_writers_lose_no_version(spark, tmp_path):
+    """VERDICT r7 item 9: N writers committing DISTINCT versions
+    concurrently must all survive into the manifest — the flock-
+    serialized, directory-derived publish turns the read-modify-write
+    race (which silently dropped the earlier writer's version) into a
+    convergent merge.  Threads exercise the real contention path:
+    flock is per-open-fd, so same-process writers contend like
+    separate processes would on a shared filesystem."""
+    import threading
+
+    from tda596_lab02mapreduce_spark.sources import versioned
+
+    base = str(tmp_path / "vt")
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    errors: list[Exception] = []
+
+    def commit(v: int) -> None:
+        try:
+            versioned.write_version(df, base, v)
+        except Exception as e:  # surfaced below — a swallow would pass vacuously
+            errors.append(e)
+
+    threads = [threading.Thread(target=commit, args=(v,)) for v in range(1, 7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    m = versioned.read_manifest(base)
+    assert m == {"current": 6, "versions": [1, 2, 3, 4, 5, 6]}
+    for v in range(1, 7):
+        assert versioned.read_version(spark, base, v).count() == 1
+
+
 def test_zstd_sink_files_really_use_zstd(spark, sf_correctness):
     """The codec-explicit sink must produce zstd-compressed column
     chunks — not silently fall back to the session default (snappy)."""
