@@ -1124,3 +1124,102 @@ def psi_value_drift_qbins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("psi_term").cast("double").alias("psi_term"),
         F.round(F.col("__psi_sum").cast("double"), 6).alias("psi_total"),
     )
+
+
+@register(
+    "kl_divergence_lang_tokens",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> ''))
+           AS word,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_p
+  FROM documents
+), by_word AS (
+  SELECT word,
+         CAST(SUM(is_p) AS BIGINT) AS c_p,
+         CAST(SUM(1 - is_p) AS BIGINT) AS c_q
+  FROM tok GROUP BY word
+), tot AS (
+  SELECT SUM(c_p) AS n_p, SUM(c_q) AS n_q,
+         CAST(count(*) AS BIGINT) AS v
+  FROM by_word
+), probs AS (
+  SELECT CAST(c_p + 1 AS DOUBLE) / (n_p + v) AS p,
+         CAST(c_q + 1 AS DOUBLE) / (n_q + v) AS q,
+         n_p, n_q, v
+  FROM by_word, tot
+), terms AS (
+  SELECT n_p, n_q, v,
+         CAST(round(p * ln(p / q), 8) AS DECIMAL(18, 8)) AS t_pq,
+         CAST(round(q * ln(q / p), 8) AS DECIMAL(18, 8)) AS t_qp,
+         CAST(round(p * ln(2.0 * p / (p + q))
+                    + q * ln(2.0 * q / (p + q)), 8) AS DECIMAL(18, 8)) AS t_js
+  FROM probs
+)
+SELECT CAST(max(n_p) AS BIGINT) AS n_p, CAST(max(n_q) AS BIGINT) AS n_q,
+       max(v) AS vocab_size,
+       CAST(round(CAST(SUM(t_pq) AS DOUBLE), 6) AS DOUBLE) AS kl_pq,
+       CAST(round(CAST(SUM(t_qp) AS DOUBLE), 6) AS DOUBLE) AS kl_qp,
+       CAST(round(CAST(SUM(t_js) AS DOUBLE) / 2, 6) AS DOUBLE) AS js
+FROM terms
+""",
+    doc=(
+        "KL divergence (both directions) and Jensen-Shannon distance "
+        "between the English and non-English token distributions — the "
+        "corpus-drift screen a training mix runs before re-weighting "
+        "sources (a new crawl whose unigram distribution diverges from "
+        "the reference corpus gets flagged here before poisoning the "
+        "mix).  Laplace-smoothed over the UNION vocabulary so "
+        "disjoint-support words contribute finite mass (en vs zh share "
+        "few types — exactly the case unsmoothed KL blows up on).  "
+        "Float discipline: p and q are IEEE-identical doubles in both "
+        "engines (integer-ratio divisions), each ln-term is rounded to "
+        "8 dp into an exact DECIMAL, the word-grain sums are order-"
+        "independent decimal adds (hash-stable under any partitioning) "
+        "and only the final /2 and 6-dp round touch doubles — the "
+        "zipf/psi discipline.  One explode+groupBy on word, a "
+        "broadcast 1-row total, a decimal aggregate; vocabulary-grain "
+        "all the way, no per-document state."
+    ),
+    tags=("agg", "stats", "text", "drift", "llm"),
+)
+def kl_divergence_lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens_nonempty("text")).alias("word"),
+        (F.col("lang") == "en").cast("int").alias("is_p"),
+    )
+    by_word = tok.groupBy("word").agg(
+        F.sum("is_p").alias("c_p"),
+        F.sum(1 - F.col("is_p")).alias("c_q"),
+    )
+    tot = by_word.agg(
+        F.sum("c_p").alias("n_p"),
+        F.sum("c_q").alias("n_q"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("c_p") + 1).cast("double") / (F.col("n_p") + F.col("v"))
+    q = (F.col("c_q") + 1).cast("double") / (F.col("n_q") + F.col("v"))
+    dec = "decimal(18,8)"
+    terms = by_word.crossJoin(F.broadcast(tot)).select(
+        "n_p",
+        "n_q",
+        "v",
+        F.round(p * F.log(p / q), 8).cast(dec).alias("t_pq"),
+        F.round(q * F.log(q / p), 8).cast(dec).alias("t_qp"),
+        F.round(
+            p * F.log(F.lit(2.0) * p / (p + q))
+            + q * F.log(F.lit(2.0) * q / (p + q)),
+            8,
+        )
+        .cast(dec)
+        .alias("t_js"),
+    )
+    return terms.agg(
+        F.max("n_p").cast("bigint").alias("n_p"),
+        F.max("n_q").cast("bigint").alias("n_q"),
+        F.max("v").cast("bigint").alias("vocab_size"),
+        F.round(F.sum("t_pq").cast("double"), 6).alias("kl_pq"),
+        F.round(F.sum("t_qp").cast("double"), 6).alias("kl_qp"),
+        F.round(F.sum("t_js").cast("double") / 2, 6).alias("js"),
+    )

@@ -1701,3 +1701,100 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_r"),
         (z > 2.5).alias("is_outlier"),
     )
+
+
+@register(
+    "dedup_cluster_report",
+    oracle=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         array_to_string(tk[1:3], ' ') AS prefix,
+         list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY cluster_id),
+hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sizes GROUP BY cluster_size),
+singleton AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         (SELECT count(*) FROM documents)
+           - COALESCE((SELECT SUM(cluster_size) FROM sizes), 0) AS n_clusters
+)
+SELECT cluster_size, n_clusters,
+       cluster_size * n_clusters AS n_docs,
+       (cluster_size - 1) * n_clusters AS n_removed
+FROM (SELECT * FROM hist UNION ALL
+      SELECT cluster_size, CAST(n_clusters AS BIGINT) FROM singleton)
+WHERE n_clusters > 0
+""",
+    doc=(
+        "Corpus-level dedup report: the near-dup cluster-size "
+        "histogram (same blocked-Jaccard pair source and connected-"
+        "components fixpoint as union_find_components), EXTENDED with "
+        "the singleton row — documents in no pair never enter the "
+        "component computation, so the report derives their count "
+        "arithmetically (total − Σ cluster sizes) instead of paying an "
+        "anti-join against the full corpus.  Per size: cluster count, "
+        "documents covered, and documents a keep-one-per-cluster "
+        "policy would remove — the one-page summary a 100 TB dedup "
+        "run ships to decide whether the threshold is eating the "
+        "corpus.  All integer arithmetic; the histogram grain is "
+        "O(max cluster size) rows."
+    ),
+    tags=("dedup", "agg", "llm"),
+)
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        pairs, "id_a", "id_b", id_out="doc_id", comp_out="cluster_id",
+        algorithm="label",
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    # singleton row: total docs minus docs captured by any component —
+    # two 1-row broadcast aggregates, never a corpus-wide anti-join
+    totals = docs.agg(F.count(F.lit(1)).alias("__n_total"))
+    covered = sizes.agg(
+        F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("__n_cov")
+    )
+    singleton = (
+        totals.crossJoin(F.broadcast(covered))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("__n_total") - F.col("__n_cov")).cast("bigint").alias("n_clusters"),
+        )
+    )
+    return (
+        hist.unionByName(singleton)
+        .filter(F.col("n_clusters") > 0)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removed"),
+        )
+    )
