@@ -1798,3 +1798,137 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removed"),
         )
     )
+
+
+@register(
+    "dedup_ppjoin_pairs",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+               / (len(a.s) + len(b.s)
+                  - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) t WHERE jaccard >= 0.5
+""",
+    doc=(
+        "EXACT all-pairs set-similarity join via prefix filtering "
+        "(PPJoin family, Xiao et al. WWW'08): unlike the first-3-token "
+        "blocking of dedup_ngram_jaccard (a recall heuristic) or the "
+        "probabilistic MinHash bands, this finds EVERY pair with "
+        "2-shingle Jaccard ≥ t=0.5 — the oracle is therefore the "
+        "brute-force all-pairs SPEC, so the hash check proves "
+        "exactness, not just agreement.  The algorithm: order the "
+        "shingle universe rarest-first (global df rank through "
+        "functions.rank — the canonical order is what makes prefixes "
+        "selective), keep each document's first |s| − ⌈t·|s|⌉ + 1 "
+        "shingles in that order (any pair with J ≥ t must share a "
+        "prefix shingle, since |x∩y| ≥ t·|x|), generate candidates by "
+        "an EQUI-join on prefix shingles with the PPJoin length bound "
+        "t·|x| ≤ |y| pushed into the join, then verify exact Jaccard "
+        "on the full sets only for candidates.  Per-doc prefix "
+        "positions use a doc_id-keyed window — bounded by document "
+        "size, the scalable kind of keyed window.  At 100 TB the "
+        "candidate count is driven by rare-shingle collisions, "
+        "orders of magnitude under n²; payload arrays join back only "
+        "for candidates."
+    ),
+    tags=("dedup", "join", "text", "llm"),
+)
+def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
+    T = 0.5
+    docs = io.load(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", tokens_nonempty("text").alias("tk")
+    ).filter(F.size("tk") >= 3)
+    sets = tk.select(
+        "doc_id",
+        F.array_distinct(ngram_shingles(F.col("tk"), 2)).alias("s"),
+    ).withColumn("sz", F.size("s"))
+
+    exploded = sets.select("doc_id", "sz", F.explode("s").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = global_rank_cumsum(freq, ["df", "g"], rank_col="grank").select(
+        "g", "grank"
+    )
+    # per-doc canonical positions; prefix = first sz - ceil(T*sz) + 1
+    pos_w = Window.partitionBy("doc_id").orderBy("grank")
+    prefix = (
+        exploded.join(ranked, "g")
+        .withColumn("__pos", F.row_number().over(pos_w))
+        .filter(
+            F.col("__pos") <= F.col("sz") - F.ceil(F.lit(T) * F.col("sz")) + 1
+        )
+        .select("doc_id", "sz", "g")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "g"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "g"
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # PPJoin length bound: J >= T forces T*|x| <= |y| (both ways)
+            & (F.col("sz_b") >= F.lit(T) * F.col("sz_a"))
+            & (F.col("sz_a") >= F.lit(T) * F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    jac = inter.cast("double") / (
+        F.size("s_a") + F.size("s_b") - inter
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= T)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "similarity_pq_topk",
+    oracle=None,  # approximate by design; recall@k vs exact L2 pytest-checked
+    doc=(
+        "Product-quantization ANN top-5 with an exact refine stage "
+        "(Jégou et al. TPAMI'11 + Faiss IndexRefine shape, "
+        "operators/similarity.py:pq_fit/pq_topk): 16 subspace "
+        "codebooks of 16 codes compress each 64-dim vector to 16 "
+        "small ints (8× memory vs floats — at 100 TB the difference "
+        "between an index that fits and one that doesn't), queries "
+        "score the codes via broadcast per-query lookup tables (O(m) "
+        "per pair, map-only), and the ADC top-50 shortlist is "
+        "re-ranked by exact L2 over only q×50 joined-back vectors.  "
+        "Codebooks fit in-memory on a bounded deterministic sample "
+        "and cached via the ivf_fit memo+sidecar protocol — "
+        "fit-once/serve-many.  Recall@5 floor asserted in "
+        "tests/test_dedup.py; rows-only by the seeded/approximate "
+        "contract."
+    ),
+    tags=("similarity",),
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    model = sim.pq_fit(
+        emb, m=16, k=16, iters=8, n_train=4096, dataset_key=sf_dir
+    )
+    return sim.pq_topk(emb, queries, k=5, model=model, refine=50)

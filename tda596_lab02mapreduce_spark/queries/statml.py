@@ -1077,3 +1077,106 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "feature_scale_normalize",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), by_val AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM pts GROUP BY event_type, c
+), cum AS (
+  SELECT event_type, c, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum_cnt
+  FROM by_val
+), stats AS (
+  SELECT event_type,
+         SUM(cnt) AS n,
+         SUM(CAST(c AS HUGEINT) * cnt) AS s,
+         SUM(CAST(c AS HUGEINT) * c * cnt) AS ss,
+         min(c) AS mn, max(c) AS mx
+  FROM by_val GROUP BY event_type
+)
+SELECT v.event_type, v.c AS cents, v.cnt AS n_rows,
+       CAST(round(CAST(n * v.c - s AS DOUBLE)
+                  / sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) AS DOUBLE) AS zscore,
+       CAST(round(CAST(v.c - mn AS DOUBLE) / (mx - mn), 6) AS DOUBLE) AS minmax,
+       CAST(round(CAST(cum_cnt - v.cnt AS DOUBLE) / (n - 1), 6) AS DOUBLE)
+         AS pct_rank
+FROM cum v JOIN stats USING (event_type)
+""",
+    doc=(
+        "Per-group feature scaling table — the three normalizations a "
+        "training pipeline applies before mixing features: z-score, "
+        "min-max, and percent_rank of event value within its "
+        "event_type, all at (group, distinct-value) grain.  Exactness "
+        "discipline: value moves to integer cents, so n, Σc, Σc² are "
+        "exact integer aggregates and z = (n·c − S)/√(n·Σc² − S²) — "
+        "the mean/std fraction cleared of intermediate float division "
+        "— is ONE division + one correctly-rounded sqrt on identical "
+        "operands in both engines; min-max and percent_rank are single "
+        "integer-ratio divisions (percent_rank's min-rank comes from "
+        "the cumulative count minus the tie group, Spark/DuckDB's "
+        "exact percent_rank semantics).  The value-grain cumulative "
+        "counts run through the grouped distributed cumsum with cent-"
+        "stripe buckets — the 5-value event_type key would otherwise "
+        "cap the pass at 5 tasks over millions of distinct values "
+        "(the keyed-window ceiling), and the moment/extrema pass is "
+        "one map-side-combined aggregate."
+    ),
+    tags=("agg", "stats", "window", "llm"),
+)
+def feature_scale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import grouped_rank_cumsum
+
+    ev = io.load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    by_val = pts.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dec = "decimal(38,0)"
+    stats = by_val.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("c").cast(dec) * F.col("cnt")).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c") * F.col("cnt")).alias("ss"),
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+    )
+    cum = grouped_rank_cumsum(
+        by_val,
+        ["event_type"],
+        ["c"],
+        [("cum_cnt", "cnt")],
+        rank_col="__fs_rn",
+        bucket_expr=F.floor(F.col("c") / F.lit(65536)),
+    )
+    n, s, ss = F.col("n").cast(dec), F.col("s"), F.col("ss")
+    return (
+        cum.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("c").alias("cents"),
+            F.col("cnt").alias("n_rows"),
+            F.round(
+                (n * F.col("c") - s).cast("double")
+                / F.sqrt((n * ss - s * s).cast("double")),
+                6,
+            ).alias("zscore"),
+            F.round(
+                (F.col("c") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn")),
+                6,
+            ).alias("minmax"),
+            F.round(
+                (F.col("cum_cnt") - F.col("cnt")).cast("double")
+                / (F.col("n") - 1),
+                6,
+            ).alias("pct_rank"),
+        )
+    )

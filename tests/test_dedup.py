@@ -305,3 +305,39 @@ def test_gemm_topk_matches_brute_force_exactly(spark, sf_correctness):
         for r in brute_force_topk(corpus, queries, k=7).collect()
     }
     assert got == exp
+
+
+def test_pq_refine_recall_floor(spark, sf_correctness):
+    """PQ+refine must recover ≥0.85 of the exact-L2 top-5 pairs on the
+    isotropic fixture (measured 0.94 — synthetic embeddings are PQ's
+    worst case, which is exactly why the refine stage is part of the
+    registered query), and the whole pipeline must be deterministic."""
+    import numpy as np
+
+    from tda596_lab02mapreduce_spark import io
+    from tda596_lab02mapreduce_spark.operators import similarity as sim
+
+    emb = io.load(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    model = sim.pq_fit(emb, m=16, k=16, iters=8, n_train=4096)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(emb, queries, k=5, model=model, refine=50).collect()
+    }
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([list(r[1]) for r in rows])
+    truth = set()
+    for q in range(10):
+        qv = x[ids == q][0]
+        d2 = ((x - qv) ** 2).sum(1)
+        d2[ids == q] = np.inf
+        order = np.lexsort((ids, d2))[:5]
+        truth |= {(q, int(ids[i])) for i in order}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, f"PQ+refine recall@5 {recall}"
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(emb, queries, k=5, model=model, refine=50).collect()
+    }
+    assert got == again, "PQ top-k not deterministic"
