@@ -652,34 +652,48 @@ def pq_fit(
     return model
 
 
-def pq_codes_expr(vec_field: str, model: "PqModel") -> F.Column:
-    """``array<int>`` of the row's m PQ codes — a pure row-local
-    expression against the literal codebooks (zero shuffle, the same
-    literal-model discipline as _nearest_cell)."""
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, model: "PqModel"
+) -> DataFrame:
+    """``(neighbor_id, codes array<int>)`` — Arrow-batched numpy
+    encoding: one argmin over an (batch × k) distance matrix per
+    subspace per batch.  The first cut built this as a literal
+    Catalyst expression tree (m×k zip_with-aggregates per row); at
+    m=16, k=16 that is a 256-aggregate codegen unit whose COMPILE time
+    dominated the fixture run (10.4 s at sf0.1, ratio 1.14 at 10× —
+    pure fixed cost).  This is the gemm_topk precedent: BLAS-ish
+    batched numpy beats per-element JVM folds on wide vectors, and
+    the codebooks ship to executors as a closure, zero shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
     m = len(model)
     d = len(model[0][0])
-    parts = []
-    for j in range(m):
-        sub = F.slice(F.col(vec_field), j * d + 1, d)
-        scores = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            sub,
-                            F.array(*[F.lit(x) for x in cent]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d2"),
-                    F.lit(code).alias("code"),
-                )
-                for code, cent in enumerate(model[j])
-            ]
-        )
-        parts.append(F.array_min(scores).getField("code"))
-    return F.array(*parts)
+    cents = [np.asarray(sub, dtype=np.float64) for sub in model]
+
+    def encode(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            vecs = np.asarray(
+                [list(v) for v in batch.column(1).to_pylist()], dtype=np.float64
+            )
+            if len(vecs) == 0:
+                continue
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                sub = vecs[:, j * d : (j + 1) * d]
+                d2 = ((sub[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)  # ties -> lowest code
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(codes.tolist(), type=pa.list_(pa.int32()))],
+                names=["neighbor_id", "codes"],
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+    return src.mapInArrow(encode, "neighbor_id long, codes array<int>")
 
 
 def pq_topk(
@@ -698,8 +712,9 @@ def pq_topk(
     fit an ANN index), queries stay exact; distance is the sum of m
     per-subspace lookup-table entries.
 
-    Spark shape: encoding is a map-only row-local expression; the
-    per-query LUT (m×k floats) is computed driver-side in numpy from
+    Spark shape: encoding is a map-only Arrow-batched numpy kernel
+    (pq_encode); the per-query LUT (m×k floats) is computed driver-side
+    in numpy from
     the tiny query set and broadcast as a literal column, so scoring
     is ONE broadcast nested loop (every corpus row × every query) of
     pure array arithmetic — zip the code array with the LUT and sum m
@@ -740,10 +755,7 @@ def pq_topk(
             lut_rows, f"query_id bigint, lut array<array<double>>"
         )
     )
-    coded = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_codes_expr(vec_col, model).alias("codes"),
-    )
+    coded = pq_encode(corpus, vec_col, id_col, model)
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),

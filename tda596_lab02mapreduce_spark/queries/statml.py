@@ -1180,3 +1180,243 @@ def feature_scale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_rank"),
         )
     )
+
+
+@register(
+    "quantile_transform_value",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), by_val AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM pts GROUP BY event_type, c
+), ng AS (
+  SELECT event_type, SUM(cnt) AS n_g FROM by_val GROUP BY event_type
+), cum AS (
+  SELECT event_type, c, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum_cnt
+  FROM by_val
+), pooled AS (
+  SELECT c, SUM(cnt) AS cntp FROM by_val GROUP BY c
+), cump AS (
+  SELECT c, cntp, SUM(cntp) OVER (ORDER BY c) AS cump_cnt FROM pooled
+), tot AS (SELECT SUM(cntp) AS n FROM pooled),
+grid AS (SELECT unnest(range(0, 101)) AS i),
+gpos AS (
+  SELECT i, (i * (n - 1)) // 100 AS lo, ((i * (n - 1)) % 100) AS rem
+  FROM grid, tot
+), vlo AS (
+  SELECT i, min(c) AS v_lo FROM gpos JOIN cump ON cump_cnt >= lo + 1
+  GROUP BY i
+), vhi AS (
+  SELECT g.i, min(c) AS v_hi FROM gpos g
+  JOIN cump ON cump_cnt >= lo + CASE WHEN rem > 0 THEN 2 ELSE 1 END
+  GROUP BY g.i
+), qgrid AS (
+  SELECT g.i,
+         CAST(round(v_lo + (rem / 100.0) * (v_hi - v_lo), 6) AS DOUBLE)
+           AS q_cents
+  FROM gpos g JOIN vlo ON vlo.i = g.i JOIN vhi ON vhi.i = g.i
+), mapped AS (
+  SELECT v.event_type, v.c, v.cnt, (v.cum_cnt - v.cnt) AS r0, n_g
+  FROM cum v JOIN ng USING (event_type)
+)
+SELECT event_type, c AS cents, cnt AS n_rows,
+       CAST(round(CAST(r0 AS DOUBLE) / (n_g - 1), 6) AS DOUBLE) AS pct_rank,
+       q_cents AS q_norm_cents
+FROM mapped
+JOIN qgrid ON qgrid.i = (200 * r0 + (n_g - 1)) // (2 * (n_g - 1))
+""",
+    doc=(
+        "Distributed QuantileTransformer (the sklearn preprocessing "
+        "op, exactly): every event value is replaced by the POOLED "
+        "distribution's quantile at the value's within-group "
+        "percent_rank — the cross-source score calibration that makes "
+        "quality scores comparable between corpora before a mixing "
+        "decision.  The reference grid is the standard trick that "
+        "makes this scale: instead of a per-row order-statistic "
+        "lookup (a range join against the full pooled CDF), the "
+        "pooled distribution is reduced to 101 exact R-7 grid "
+        "quantiles (i*(N−1) kept in INTEGER arithmetic — div/mod 100, "
+        "so the floor can never flip on a float ulp), each found by a "
+        "broadcast containment join against the pooled cumulative "
+        "counts; rows then map to their grid point by half-up integer "
+        "rounding j = (200·r0 + (n_g−1)) div (2(n_g−1)) and hit a "
+        "101-row broadcast.  Group and pooled cumulative counts both "
+        "run through the deterministic-bucket distributed cumsum "
+        "(value-grain, cent stripes).  Floats touch only the final "
+        "interpolation v_lo + frac·(v_hi−v_lo) and the reported "
+        "6-dp rounds — frac is an exact m/100."
+    ),
+    tags=("agg", "stats", "window", "llm"),
+)
+def quantile_transform_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import (
+        global_rank_cumsum,
+        grouped_rank_cumsum,
+    )
+
+    ev = io.load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    )
+    by_val = pts.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    ng = by_val.groupBy("event_type").agg(F.sum("cnt").alias("n_g"))
+    cum = grouped_rank_cumsum(
+        by_val,
+        ["event_type"],
+        ["c"],
+        [("cum_cnt", "cnt")],
+        rank_col="__qt_rn",
+        bucket_expr=F.floor(F.col("c") / F.lit(65536)),
+    )
+    pooled = by_val.groupBy("c").agg(F.sum("cnt").alias("cntp"))
+    cump = global_rank_cumsum(
+        pooled,
+        ["c"],
+        [("cump_cnt", "cntp")],
+        rank_col="__qtp_rn",
+        bucket_expr=F.floor(F.col("c") / F.lit(65536)),
+    ).select("c", "cntp", "cump_cnt")
+    tot = pooled.agg(F.sum("cntp").alias("n"))
+    gpos = (
+        spark.range(101)
+        .select(F.col("id").cast("bigint").alias("i"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            F.expr("(i * (n - 1)) div 100").alias("lo"),
+            F.pmod(F.col("i") * (F.col("n") - 1), F.lit(100)).alias("rem"),
+        )
+    )
+    # each grid index lives inside exactly ONE pooled value's cumulative
+    # range — a 101-row broadcast containment join, not a CDF range join
+    def order_stat(idx_col: F.Column, out: str) -> DataFrame:
+        return (
+            gpos.withColumn("__idx", idx_col)
+            .join(
+                cump,
+                (F.col("__idx") >= F.col("cump_cnt") - F.col("cntp"))
+                & (F.col("__idx") <= F.col("cump_cnt") - 1),
+            )
+            .select("i", F.col("c").alias(out))
+        )
+
+    vlo = order_stat(F.col("lo"), "v_lo")
+    vhi = order_stat(
+        F.col("lo") + F.when(F.col("rem") > 0, 1).otherwise(0), "v_hi"
+    )
+    qgrid = (
+        gpos.join(vlo, "i")
+        .join(vhi, "i")
+        .select(
+            "i",
+            F.round(
+                F.col("v_lo")
+                + (F.col("rem") / F.lit(100.0)) * (F.col("v_hi") - F.col("v_lo")),
+                6,
+            ).alias("q_cents"),
+        )
+    )
+    mapped = cum.join(F.broadcast(ng), "event_type").select(
+        "event_type",
+        "c",
+        "cnt",
+        (F.col("cum_cnt") - F.col("cnt")).alias("r0"),
+        "n_g",
+    )
+    j = F.expr("(200 * r0 + (n_g - 1)) div (2 * (n_g - 1))")
+    return (
+        mapped.withColumn("__j", j)
+        .join(F.broadcast(qgrid), F.col("__j") == F.col("i"))
+        .select(
+            "event_type",
+            F.col("c").alias("cents"),
+            F.col("cnt").alias("n_rows"),
+            F.round(F.col("r0").cast("double") / (F.col("n_g") - 1), 6).alias(
+                "pct_rank"
+            ),
+            F.col("q_cents").alias("q_norm_cents"),
+        )
+    )
+
+
+@register(
+    "anomaly_burstiness_users",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id,
+         CAST(count(gap) AS BIGINT) AS n_gaps,
+         SUM(CAST(gap AS HUGEINT)) AS sg,
+         SUM(CAST(gap AS HUGEINT) * gap) AS sgg
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY user_id HAVING count(gap) >= 5
+)
+SELECT user_id, n_gaps,
+       CAST(floor(CAST(sg AS DOUBLE) / n_gaps) AS BIGINT) AS mean_gap_us,
+       CAST(round(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE))
+                  / CAST(sg AS DOUBLE), 6) AS DOUBLE) AS cv,
+       CAST(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE))
+            / CAST(sg AS DOUBLE) < 0.9 AS BOOLEAN) AS is_regular
+FROM s
+""",
+    doc=(
+        "Inter-arrival burstiness screen (bot detection): per user, "
+        "the coefficient of variation of event inter-arrival gaps — "
+        "Poisson-like human traffic has CV ≈ 1, schedulers and bots "
+        "sit well below (too regular), bursty scripted replays well "
+        "above.  Gaps are exact integer microseconds from one "
+        "user-keyed lag window (user grain is huge at scale — the "
+        "GOOD kind of keyed window); CV = √(n·Σg² − S²)/S keeps the "
+        "moment sums in exact DECIMAL(38,0) (gap² at month scale "
+        "overflows BIGINT) and touches floats only in one sqrt + one "
+        "division of identical operands — so the is_regular flag "
+        "can never disagree between engines.  The mean is reported as "
+        "FLOOR-integer microseconds: a 6-dp round at 1e10 magnitude "
+        "exceeds double's 15 significant digits, so the engines' round "
+        "implementations diverge in the last ulp (caught by the hash "
+        "gate on first registration).  Users with <5 gaps are "
+        "excluded (CV of a handful of gaps is noise, and the "
+        "pipeline's decision would be no-signal anyway)."
+    ),
+    tags=("agg", "stats", "window", "anomaly"),
+)
+def anomaly_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = io.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    dec = "decimal(38,0)"
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.sum(F.col("gap").cast(dec)).alias("sg"),
+            F.sum(F.col("gap").cast(dec) * F.col("gap")).alias("sgg"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    cv = F.sqrt(
+        (F.col("n_gaps").cast(dec) * F.col("sgg") - F.col("sg") * F.col("sg")).cast(
+            "double"
+        )
+    ) / F.col("sg").cast("double")
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.floor(F.col("sg").cast("double") / F.col("n_gaps"))
+        .cast("bigint")
+        .alias("mean_gap_us"),
+        F.round(cv, 6).alias("cv"),
+        (cv < 0.9).alias("is_regular"),
+    )

@@ -341,3 +341,25 @@ def test_pq_refine_recall_floor(spark, sf_correctness):
         for r in sim.pq_topk(emb, queries, k=5, model=model, refine=50).collect()
     }
     assert got == again, "PQ top-k not deterministic"
+
+
+def test_ppjoin_prefix_filter_actually_prunes(spark, sf_correctness):
+    """The PPJoin prefix filter must shrink the candidate space by an
+    order of magnitude vs all-pairs — if every pair survives the
+    prefix join, the 'filter' is decorative and the query is a brute
+    force in disguise."""
+    from tda596_lab02mapreduce_spark import registry
+
+    q = registry.registry()["dedup_ppjoin_pairs"]
+    out = q.spark_fn(spark, sf_correctness)
+    n_docs = out.sparkSession.read.parquet(
+        f"{sf_correctness}/documents.parquet"
+    ).count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    # reconstruct the candidate stage: run the registered query's plan
+    # up to verification by counting verified-pair INPUTS — the public
+    # seam is the result itself, so bound instead: results must be few
+    # and exact, and the runtime plan must contain no cartesian product
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, "PPJoin fell back to all-pairs"
+    assert out.count() < all_pairs / 100, "no selectivity at t=0.5"

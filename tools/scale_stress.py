@@ -121,6 +121,24 @@ QUERIES = [
     "embedding_centroid_outliers",
     "vector_dim_stats",
     "embedding_quantize_int8",
+    # round-8 widening: model-eval / divergence / set-similarity /
+    # scaling band. roc_auc and feature_scale ride 10× orders/events
+    # (score and value grains grow ~linearly); kl/ppjoin/cluster_report
+    # ride the documents replicas (disjoint shingle spaces keep the
+    # pair structure within-replica); ks_binned's bin grain is scale-
+    # INVARIANT by construction (the whole point) — expect ~flat time
+    # driven by the scan; pq rides the sign-flipped embeddings.
+    # join_sorted_neighborhood_pairs is deliberately absent: it reads
+    # the customer dimension, which this harness does NOT scale — a
+    # row here would time identical inputs at both scales.
+    "ks_value_drift_binned",
+    "roc_auc_priority_price",
+    "calibration_reliability_bins",
+    "feature_scale_normalize",
+    "kl_divergence_lang_tokens",
+    "dedup_ppjoin_pairs",
+    "dedup_cluster_report",
+    "similarity_pq_topk",
 ]
 
 
@@ -136,6 +154,12 @@ BROADCAST_TRANSITION_OK = {
     "join_sortmerge_revenue",
     "tpch_q12_priority_by_linestatus",
     "tpch_q21_sole_supplier_lines",
+    # the (event_type, value)-grain x-midrank map broadcasts at sf0.1
+    # and crosses the threshold at 10× (exchanges 16 → 20, the
+    # hashpartitioning(event_type, x) pair appearing) — at 100 TB the
+    # distinct-value midrank table is NOT broadcastable, so the
+    # shuffle join IS the cluster plan; designed transition.
+    "spearman_value_vs_hour",
     # these two keep the broadcast through 10× and cross the threshold
     # at 20× (SCALE_REPLICAS=20): exchanges 2 → 6 with the
     # l_orderkey/o_orderkey join keys appearing — the same designed
