@@ -173,7 +173,13 @@ def grouped_rank_cumsum(
 
     totals = local.groupBy(_PID, *gcols).agg(
         F.max(_LRANK).alias("__pcnt"),
-        *[F.max(f"__lcum_{name}").alias(f"__ptot_{name}") for name, _ in sum_cols],
+        # the partition total is the prefix sum AT THE LAST ROW, not the
+        # max prefix — they only coincide for nonnegative summands, and
+        # signed summands (sweep-line ±1 deltas) broke the max form
+        *[
+            F.max_by(f"__lcum_{name}", F.col(_LRANK)).alias(f"__ptot_{name}")
+            for name, _ in sum_cols
+        ],
     )
     prior = totals.select(
         F.col(_PID).alias("__bpid"),
@@ -277,7 +283,12 @@ def _bucketed_rank_cumsum(
 
     totals = local.groupBy(BKT, *gcols).agg(
         F.max(_LRANK).alias("__pcnt"),
-        *[F.max(f"__lcum_{name}").alias(f"__ptot_{name}") for name, _ in sum_cols],
+        # last-row prefix (max_by rank), NOT max prefix — see the
+        # signed-summand note in grouped_rank_cumsum
+        *[
+            F.max_by(f"__lcum_{name}", F.col(_LRANK)).alias(f"__ptot_{name}")
+            for name, _ in sum_cols
+        ],
     )
     prior = totals.select(
         F.col(BKT).alias("__bbkt"),

@@ -1945,3 +1945,92 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, m=16, k=16, iters=8, n_train=4096, dataset_key=sf_dir
     )
     return sim.pq_topk(emb, queries, k=5, model=model, refine=50)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(range(1, len(tk) - 6)) AS pos, tk
+  FROM tok WHERE len(tk) >= 8
+), g AS (
+  SELECT doc_id, pos, array_to_string(tk[pos:pos+7], ' ') AS g FROM sh
+), dup AS (
+  SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), p AS (
+  SELECT doc_id, pos FROM g JOIN dup USING (g)
+), l AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM p
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM l
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, grp
+""",
+    doc=(
+        "Position-level exact duplicated-substring detection (the Lee "
+        "et al. 'Deduplicating Training Data Makes Language Models "
+        "Better' operation, at token grain): every 8-token window that "
+        "occurs in ≥ 2 distinct documents marks its positions "
+        "duplicated, and overlapping/adjacent duplicated windows merge "
+        "into MAXIMAL covered spans per document — the spans a "
+        "substring-dedup pass would cut, which document-level "
+        "(dedup_exact) and passage-level (dedup_passage_exact, fixed "
+        "10-token chunks) dedup both miss when the duplication "
+        "straddles chunk boundaries or covers only part of a doc.  "
+        "Spark shape: one zip_with shingle pass (built once per row, "
+        "never per element), posexplode to (doc, pos, shingle), a "
+        "shingle-grain distinct-doc count, a semi-join back, then "
+        "interval union via lag + cumulative break numbering in "
+        "doc-keyed windows (bounded by document length — the good "
+        "kind).  At 100 TB the shingle string key swaps for xxhash64 "
+        "with a verify join (the MinHash-LSH discipline, "
+        "operators/dedup.py) and the distinct-doc count gets a cap "
+        "(a shingle seen in 1000 docs needs no exact count) — both "
+        "documented, neither changes the span semantics."
+    ),
+    tags=("dedup", "text", "llm", "window"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    W = 8
+    docs = io.load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", ngram_shingles(tokens_nonempty("text"), W).alias("gs")
+    ).filter(F.size("gs") >= 1)
+    pos = sh.select(
+        "doc_id", F.posexplode("gs").alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    dup = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    covered = pos.join(dup, "g", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > W, 1
+    ).otherwise(0)
+    grp = covered.withColumn(
+        "grp",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return grp.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + W - 1).alias("span_end"),
+        (F.max("pos") + W - 1 - F.min("pos") + 1).alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")

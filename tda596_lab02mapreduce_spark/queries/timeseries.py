@@ -1270,3 +1270,154 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "concurrency_peak_daily",
+    oracle="""
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_id,
+         epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+  FROM numbered GROUP BY user_id, session_id
+),
+b AS (
+  SELECT s_us AS t_us, 1 AS delta, user_id, session_id FROM sess
+  UNION ALL
+  SELECT e_us AS t_us, -1 AS delta, user_id, session_id FROM sess
+),
+c AS (
+  SELECT t_us, delta,
+         SUM(delta) OVER (ORDER BY t_us, -delta, user_id, session_id) AS conc
+  FROM b
+),
+d AS (
+  SELECT t_us // 86400000000 AS dayn,
+         max(conc) AS day_max,
+         SUM(delta) AS day_delta,
+         SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_started
+  FROM c GROUP BY 1
+),
+spine AS (
+  SELECT unnest(range((SELECT min(dayn) FROM d),
+                      (SELECT max(dayn) FROM d) + 1)) AS dayn
+),
+j AS (
+  SELECT s.dayn, d.day_max, coalesce(d.n_started, 0) AS n_started
+  FROM spine s LEFT JOIN d USING (dayn)
+),
+e AS (
+  SELECT j.*,
+         coalesce((SELECT SUM(d2.day_delta) FROM d d2 WHERE d2.dayn < j.dayn),
+                  0) AS entering
+  FROM j
+)
+SELECT CAST(DATE '1970-01-01' + CAST(dayn AS INTEGER) AS DATE) AS day,
+       CAST(n_started AS BIGINT) AS n_sessions_started,
+       CAST(greatest(coalesce(day_max, entering), entering) AS BIGINT)
+         AS peak_concurrent
+FROM e
+""",
+    doc=(
+        "Peak concurrent sessions per day — the classic sweep-line "
+        "(interval stabbing) aggregate: sessionize (the same 30-min "
+        "gap contract as sessionize_events), emit (+1 at start, -1 at "
+        "end) boundary events, and the running sum over boundaries in "
+        "(time, starts-before-ends) order IS the instantaneous "
+        "concurrency; per-day peak = max over the day's boundaries.  "
+        "The running sum is boundary-grain (2 rows per session — "
+        "unbounded cardinality at 100 TB), so it runs through the "
+        "day-bucketed distributed cumsum, never a partition-less "
+        "window.  Carry-over is free: the cumsum is GLOBAL, so a "
+        "session spanning midnight is still counted in the next day's "
+        "boundary concurrencies; days with NO boundaries take the "
+        "entering concurrency (prefix sum of day deltas over the "
+        "calendar spine — sequence(min,max), not distinct-present "
+        "days, so gapped data can't silently skip a day), and a day "
+        "whose first boundary is a session END peaks at its entering "
+        "value, not at any boundary (greatest handles both).  The "
+        "day-grain tail is a broadcast triangular join over calendar "
+        "days — bounded by the date range, never by data volume."
+    ),
+    tags=("timeseries", "window", "agg", "sessionize"),
+)
+def concurrency_peak_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
+    DAY_US = 86_400_000_000
+    ev = io.load(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts")).alias("s_us"),
+        F.unix_micros(F.max("ts")).alias("e_us"),
+    )
+    bounds = sess.select(
+        F.col("s_us").alias("t_us"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionAll(
+        sess.select(
+            F.col("e_us").alias("t_us"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    ).withColumn("dneg", -F.col("delta"))
+    cum = global_rank_cumsum(
+        bounds,
+        ["t_us", "dneg", "user_id", "session_id"],
+        [("conc", "delta")],
+        rank_col="__cp_rn",
+        bucket_expr=F.floor(F.col("t_us") / F.lit(DAY_US)),
+    )
+    d = cum.groupBy(
+        F.floor(F.col("t_us") / F.lit(DAY_US)).alias("dayn")
+    ).agg(
+        F.max("conc").alias("day_max"),
+        F.sum("delta").alias("day_delta"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_started"),
+    )
+    spine = (
+        d.agg(F.min("dayn").alias("lo"), F.max("dayn").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("dayn"))
+    )
+    j = spine.join(d, "dayn", "left").select(
+        "dayn", "day_max", F.coalesce("n_started", F.lit(0)).alias("n_started")
+    )
+    prior = d.select(
+        F.col("dayn").alias("bdayn"), F.col("day_delta").alias("bdelta")
+    )
+    e = (
+        j.join(F.broadcast(prior), F.col("bdayn") < F.col("dayn"), "left")
+        .groupBy("dayn", "day_max", "n_started")
+        .agg(F.coalesce(F.sum("bdelta"), F.lit(0)).alias("entering"))
+    )
+    return e.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("dayn").cast("int")).alias(
+            "day"
+        ),
+        F.col("n_started").cast("bigint").alias("n_sessions_started"),
+        F.greatest(
+            F.coalesce("day_max", "entering"), F.col("entering")
+        ).cast("bigint").alias("peak_concurrent"),
+    )

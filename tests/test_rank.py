@@ -219,3 +219,32 @@ def test_bucketed_fast_path_matches_sampled_path(spark):
     from tda596_lab02mapreduce_spark import plans
 
     assert plans.partitionless_window_count(b) == 0
+
+
+def test_signed_summand_cumsum_exact(spark):
+    """Running sums of SIGNED summands (sweep-line ±1 deltas) must be
+    exact: the per-partition total is the prefix at the LAST row, not
+    the max prefix — with alternating signs the two differ on every
+    partition, so this pins the max_by form on both paths."""
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        # +1/-1 alternating with a drift so prefixes dip negative
+        F.when(F.col("id") % 3 == 0, -1).otherwise(1).alias("d"),
+    )
+    expected = []
+    acc = 0
+    for i in range(n):
+        acc += -1 if i % 3 == 0 else 1
+        expected.append((i, acc))
+    for kwargs in (
+        {},
+        {"bucket_expr": F.floor(F.col("k") / F.lit(97))},
+    ):
+        out = global_rank_cumsum(
+            df, ["k"], [("cum", "d")], rank_col="r", **kwargs
+        )
+        got = sorted((r.k, r.cum) for r in out.collect())
+        assert got == expected, f"signed cumsum wrong for {kwargs or 'sampled'}"
