@@ -1420,3 +1420,296 @@ def anomaly_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 6).alias("cv"),
         (cv < 0.9).alias("is_regular"),
     )
+
+
+@register(
+    "decision_split_gain",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), by_val AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM pts GROUP BY c
+), cum AS (
+  SELECT c, cnt, pos,
+         SUM(cnt) OVER (ORDER BY c) AS n_le,
+         SUM(pos) OVER (ORDER BY c) AS pos_le
+  FROM by_val
+), tot AS (SELECT SUM(cnt) AS n, SUM(pos) AS p FROM by_val)
+SELECT c AS threshold_cents,
+       CAST(n_le AS BIGINT) AS n_le,
+       CAST(pos_le AS BIGINT) AS pos_le,
+       CAST((n - n_le) * (n_le * n_le - pos_le * pos_le
+              - (n_le - pos_le) * (n_le - pos_le))
+            + n_le * ((n - n_le) * (n - n_le)
+              - (p - pos_le) * (p - pos_le)
+              - ((n - n_le) - (p - pos_le)) * ((n - n_le) - (p - pos_le)))
+         AS BIGINT) AS gini_num,
+       CAST(n * n_le * (n - n_le) AS BIGINT) AS gini_den,
+       CAST(CAST((n - n_le) * (n_le * n_le - pos_le * pos_le
+              - (n_le - pos_le) * (n_le - pos_le))
+            + n_le * ((n - n_le) * (n - n_le)
+              - (p - pos_le) * (p - pos_le)
+              - ((n - n_le) - (p - pos_le)) * ((n - n_le) - (p - pos_le)))
+         AS DOUBLE) / CAST(n * n_le * (n - n_le) AS DOUBLE) AS DOUBLE)
+         AS gini_split
+FROM cum, tot
+WHERE n_le < n
+""",
+    doc=(
+        "Decision-tree split scan (the CART/XGBoost inner loop, "
+        "distributed): for EVERY candidate threshold c of the value "
+        "feature, the weighted Gini impurity of the (x ≤ c | x > c) "
+        "split predicting event_type='purchase' — the full gain curve, "
+        "from which a tree builder takes the argmin.  One value-grain "
+        "aggregation + ONE cent-striped distributed cumsum produce "
+        "(n_le, pos_le) for all thresholds simultaneously — the "
+        "classic sorted-prefix-sum split finder, never a per-threshold "
+        "pass.  Exactness: the weighted impurity is kept as an exact "
+        "integer fraction w = [nR·(nL²−pL²−qL²) + nL·(nR²−pR²−qR²)] / "
+        "(N·nL·nR) (qX = negatives); gini_num/gini_den are BIGINT in "
+        "the output and gini_split is their ONE double division — "
+        "identical operands, identical single op, bit-identical across "
+        "engines with no rounding band (at 100 TB the numerator "
+        "outgrows int64 and the documented swap is decimal(38), same "
+        "plan).  Degenerate one-sided splits (n_le = N) are excluded: "
+        "their impurity is the root's, gain 0 by construction."
+    ),
+    tags=("stats", "agg", "window", "llm"),
+)
+def decision_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
+    ev = io.load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    by_val = pts.groupBy("c").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    cum = global_rank_cumsum(
+        by_val,
+        ["c"],
+        [("n_le", "cnt"), ("pos_le", "pos")],
+        rank_col="__sg_rn",
+        bucket_expr=F.floor(F.col("c") / F.lit(65536)),
+    )
+    tot = F.broadcast(
+        by_val.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("p"))
+    )
+    j = cum.crossJoin(tot).filter(F.col("n_le") < F.col("n"))
+    nL, pL = F.col("n_le"), F.col("pos_le")
+    nR = F.col("n") - nL
+    pR = F.col("p") - pL
+    qL = nL - pL
+    qR = nR - pR
+    num = nR * (nL * nL - pL * pL - qL * qL) + nL * (nR * nR - pR * pR - qR * qR)
+    den = F.col("n") * nL * nR
+    return j.select(
+        F.col("c").alias("threshold_cents"),
+        nL.cast("bigint").alias("n_le"),
+        pL.cast("bigint").alias("pos_le"),
+        num.cast("bigint").alias("gini_num"),
+        den.cast("bigint").alias("gini_den"),
+        (num.cast("double") / den.cast("double")).alias("gini_split"),
+    )
+
+
+@register(
+    "pr_curve_thresholds",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), by_val AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM pts GROUP BY c
+), cum AS (
+  SELECT c, cnt, pos,
+         SUM(cnt) OVER (ORDER BY c) AS n_le,
+         SUM(pos) OVER (ORDER BY c) AS pos_le
+  FROM by_val
+), tot AS (SELECT SUM(cnt) AS n, SUM(pos) AS p FROM by_val)
+SELECT c AS threshold_cents,
+       CAST(p - pos_le + pos AS BIGINT) AS tp,
+       CAST((n - n_le + cnt) - (p - pos_le + pos) AS BIGINT) AS fp,
+       CAST(CAST(p - pos_le + pos AS DOUBLE)
+            / CAST(n - n_le + cnt AS DOUBLE) AS DOUBLE) AS precision,
+       CAST(CAST(p - pos_le + pos AS DOUBLE) / CAST(p AS DOUBLE) AS DOUBLE)
+         AS recall,
+       CAST(CAST(2 * (p - pos_le + pos) AS DOUBLE)
+            / CAST((n - n_le + cnt) + p AS DOUBLE) AS DOUBLE) AS f1
+FROM cum, tot
+""",
+    doc=(
+        "Precision-recall curve over EVERY distinct score threshold "
+        "(predict positive when score ≥ c): tp/fp counts by suffix "
+        "sums derived from the same cent-striped prefix cumsum the "
+        "split scan uses (tp = P − pos_le + pos_at_c — inclusive "
+        "suffix from inclusive prefix), precision/recall/F1 each ONE "
+        "double division of exact integer operands — bit-identical "
+        "across engines, no rounding band, and F1's 2·tp/(pred+P) "
+        "form never materializes the precision·recall intermediate.  "
+        "Completes the model-eval band (roc_auc = threshold-free "
+        "ranking quality, calibration = probability quality, this = "
+        "the operating-point picker).  Score-grain state throughout: "
+        "unbounded-cardinality-safe, no per-row ranks, no "
+        "partition-less window."
+    ),
+    tags=("stats", "agg", "window"),
+)
+def pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
+    ev = io.load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    by_val = pts.groupBy("c").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    cum = global_rank_cumsum(
+        by_val,
+        ["c"],
+        [("n_le", "cnt"), ("pos_le", "pos")],
+        rank_col="__pr_rn",
+        bucket_expr=F.floor(F.col("c") / F.lit(65536)),
+    )
+    tot = F.broadcast(
+        by_val.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("p"))
+    )
+    j = cum.crossJoin(tot)
+    tp = F.col("p") - F.col("pos_le") + F.col("pos")
+    pred = F.col("n") - F.col("n_le") + F.col("cnt")
+    return j.select(
+        F.col("c").alias("threshold_cents"),
+        tp.cast("bigint").alias("tp"),
+        (pred - tp).cast("bigint").alias("fp"),
+        (tp.cast("double") / pred.cast("double")).alias("precision"),
+        (tp.cast("double") / F.col("p").cast("double")).alias("recall"),
+        ((2 * tp).cast("double") / (pred + F.col("p")).cast("double")).alias("f1"),
+    )
+
+
+@register(
+    "regr_multi_ols",
+    oracle="""
+WITH pts AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS y,
+         CAST(round(l_quantity, 0) AS HUGEINT) AS x1,
+         CAST(round(l_discount * 100, 0) AS HUGEINT) AS x2
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+         SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+  FROM pts GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS fn, CAST(s1 AS DOUBLE) AS f1,
+         CAST(s2 AS DOUBLE) AS f2, CAST(sy AS DOUBLE) AS fy,
+         CAST(s11 AS DOUBLE) AS f11, CAST(s12 AS DOUBLE) AS f12,
+         CAST(s22 AS DOUBLE) AS f22, CAST(s1y AS DOUBLE) AS f1y,
+         CAST(s2y AS DOUBLE) AS f2y
+  FROM s
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       (fy * (f11 * f22 - f12 * f12) - f1 * (f1y * f22 - f12 * f2y)
+          + f2 * (f1y * f12 - f11 * f2y))
+         / (fn * (f11 * f22 - f12 * f12) - f1 * (f1 * f22 - f12 * f2)
+          + f2 * (f1 * f12 - f11 * f2)) AS b0_cents,
+       (fn * (f1y * f22 - f12 * f2y) - fy * (f1 * f22 - f12 * f2)
+          + f2 * (f1 * f2y - f1y * f2))
+         / (fn * (f11 * f22 - f12 * f12) - f1 * (f1 * f22 - f12 * f2)
+          + f2 * (f1 * f12 - f11 * f2)) AS b1_cents_per_qty,
+       (fn * (f11 * f2y - f1y * f12) - f1 * (f1 * f2y - f1y * f2)
+          + fy * (f1 * f12 - f11 * f2))
+         / (fn * (f11 * f22 - f12 * f12) - f1 * (f1 * f22 - f12 * f2)
+          + f2 * (f1 * f12 - f11 * f2)) AS b2_cents_per_discpt
+FROM d
+""",
+    doc=(
+        "Group-wise MULTIVARIATE least squares (two features + "
+        "intercept, per return flag): price-in-cents regressed on "
+        "quantity and discount points via the normal equations — the "
+        "closed-form distributed regression that needs exactly ONE "
+        "partial+final aggregation to compute the 9 power sums (n, "
+        "Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y) EXACTLY in "
+        "integer arithmetic (decimal(38,0) Spark / HUGEINT DuckDB), "
+        "then a 3×3 Cramer solve in doubles.  The float tail is "
+        "deterministic across engines because both evaluate the "
+        "IDENTICAL expression tree over identical exact operands "
+        "(cast-to-double of equal integers is equal; IEEE ops on "
+        "equal inputs are equal) — no rounding band, no tolerance.  "
+        "This is the map-side-combine regression pattern (X'X "
+        "aggregation) every feature pipeline uses before reaching for "
+        "an iterative solver; at 100 TB it is a single shuffle of "
+        "9 numbers per group."
+    ),
+    tags=("stats", "agg", "llm"),
+)
+def regr_multi_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    pts = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast(dec).alias("y"),
+        F.round(F.col("l_quantity"), 0).cast(dec).alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast(dec).alias("x2"),
+    )
+    s = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    fn = F.col("n").cast("double")
+    f1 = F.col("s1").cast("double")
+    f2 = F.col("s2").cast("double")
+    fy = F.col("sy").cast("double")
+    f11 = F.col("s11").cast("double")
+    f12 = F.col("s12").cast("double")
+    f22 = F.col("s22").cast("double")
+    f1y = F.col("s1y").cast("double")
+    f2y = F.col("s2y").cast("double")
+    det = (
+        fn * (f11 * f22 - f12 * f12)
+        - f1 * (f1 * f22 - f12 * f2)
+        + f2 * (f1 * f12 - f11 * f2)
+    )
+    det0 = (
+        fy * (f11 * f22 - f12 * f12)
+        - f1 * (f1y * f22 - f12 * f2y)
+        + f2 * (f1y * f12 - f11 * f2y)
+    )
+    det1 = (
+        fn * (f1y * f22 - f12 * f2y)
+        - fy * (f1 * f22 - f12 * f2)
+        + f2 * (f1 * f2y - f1y * f2)
+    )
+    det2 = (
+        fn * (f11 * f2y - f1y * f12)
+        - f1 * (f1 * f2y - f1y * f2)
+        + fy * (f1 * f12 - f11 * f2)
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        (det0 / det).alias("b0_cents"),
+        (det1 / det).alias("b1_cents_per_qty"),
+        (det2 / det).alias("b2_cents_per_discpt"),
+    )

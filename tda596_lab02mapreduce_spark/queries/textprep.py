@@ -644,3 +644,72 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "n_chars", F.round("es_key", 8).alias("es_key_r"))
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - 3),
+                       i -> array_to_string(tk[i:i+4], ' '))) AS s
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '[^\p{L}]+'),
+                           t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 5
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), first_doc AS (
+  SELECT g, min(doc_id) AS fdoc FROM ex GROUP BY g
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.fdoc < e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seen_before,
+       1.0 - CAST(SUM(CASE WHEN f.fdoc < e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty_ratio
+FROM ex e JOIN first_doc f USING (g)
+GROUP BY e.doc_id
+""",
+    doc=(
+        "Per-document n-gram novelty score — the data-curation signal "
+        "that orders a crawl by marginal information: the fraction of "
+        "a document's distinct 5-token shingles whose FIRST corpus "
+        "occurrence (minimum doc_id — ingestion order) is this "
+        "document.  Low novelty = the document mostly restates "
+        "already-ingested text (boilerplate, mirrors, templates) even "
+        "when no single document is a near-duplicate — the case "
+        "MinHash pair-finding misses because the overlap is spread "
+        "across MANY earlier documents.  Shape: one shingle pass, a "
+        "shingle-grain min(doc_id) aggregate, one join back, one "
+        "doc-grain rollup — all equi-keyed, no pairs anywhere, which "
+        "is what makes it viable at 100 TB where pairwise novelty "
+        "would be quadratic.  novelty_ratio is 1 − one double "
+        "division of exact counts: bit-identical across engines."
+    ),
+    tags=("text", "dedup", "llm"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            ngram_shingles(tokens_nonempty("text"), 5)
+        ).alias("s"),
+    ).filter(F.size("s") >= 1)
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    first_doc = ex.groupBy("g").agg(F.min("doc_id").alias("fdoc"))
+    seen = F.sum(F.when(F.col("fdoc") < F.col("doc_id"), 1).otherwise(0))
+    return (
+        ex.join(first_doc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            seen.cast("bigint").alias("n_seen_before"),
+            (
+                F.lit(1.0)
+                - seen.cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("novelty_ratio"),
+        )
+    )

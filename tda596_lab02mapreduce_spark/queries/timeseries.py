@@ -1421,3 +1421,118 @@ def concurrency_peak_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("day_max", "entering"), F.col("entering")
         ).cast("bigint").alias("peak_concurrent"),
     )
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle="""
+WITH daily0 AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT unnest(range((SELECT min(dayn) FROM daily0),
+                      (SELECT max(dayn) FROM daily0) + 1)) AS dayn
+), daily AS (
+  SELECT s.dayn, coalesce(d.cnt, 0) AS cnt
+  FROM spine s LEFT JOIN daily0 d USING (dayn)
+), tr AS (
+  SELECT t.dayn,
+         CASE WHEN count(*) = 7 THEN SUM(d.cnt) END AS trend7
+  FROM (SELECT dayn, unnest(range(-3, 4)) AS off FROM daily) t
+  JOIN daily d ON d.dayn = t.dayn + t.off
+  GROUP BY t.dayn
+), dev AS (
+  SELECT d.dayn, d.cnt, tr.trend7,
+         (d.dayn + 4) % 7 AS dow,
+         7 * d.cnt - tr.trend7 AS dev7
+  FROM daily d JOIN tr ON tr.dayn = d.dayn
+), seas AS (
+  SELECT dow,
+         CAST(SUM(dev7) AS DOUBLE) / CAST(7 * count(*) AS DOUBLE) AS seasonal
+  FROM dev WHERE dev7 IS NOT NULL GROUP BY dow
+)
+SELECT CAST(DATE '1970-01-01' + CAST(d.dayn AS INTEGER) AS DATE) AS day,
+       d.cnt AS n_events,
+       CAST(d.trend7 AS DOUBLE) / 7.0 AS trend,
+       CASE WHEN d.trend7 IS NOT NULL THEN s.seasonal END AS seasonal,
+       CASE WHEN d.trend7 IS NOT NULL
+            THEN (CAST(d.cnt AS DOUBLE) - CAST(d.trend7 AS DOUBLE) / 7.0)
+                 - s.seasonal END AS residual
+FROM dev d JOIN seas s ON s.dow = d.dow
+""",
+    doc=(
+        "Classical seasonal decomposition at day grain (STL-lite, the "
+        "moving-average form): trend = centered 7-day moving average "
+        "of daily event counts, seasonal = day-of-week mean of the "
+        "detrended series, residual = observed − trend − seasonal — "
+        "the decomposition every traffic-anomaly and capacity model "
+        "starts from.  The moving average is an exploded-offset "
+        "EQUI-join over the calendar spine (sequence(min,max), so "
+        "gapped days count as zero instead of silently shrinking the "
+        "window — the sliding_distinct lesson), never a day-ordered "
+        "partition-less window; edge days without a full 7-day window "
+        "report NULL trend and are excluded from the seasonal means.  "
+        "Exactness: trend7 and dev7 = 7·cnt − trend7 stay integer "
+        "(the ×7 scale defers division), and floats enter only in "
+        "trend7/7, one seasonal mean division, and the final "
+        "subtraction chain — identical expression trees both engines, "
+        "bit-identical output, no rounding.  Day grain is bounded by "
+        "the calendar: every join side here is broadcastable forever."
+    ),
+    tags=("timeseries", "agg", "stats"),
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    DAY_US = 86_400_000_000
+    ev = io.load(spark, sf_dir, "events")
+    daily0 = ev.groupBy(
+        (F.unix_micros("ts") / F.lit(DAY_US)).cast("bigint").alias("dayn")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    spine = (
+        daily0.agg(F.min("dayn").alias("lo"), F.max("dayn").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("dayn"))
+    )
+    daily = spine.join(daily0, "dayn", "left").select(
+        "dayn", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    offs = daily.select(
+        "dayn", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("off")
+    ).select((F.col("dayn")).alias("tdayn"), (F.col("dayn") + F.col("off")).alias("dayn"))
+    tr = (
+        offs.join(F.broadcast(daily), "dayn")
+        .groupBy(F.col("tdayn").alias("dayn"))
+        .agg(
+            F.when(F.count(F.lit(1)) == 7, F.sum("cnt")).alias("trend7")
+        )
+    )
+    dev = daily.join(F.broadcast(tr), "dayn").select(
+        "dayn",
+        "cnt",
+        "trend7",
+        F.pmod(F.col("dayn") + 4, F.lit(7)).alias("dow"),
+        (7 * F.col("cnt") - F.col("trend7")).alias("dev7"),
+    )
+    seas = (
+        dev.filter(F.col("dev7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum("dev7").cast("double")
+                / (7 * F.count(F.lit(1))).cast("double")
+            ).alias("seasonal")
+        )
+    )
+    out = dev.join(F.broadcast(seas), "dow")
+    has_tr = F.col("trend7").isNotNull()
+    trend = F.col("trend7").cast("double") / F.lit(7.0)
+    return out.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("dayn").cast("int")).alias(
+            "day"
+        ),
+        F.col("cnt").alias("n_events"),
+        trend.alias("trend"),
+        F.when(has_tr, F.col("seasonal")).alias("seasonal"),
+        F.when(
+            has_tr, (F.col("cnt").cast("double") - trend) - F.col("seasonal")
+        ).alias("residual"),
+    )

@@ -139,6 +139,20 @@ QUERIES = [
     "dedup_ppjoin_pairs",
     "dedup_cluster_report",
     "similarity_pq_topk",
+    # round-8 second wave: sweep-line / split-scan / decomposition /
+    # novelty band. concurrency and the two threshold scans ride 10×
+    # events (boundary and cent grains grow ~linearly); seasonal's day
+    # grain is calendar-bounded so its time is the 10× scan + day
+    # rollup; substring spans and novelty ride the disjoint-shingle
+    # documents replicas; multi-OLS rides 10× lineitem (9-number
+    # shuffle regardless of scale — expect scan-dominated flat-ish).
+    "concurrency_peak_daily",
+    "decision_split_gain",
+    "pr_curve_thresholds",
+    "seasonal_decompose_daily",
+    "dedup_substring_spans",
+    "text_ngram_novelty",
+    "regr_multi_ols",
 ]
 
 
