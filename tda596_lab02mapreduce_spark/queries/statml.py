@@ -1713,3 +1713,123 @@ def regr_multi_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         (det1 / det).alias("b1_cents_per_qty"),
         (det2 / det).alias("b2_cents_per_discpt"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds on the 32-bit md5-prefix uniform:
+# cum(k) * 2^32 as 8-char lowercase hex, k = 0..7 (weight caps at 8,
+# P(w > 8) < 1.2e-6). The SAME literals appear in the Spark when-chain
+# and the DuckDB CASE — the cross-engine determinism is the literal
+# equality of these strings, nothing numeric.
+_POIS1_CUM_HEX = (
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c",
+)
+
+
+def _pois1_case_sql(h: str) -> str:
+    clauses = " ".join(
+        f"WHEN {h} < '{t}' THEN {k}" for k, t in enumerate(_POIS1_CUM_HEX)
+    )
+    return f"CASE {clauses} ELSE 8 END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, event_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), reps AS (
+  SELECT event_type, c,
+         unnest(range(0, 32)) AS b
+  FROM pts
+), w AS (
+  SELECT event_type, b, c,
+         {_pois1_case_sql("substr(md5('boot' || CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 8)")} AS w
+  FROM (SELECT event_type, event_id, c, unnest(range(0, 32)) AS b FROM pts)
+), bm AS (
+  SELECT event_type, b,
+         CAST(SUM(w * c) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
+  FROM w GROUP BY event_type, b
+), base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cents
+  FROM pts GROUP BY event_type
+)
+SELECT base.event_type, n, mean_cents,
+       list_sort(list(mean_b))[2] AS boot_lo,
+       list_sort(list(mean_b))[31] AS boot_hi
+FROM bm JOIN base USING (event_type)
+GROUP BY base.event_type, n, mean_cents
+""",
+    doc=(
+        "Poisson bootstrap confidence interval for the per-group mean "
+        "— THE distributed bootstrap (resampling-with-replacement is "
+        "a driver-side loop; per-row independent Poisson(1) weights "
+        "are its provably-equivalent map-side form, designed for "
+        "map-reduce): 32 replicates, each row's replicate weight "
+        "drawn by inverse CDF over the 32-bit uniform from "
+        "md5('boot'‖b‖':'‖event_id) — the repo's md5-family "
+        "determinism, so BOTH engines draw the identical weights from "
+        "identical hex-literal thresholds and the whole randomized "
+        "procedure is hash-checked end-to-end, not tolerance-waved.  "
+        "boot_lo/boot_hi are the 2nd/31st order statistics of the 32 "
+        "replicate means (a ~94% percentile interval); each replicate "
+        "mean is ONE double division of exact integer sums, and the "
+        "32-element sort is row-local.  Scale shape: the 32× explode "
+        "is the textbook cost, all downstream state is "
+        "(group × replicate) grain."
+    ),
+    tags=("stats", "agg", "sampling"),
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    reps = pts.select(
+        "event_type",
+        "event_id",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("boot"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    wcol = None
+    for k, t in enumerate(_POIS1_CUM_HEX):
+        cond = h < F.lit(t)
+        wcol = F.when(cond, k) if wcol is None else wcol.when(cond, k)
+    wcol = wcol.otherwise(8)
+    w = reps.select("event_type", "b", "c", wcol.alias("w"))
+    bm = w.groupBy("event_type", "b").agg(
+        (
+            F.sum(F.col("w") * F.col("c")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_b")
+    )
+    base = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_cents"
+        ),
+    )
+    return (
+        bm.join(F.broadcast(base), "event_type")
+        .groupBy("event_type", "n", "mean_cents")
+        .agg(
+            F.element_at(F.array_sort(F.collect_list("mean_b")), 2).alias("boot_lo"),
+            F.element_at(F.array_sort(F.collect_list("mean_b")), 31).alias("boot_hi"),
+        )
+    )

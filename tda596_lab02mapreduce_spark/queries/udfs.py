@@ -236,3 +236,89 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("sum_cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@register(
+    "udf_cogroup_asof",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us, event_id AS c_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.p_us,
+       cb.c_us AS click_us,
+       p.p_us - cb.c_us AS gap_us
+FROM p LEFT JOIN LATERAL (
+  SELECT c_us FROM c
+  WHERE c.user_id = p.user_id AND c.c_us <= p.p_us
+        AND p.p_us - c.c_us <= 3600000000
+  ORDER BY c_us DESC, c_id DESC LIMIT 1
+) cb ON TRUE
+""",
+    doc=(
+        "cogroup().applyInPandas — the two-sided grouped-UDF slot "
+        "(the API surface the one-sided applyInPandas and the "
+        "streaming applyInPandasWithState don't cover): purchases and "
+        "clicks cogrouped per user, matched backward-as-of (latest "
+        "click ≤ purchase, 1 h tolerance) with numpy searchsorted "
+        "inside the pandas function — the pattern for per-key merge "
+        "logic that genuinely needs both sides materialized (custom "
+        "as-of variants, per-key reconciliation, trajectory stitching)"
+        ".  Times cross the boundary as int64 microseconds, never "
+        "datetimes, so no tz/unit coercion can bite; ties on click "
+        "time resolve to the max event_id because clicks are sorted "
+        "(c_us, c_id) and searchsorted(side='right')−1 takes the last."
+        "  Grain: user-keyed cogroups — bounded per key, huge key "
+        "count, the scalable kind.  The declarative twin is "
+        "join_asof_purchase_click; this registers the ESCAPE HATCH "
+        "with the same oracle discipline (LEFT LATERAL limit-1)."
+    ),
+    tags=("udf", "join", "timeseries"),
+)
+def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ev = io.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us"), F.col("event_id").alias("c_id")
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "p_us", "click_us", "gap_us"]
+            )
+        out = left[["event_id", "user_id", "p_us"]].copy()
+        if right.empty:
+            out["click_us"] = pd.array([None] * len(out), dtype="Int64")
+            out["gap_us"] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        r = right.sort_values(["c_us", "c_id"], kind="mergesort")
+        cu = r["c_us"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(cu, out["p_us"].to_numpy(dtype=np.int64), side="right") - 1
+        hit = idx >= 0
+        cand = np.where(hit, cu[np.clip(idx, 0, None)], 0)
+        gap = out["p_us"].to_numpy(dtype=np.int64) - cand
+        ok = hit & (gap <= 3_600_000_000)
+        out["click_us"] = pd.array(
+            [int(v) if k else None for v, k in zip(cand, ok)], dtype="Int64"
+        )
+        out["gap_us"] = pd.array(
+            [int(g) if k else None for g, k in zip(gap, ok)], dtype="Int64"
+        )
+        return out
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "event_id long, user_id long, p_us long, click_us long, gap_us long",
+        )
+    )

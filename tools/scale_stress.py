@@ -153,6 +153,12 @@ QUERIES = [
     "dedup_substring_spans",
     "text_ngram_novelty",
     "regr_multi_ols",
+    # cogroup/interval/bootstrap band (all events-side; the interval
+    # join's within-replica user ranges keep cross-replica session
+    # overlaps possible — replicas share the time axis by design).
+    "udf_cogroup_asof",
+    "join_interval_overlap",
+    "bootstrap_mean_ci",
 ]
 
 
