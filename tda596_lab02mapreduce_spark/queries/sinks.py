@@ -967,3 +967,74 @@ def source_partition_layout_evolution(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "sink_versioned_vacuum",
+    oracle="""
+WITH v3 AS (
+  SELECT CAST(3 AS INT) AS version, true AS survived,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM customer WHERE c_custkey % 3 <> 0
+), v4 AS (
+  SELECT CAST(4 AS INT) AS version, true AS survived,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM customer WHERE c_custkey % 5 <> 0
+)
+SELECT CAST(1 AS INT) AS version, false AS survived,
+       CAST(NULL AS BIGINT) AS n_rows
+UNION ALL
+SELECT CAST(2 AS INT), false, CAST(NULL AS BIGINT)
+UNION ALL SELECT * FROM v3
+UNION ALL SELECT * FROM v4
+""",
+    doc=(
+        "Versioned-sink VACUUM (retention): four snapshots committed, "
+        "keep_last=2 expires v1/v2 — manifest shrunk by ONE atomic "
+        "replace BEFORE any directory deletion (the Delta/Iceberg "
+        "publish-then-delete order, sources/versioned.py:"
+        "vacuum_versions), so a post-vacuum manifest can only point "
+        "at surviving snapshots.  The query proves all four "
+        "behaviors: expired versions are BOTH manifest-rejected "
+        "(read_version raises) AND physically gone (directory check), "
+        "survivors re-read to their exact pre-vacuum contents "
+        "(oracle recomputes them from the original table), and the "
+        "current pointer survives.  Storage reclamation is the other "
+        "half of the time-travel contract — history you keep is a "
+        "retention dial, not an unbounded bill."
+    ),
+    tags=("sink", "source", "versioned"),
+)
+def sink_versioned_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from tda596_lab02mapreduce_spark.sources import versioned
+
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey")
+    base = _sink_path(sf_dir, "versioned_vacuum")
+    shutil.rmtree(base, ignore_errors=True)  # pid-suffixed, ours alone
+    versioned.write_version(cust, base, 1)
+    versioned.write_version(cust.filter(F.col("c_custkey") % 2 != 0), base, 2)
+    versioned.write_version(cust.filter(F.col("c_custkey") % 3 != 0), base, 3)
+    versioned.write_version(cust.filter(F.col("c_custkey") % 5 != 0), base, 4)
+    removed = versioned.vacuum_versions(base, keep_last=2)
+    assert removed == [1, 2], f"vacuum removed {removed}, expected [1, 2]"
+
+    rows = []
+    for v in (1, 2, 3, 4):
+        in_manifest = True
+        n = None
+        try:
+            df = versioned.read_version(spark, base, version=v)
+            n = df.count()
+        except ValueError:
+            in_manifest = False
+        dir_exists = os.path.exists(os.path.join(base, f"v={v}"))
+        # survived must mean BOTH visible and physically present;
+        # expired must be neither (a half-vacuumed state fails here)
+        assert in_manifest == dir_exists, f"v={v} manifest/dir disagree"
+        rows.append((v, in_manifest, n))
+    return spark.createDataFrame(
+        rows, "version int, survived boolean, n_rows long"
+    )

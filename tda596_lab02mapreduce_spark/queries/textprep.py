@@ -713,3 +713,74 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+@register(
+    "topk_keywords_per_doc",
+    oracle=rf"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS word FROM documents),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE word <> '' GROUP BY doc_id, word
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, tf,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE)
+                       / count(*) OVER (PARTITION BY word)), 4) AS tfidf
+  FROM tf, n
+),
+ranked AS (
+  SELECT doc_id, word, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, tf, tfidf
+FROM ranked WHERE rnk <= 3
+""",
+    doc=(
+        "Keyword extraction: top-3 TF-IDF terms per document — the "
+        "standard cheap summarizer/labeler in curation UIs and topic "
+        "routing.  Shares text_tfidf's scoring (explode → (doc,word) "
+        "tf aggregate → word-keyed df window → broadcast scalar N) "
+        "and finishes with a doc-keyed row_number ≤ 3 — the "
+        "WindowGroupLimit shape (rank pushed into the shuffle as a "
+        "group-limit, no full per-doc sort materialized), keyed by "
+        "doc_id whose cardinality GROWS with data: the scalable kind "
+        "of window.  Ranking is on the 4-dp ROUNDED score with the "
+        "word as total-order tiebreak — the bm25 rank-on-rounded "
+        "discipline, so libm's ln() ulp drift between engines can "
+        "flip neither the score digit (margin-asserted for the "
+        "shared text_tfidf rounding) nor the rank."
+    ),
+    tags=("text", "llm", "window"),
+)
+def topk_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("word"))
+    scored = (
+        tf.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / df_w), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", F.col("rnk").cast("bigint").alias("rnk"), "word", "tf", "tfidf"
+        )
+    )

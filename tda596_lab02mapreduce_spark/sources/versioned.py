@@ -139,3 +139,30 @@ def read_version(
     if v not in manifest["versions"]:
         raise ValueError(f"version {v} not in manifest {manifest['versions']}")
     return spark.read.parquet(os.path.join(base, f"v={v}"))
+
+
+def vacuum_versions(base: str, *, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` versions (the
+    manifest's current version always survives).  Publish order is the
+    safety property, mirrored from Delta/Iceberg VACUUM: the SHRUNK
+    manifest is atomically replaced FIRST, then the expired snapshot
+    directories are deleted — a reader that loads the manifest after
+    the swap can only be pointed at surviving versions.  A reader
+    still holding a PRE-vacuum manifest can race the deletion; real
+    table formats close that window with a retention period (only
+    vacuum versions older than X hours), which is exactly the
+    ``keep_last`` dial here — the caller keeps as much history as its
+    slowest reader needs.  Returns the removed version numbers."""
+    with _manifest_lock(base):
+        manifest = read_manifest(base)
+        versions = sorted(set(manifest["versions"]) | set(_committed_versions(base)))
+        keep = set(versions[-keep_last:]) | {manifest["current"]}
+        removed = [v for v in versions if v not in keep]
+        new_manifest = {"current": manifest["current"], "versions": sorted(keep)}
+        mtmp = _manifest_path(base) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(new_manifest, f)
+        os.replace(mtmp, _manifest_path(base))
+        for v in removed:
+            shutil.rmtree(os.path.join(base, f"v={v}"), ignore_errors=True)
+    return removed

@@ -496,3 +496,24 @@ def test_zstd_sink_files_really_use_zstd(spark, sf_correctness):
         for c in range(meta.num_columns)
     }
     assert codecs == {"ZSTD"}, codecs
+
+
+def test_vacuum_versions_idempotent_and_keeps_current(spark, tmp_path):
+    """vacuum keeps exactly keep_last newest versions (current always
+    among them), is idempotent, and a vacuumed version is rejected by
+    read_version rather than half-readable."""
+    import pytest as _pytest
+
+    from tda596_lab02mapreduce_spark.sources import versioned
+
+    base = str(tmp_path / "vac")
+    df = spark.range(10)
+    for v in (1, 2, 3):
+        versioned.write_version(df.filter(df.id % (v + 1) != 0), base, v)
+    assert versioned.vacuum_versions(base, keep_last=1) == [1, 2]
+    m = versioned.read_manifest(base)
+    assert m == {"current": 3, "versions": [3]}
+    assert versioned.vacuum_versions(base, keep_last=1) == []  # idempotent
+    with _pytest.raises(ValueError):
+        versioned.read_version(spark, base, version=1)
+    assert versioned.read_version(spark, base).count() == df.filter(df.id % 4 != 0).count()
