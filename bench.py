@@ -107,6 +107,15 @@ HEADLINE = [
     "pagerank_neardup_hubs",
     "window_distribution",
     "similarity_topk_gemm",
+    # round-8 second wave (BASELINE.md "Round-8 second-wave anchors"):
+    # substring-span dedup (the position-grain dedup flagship), the
+    # sweep-line concurrency (first SIGNED distributed-cumsum consumer),
+    # the split scan (threshold-grain cumsum twin pair's heavier half),
+    # and the cogroup as-of (two-sided grouped-UDF surface).
+    "dedup_substring_spans",
+    "concurrency_peak_daily",
+    "decision_split_gain",
+    "udf_cogroup_asof",
 ]
 
 

@@ -142,6 +142,27 @@ SLICE = [
     "window_distribution",
     "pagerank_neardup_hubs",
     "similarity_topk_gemm",
+    # round-8 second wave: the SIGNED cumsum (sweep-line concurrency —
+    # the max_by totals fix must hold at any partition count), the
+    # threshold-scan cumsums, the positional-filtered PPJoin, the
+    # span-merge islands, the cogroup UDF (group assembly moves with
+    # parallelism), the md5-weight bootstrap, the bin-decomposed
+    # interval join, and the sink vacuum's manifest arithmetic
+    "concurrency_peak_daily",
+    "decision_split_gain",
+    "pr_curve_thresholds",
+    "dedup_substring_spans",
+    "dedup_ppjoin_pairs",
+    "udf_cogroup_asof",
+    "bootstrap_mean_ci",
+    "join_interval_overlap",
+    "regr_multi_ols",
+    "seasonal_decompose_daily",
+    "text_ngram_novelty",
+    "topk_keywords_per_doc",
+    "quantile_transform_value",
+    "anomaly_burstiness_users",
+    "sink_versioned_vacuum",
 ]
 
 
