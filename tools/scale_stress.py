@@ -180,6 +180,13 @@ BROADCAST_TRANSITION_OK = {
     # distinct-value midrank table is NOT broadcastable, so the
     # shuffle join IS the cluster plan; designed transition.
     "spearman_value_vs_hour",
+    # the session-cell table broadcasts at sf0.1 (one side under the
+    # 10 MB threshold collapses the cell join, pair-distinct, and pair
+    # rollup into broadcast partials); at 10× the cell equi-join goes
+    # shuffle (hashpartitioning(cell) + the pair-key exchanges
+    # appearing, 3 → 10) — at 100 TB sessions are never broadcastable,
+    # so the hash-partitioned bin join IS the cluster plan.
+    "join_interval_overlap",
     # these two keep the broadcast through 10× and cross the threshold
     # at 20× (SCALE_REPLICAS=20): exchanges 2 → 6 with the
     # l_orderkey/o_orderkey join keys appearing — the same designed
@@ -380,8 +387,20 @@ def measure(spark, sf_dir: str) -> dict[str, dict]:
 
 
 def main() -> None:
+    # SCALE_ONLY=q1,q2 restricts the run to a sub-band (re-measuring a
+    # new addition without repaying the full table); SCALE_SKIP_STAGE=1
+    # reuses an existing staging dir from a prior run at the same
+    # REPLICAS (the derivation is deterministic, so reuse is exact).
+    only = os.environ.get("SCALE_ONLY")
+    if only:
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        unknown = keep - set(QUERIES)
+        if unknown:
+            raise ValueError(f"SCALE_ONLY names not in QUERIES: {sorted(unknown)}")
+        QUERIES[:] = [q for q in QUERIES if q in keep]
     spark = get_spark(app_name="tda596-scale-stress")
-    stage(spark)
+    if not (os.environ.get("SCALE_SKIP_STAGE") == "1" and os.path.exists(OUT)):
+        stage(spark)
     base = measure(spark, SRC)
     big = measure(spark, OUT)
     table = {
