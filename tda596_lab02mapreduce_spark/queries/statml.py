@@ -1833,3 +1833,152 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.array_sort(F.collect_list("mean_b")), 31).alias("boot_hi"),
         )
     )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+              AS BIGINT) AS l_sensitive
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT nationkey, segment, n, l_sensitive,
+       l_sensitive < 4 AS is_homogeneous
+FROM g
+""",
+    doc=(
+        "l-diversity audit — k-anonymity's necessary complement "
+        "(Machanavajjhala et al.): a cohort can be large (k-anonymous) "
+        "yet still leak if every member shares the SAME sensitive "
+        "value, so each quasi-identifier cohort (nation, segment) "
+        "must contain at least l=4 distinct sensitive values (account-"
+        "balance bands of 2000 currency units; band/threshold probed "
+        "non-vacuous — 9 of 125 cohorts fire at the correctness SF, "
+        "and the larger sf0.1 cohorts all pass, the audit's expected "
+        "steady state on clean data).  One partial+final "
+        "aggregate with a count-distinct on the banded sensitive "
+        "attribute; the homogeneity flag is an integer compare, "
+        "hash-exact.  Like the k-anonymity report, output size is "
+        "bounded by QI cardinality, never row count — the audit "
+        "costs one scan at any scale."
+    ),
+    tags=("agg", "quality"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(band).alias("l_sensitive"),
+        )
+        .select(
+            "nationkey",
+            "segment",
+            "n",
+            "l_sensitive",
+            (F.col("l_sensitive") < 4).alias("is_homogeneous"),
+        )
+    )
+
+
+@register(
+    "stats_covariance_matrix",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(round(l_quantity, 0) AS HUGEINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS p,
+         CAST(round(l_discount * 100, 0) AS HUGEINT) AS d,
+         CAST(round(l_tax * 100, 0) AS HUGEINT) AS t
+  FROM lineitem
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, SUM(t) AS st,
+         SUM(q*q) AS sqq, SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(q*t) AS sqt,
+         SUM(p*p) AS spp, SUM(p*d) AS spd, SUM(p*t) AS spt,
+         SUM(d*d) AS sdd, SUM(d*t) AS sdt, SUM(t*t) AS stt
+  FROM pts
+), pairs AS (
+  SELECT * FROM (VALUES
+    ('quantity', 'quantity'), ('quantity', 'price_cents'),
+    ('quantity', 'discount_pct'), ('quantity', 'tax_pct'),
+    ('price_cents', 'price_cents'), ('price_cents', 'discount_pct'),
+    ('price_cents', 'tax_pct'), ('discount_pct', 'discount_pct'),
+    ('discount_pct', 'tax_pct'), ('tax_pct', 'tax_pct')
+  ) AS v(col_a, col_b)
+)
+SELECT col_a, col_b,
+       CAST(CAST(n * CASE col_a || '|' || col_b
+          WHEN 'quantity|quantity' THEN sqq
+          WHEN 'quantity|price_cents' THEN sqp
+          WHEN 'quantity|discount_pct' THEN sqd
+          WHEN 'quantity|tax_pct' THEN sqt
+          WHEN 'price_cents|price_cents' THEN spp
+          WHEN 'price_cents|discount_pct' THEN spd
+          WHEN 'price_cents|tax_pct' THEN spt
+          WHEN 'discount_pct|discount_pct' THEN sdd
+          WHEN 'discount_pct|tax_pct' THEN sdt
+          ELSE stt END
+        - CASE col_a WHEN 'quantity' THEN sq WHEN 'price_cents' THEN sp
+                     WHEN 'discount_pct' THEN sd ELSE st END
+        * CASE col_b WHEN 'quantity' THEN sq WHEN 'price_cents' THEN sp
+                     WHEN 'discount_pct' THEN sd ELSE st END
+        AS DOUBLE)
+        / CAST(n * (n - 1) AS DOUBLE) AS DOUBLE) AS cov
+FROM s, pairs
+""",
+    doc=(
+        "Sample covariance matrix over four lineitem measures "
+        "(quantity, price cents, discount points, tax points) — the "
+        "feature-correlation screen every modeling pipeline runs "
+        "before feature selection/whitening: ONE partial+final "
+        "aggregation of the 14 exact integer power sums (the X'X "
+        "pattern of regr_multi_ols widened to all 10 unordered "
+        "pairs), then cov(a,b) = (n·Σab − Σa·Σb)/(n(n−1)) as one "
+        "double division of exact operands per cell — hash-exact, no "
+        "rounding band.  The 10-row pair spine is a VALUES literal "
+        "joined to the 1-row stats (broadcast, both engines fold it); "
+        "at any scale the shuffle carries exactly 15 numbers."
+    ),
+    tags=("stats", "agg"),
+)
+def stats_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    pts = li.select(
+        F.round(F.col("l_quantity"), 0).cast(dec).alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast(dec).alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast(dec).alias("d"),
+        F.round(F.col("l_tax") * 100, 0).cast(dec).alias("t"),
+    )
+    names = {"q": "quantity", "p": "price_cents", "d": "discount_pct", "t": "tax_pct"}
+    cols = ["q", "p", "d", "t"]
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    aggs += [F.sum(c).alias(f"s_{c}") for c in cols]
+    pair_keys = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s_{a}{b}"))
+            pair_keys.append((a, b))
+    s = pts.agg(*aggs)
+    rows = None
+    for a, b in pair_keys:
+        cell = s.select(
+            F.lit(names[a]).alias("col_a"),
+            F.lit(names[b]).alias("col_b"),
+            (
+                (F.col("n") * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+                .cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+            ).alias("cov"),
+        )
+        rows = cell if rows is None else rows.unionAll(cell)
+    return rows

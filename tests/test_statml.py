@@ -142,3 +142,15 @@ def test_regr_slope_matches_numpy(spark, sf_correctness):
         slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
         assert abs(r.slope_cents_per_sec - slope) < 1e-6 * max(1.0, abs(slope))
         assert abs(r.intercept_cents - intercept) < 1e-6 * max(1.0, abs(intercept))
+
+
+def test_l_diversity_flag_non_vacuous(spark, sf_correctness):
+    """The homogeneity flag must actually fire on the correctness
+    fixture (the vacuous-oracle lesson: a predicate no row ever
+    satisfies hash-matches trivially and tests nothing)."""
+    from tda596_lab02mapreduce_spark.registry import get
+
+    out = get("privacy_l_diversity").spark_fn(spark, sf_correctness)
+    flagged = out.filter("is_homogeneous").count()
+    total = out.count()
+    assert 0 < flagged < total, (flagged, total)
