@@ -1969,16 +1969,26 @@ def stats_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s_{a}{b}"))
             pair_keys.append((a, b))
     s = pts.agg(*aggs)
-    rows = None
-    for a, b in pair_keys:
-        cell = s.select(
-            F.lit(names[a]).alias("col_a"),
-            F.lit(names[b]).alias("col_b"),
-            (
-                (F.col("n") * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
-                .cast("double")
-                / (F.col("n") * (F.col("n") - 1)).cast("double")
-            ).alias("cov"),
-        )
-        rows = cell if rows is None else rows.unionAll(cell)
-    return rows
+    # ONE row → 10 cells via a row-local struct-array explode: a
+    # union-of-selects here would re-evaluate the aggregate (and the
+    # scan) once per cell — 10 exchanges for a 1-row input (caught by
+    # the single-aggregate plan pin in tests/test_plans.py)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(names[a]).alias("col_a"),
+                F.lit(names[b]).alias("col_b"),
+                (
+                    (
+                        F.col("n") * F.col(f"s_{a}{b}")
+                        - F.col(f"s_{a}") * F.col(f"s_{b}")
+                    ).cast("double")
+                    / (F.col("n") * (F.col("n") - 1)).cast("double")
+                ).alias("cov"),
+            )
+            for a, b in pair_keys
+        ]
+    )
+    return s.select(F.explode(cells).alias("c")).select(
+        "c.col_a", "c.col_b", "c.cov"
+    )

@@ -596,3 +596,37 @@ def test_skyline_windows_are_keyed(spark, sf_correctness):
     plan = plans.final_plan(df)
     assert plans.count_nodes(plan, "Window") >= 1, plan[:2000]
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+
+def test_interval_overlap_is_equi_join(spark, sf_correctness):
+    """The bin decomposition must make the overlap join a HASH join:
+    a CartesianProduct or BroadcastNestedLoop here means the range
+    predicate leaked into the join and the plan is quadratic."""
+    df = get("join_interval_overlap").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "CartesianProduct")
+    assert not plans.has_operator(df, "BroadcastNestedLoop")
+
+
+def test_substring_spans_no_pairs(spark, sf_correctness):
+    """Span discovery is shingle-grain equi-joins + doc-keyed windows —
+    never a document-pair join."""
+    df = get("dedup_substring_spans").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "CartesianProduct")
+    assert not plans.has_operator(df, "BroadcastNestedLoop")
+    assert plans.partitionless_window_count(df) == 0
+
+
+def test_keyword_topk_uses_window_group_limit(spark, sf_correctness):
+    """The per-doc rank<=3 must push into the shuffle as a group limit
+    (WindowGroupLimit), not materialize a full per-doc sort."""
+    df = get("topk_keywords_per_doc").spark_fn(spark, sf_correctness)
+    assert plans.has_operator(df, "WindowGroupLimit"), plans.formatted_plan(df)
+
+
+def test_covariance_is_single_aggregate(spark, sf_correctness):
+    """All 14 power sums must come from ONE partial+final aggregate —
+    exactly one exchange in the whole plan."""
+    df = get("stats_covariance_matrix").spark_fn(spark, sf_correctness)
+    plan = plans.formatted_plan(df)
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 1, plan
