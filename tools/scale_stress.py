@@ -159,6 +159,8 @@ QUERIES = [
     "udf_cogroup_asof",
     "join_interval_overlap",
     "bootstrap_mean_ci",
+    # value-grain transform band (events-side)
+    "quantile_transform_value",
 ]
 
 
