@@ -1536,3 +1536,118 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             has_tr, (F.col("cnt").cast("double") - trend) - F.col("seasonal")
         ).alias("residual"),
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM b
+), j AS (
+  SELECT s.event_type, s.hr, h.n, h.v FROM spine s
+  LEFT JOIN h ON h.event_type = s.event_type AND h.hr = s.hr
+), w AS (
+  SELECT event_type, hr, n, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER wp AS ph,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER wf AS nh
+  FROM j
+  WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       make_timestamp(hr * 3600000000) AS hour,
+       coalesce(n, 0) AS n_events,
+       CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+            ELSE CAST(pv AS DOUBLE)
+                 + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                   * (CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+       END AS sum_cents_filled,
+       v IS NULL AS is_interpolated
+FROM w
+""",
+    doc=(
+        "Linear-interpolation gap fill at hour grain — the second "
+        "canonical fill mode next to timeseries_gapfill's LOCF "
+        "(TimescaleDB ships exactly this pair: locf() and "
+        "interpolate()): missing hours take the straight line between "
+        "the nearest present neighbors, v_prev + (v_next−v_prev)·"
+        "(h−h_prev)/(h_next−h_prev).  Neighbor discovery is "
+        "last_value/first_value IGNORE NULLS over type-keyed windows "
+        "whose row count is CALENDAR-bounded (hours in the observed "
+        "range — the same bounded-grain contract as the day/month "
+        "windows), and the spine spans min..max per type so every "
+        "gap is interior: no edge extrapolation case exists by "
+        "construction.  Sums are exact integer cents; floats enter "
+        "only in the one interpolation expression, identical shape "
+        "both engines — hash-exact with no tolerance.  The fixture "
+        "leaves 215 of 3600 type-hours empty, so the interpolation "
+        "branch is exercised non-vacuously."
+    ),
+    tags=("timeseries", "window", "agg"),
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    HR_US = 3_600_000_000
+    ev = io.load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(HR_US)).cast("bigint").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v"),
+    )
+    spine = (
+        h.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    j = spine.join(h, ["event_type", "hr"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    mark = F.when(F.col("v").isNotNull(), F.col("hr"))
+    w = j.select(
+        "event_type",
+        "hr",
+        "n",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(mark, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(mark, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = F.col("pv").cast("double") + (
+        F.col("nv").cast("double") - F.col("pv").cast("double")
+    ) * (
+        (F.col("hr") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double")
+    )
+    return w.select(
+        "event_type",
+        F.timestamp_micros(F.col("hr") * F.lit(HR_US)).alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .otherwise(interp)
+        .alias("sum_cents_filled"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )

@@ -163,6 +163,9 @@ SLICE = [
     "quantile_transform_value",
     "anomaly_burstiness_users",
     "sink_versioned_vacuum",
+    "timeseries_interpolate_linear",
+    "privacy_l_diversity",
+    "stats_covariance_matrix",
 ]
 
 

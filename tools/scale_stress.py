@@ -161,6 +161,7 @@ QUERIES = [
     "bootstrap_mean_ci",
     # value-grain transform band (events-side)
     "quantile_transform_value",
+    "timeseries_interpolate_linear",
 ]
 
 
