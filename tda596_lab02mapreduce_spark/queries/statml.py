@@ -1992,3 +1992,147 @@ def stats_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(cells).alias("c")).select(
         "c.col_a", "c.col_b", "c.cov"
     )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+WITH by_val AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), mx AS (
+  SELECT event_type, max(cnt) AS max_cnt FROM by_val GROUP BY 1
+)
+SELECT b.event_type,
+       CAST(min(b.c) AS BIGINT) AS mode_cents,
+       CAST(m.max_cnt AS BIGINT) AS mode_count
+FROM by_val b JOIN mx m
+  ON m.event_type = b.event_type AND b.cnt = m.max_cnt
+GROUP BY b.event_type, m.max_cnt
+""",
+    doc=(
+        "Exact per-group MODE (most frequent value) with a total-order "
+        "tiebreak — the categorical summary statistic Spark has no "
+        "built-in exact form for (`mode()` exists in 3.4+ but its tie "
+        "choice is undefined; an undefined tie is a nondeterministic "
+        "result, which this repo treats as a bug).  Shape: value-grain "
+        "count, per-group max over the COUNTS (group-grain, tiny), "
+        "equi-join back on (group, max_cnt), min value among the tied "
+        "— two keyed aggregates and one join, no windows, no sort, "
+        "deterministic at any parallelism.  At 100 TB the state is "
+        "distinct-value grain, and the max/argmin tail is group-grain."
+    ),
+    tags=("agg", "stats"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    by_val = ev.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mx = by_val.groupBy("event_type").agg(F.max("cnt").alias("max_cnt"))
+    return (
+        by_val.withColumnRenamed("cnt", "__mode_cnt")
+        .join(
+            F.broadcast(mx),
+            ["event_type"],
+        )
+        .filter(F.col("__mode_cnt") == F.col("max_cnt"))
+        .groupBy("event_type", "max_cnt")
+        .agg(F.min("c").alias("mode_cents"))
+        .select(
+            "event_type",
+            "mode_cents",
+            F.col("max_cnt").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+WITH pts AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'purchase' ELSE 'other' END
+           AS grp,
+         CAST(round(value * 100, 0) AS HUGEINT) AS c
+  FROM events
+), s AS (
+  SELECT grp, CAST(count(*) AS HUGEINT) AS n, SUM(c) AS sc, SUM(c*c) AS scc
+  FROM pts GROUP BY grp
+), w AS (
+  SELECT
+    (SELECT n FROM s WHERE grp = 'purchase') AS n1,
+    (SELECT sc FROM s WHERE grp = 'purchase') AS s1,
+    (SELECT scc FROM s WHERE grp = 'purchase') AS q1,
+    (SELECT n FROM s WHERE grp = 'other') AS n2,
+    (SELECT sc FROM s WHERE grp = 'other') AS s2,
+    (SELECT scc FROM s WHERE grp = 'other') AS q2
+)
+SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_other,
+       CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_purchase_cents,
+       CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_other_cents,
+       (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       / sqrt(
+           CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                * CAST(n1 - 1 AS DOUBLE))
+           + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+             / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                * CAST(n2 - 1 AS DOUBLE))
+         ) AS welch_t
+FROM w
+""",
+    doc=(
+        "Welch's unequal-variance two-sample t statistic (purchase vs "
+        "non-purchase event values) — the MEANS companion to "
+        "ab_test_conversion_z's proportions test: t = (m1−m2) / "
+        "√(s1²/n1 + s2²/n2), with s²/n expanded to the exact-integer "
+        "form (n·Σc² − S²)/(n²(n−1)) so every operand entering the "
+        "float tail is an exact HUGEINT/decimal image of the data.  "
+        "The float tail (two mean divisions, two variance-term "
+        "divisions, one sqrt, one division) is identical-shape in "
+        "both engines — hash-exact, no tolerance.  ONE partial+final "
+        "aggregation of (n, Σc, Σc²) per group; the statistic itself "
+        "is computed on a 1-row frame.  (No p-value on purpose: erf "
+        "is libm territory and the decision threshold |t| > z_α is "
+        "the deterministic integer-free compare consumers apply.)"
+    ),
+    tags=("stats", "agg"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    pts = ev.select(
+        F.when(F.col("event_type") == "purchase", "purchase")
+        .otherwise("other")
+        .alias("grp"),
+        F.round(F.col("value") * 100, 0).cast(dec).alias("c"),
+    )
+    s = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    one = (
+        s.groupBy()
+        .pivot("grp", ["purchase", "other"])
+        .agg(F.first("n").alias("n"), F.first("sc").alias("s"), F.first("scc").alias("q"))
+    )
+    n1, s1, q1 = F.col("purchase_n"), F.col("purchase_s"), F.col("purchase_q")
+    n2, s2, q2 = F.col("other_n"), F.col("other_s"), F.col("other_q")
+    m1 = s1.cast("double") / n1.cast("double")
+    m2 = s2.cast("double") / n2.cast("double")
+    var_term = lambda n, sc, q: (n * q - sc * sc).cast("double") / (
+        n.cast("double") * n.cast("double") * (n - 1).cast("double")
+    )
+    return one.select(
+        n1.cast("bigint").alias("n_purchase"),
+        n2.cast("bigint").alias("n_other"),
+        m1.alias("mean_purchase_cents"),
+        m2.alias("mean_other_cents"),
+        ((m1 - m2) / F.sqrt(var_term(n1, s1, q1) + var_term(n2, s2, q2))).alias(
+            "welch_t"
+        ),
+    )
