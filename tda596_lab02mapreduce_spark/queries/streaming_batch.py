@@ -709,3 +709,87 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi_bin_counts(events_stream(spark, sf_dir)), "psi_monitor_counts"
     )
     return score_psi(counts)
+
+
+@register(
+    "stream_python_kv_sink_wc",
+    oracle=r"""
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
+  FROM documents
+) t
+WHERE word <> ''
+GROUP BY word
+""",
+    doc=(
+        "The full pluggable-Python STREAMING pipeline: the whole-file "
+        "DataSourceStreamReader serves the staged corpus in "
+        "micro-batches, per-batch (word, 1) pairs flow into the "
+        "DataSourceStreamWriter half of the textkv sink "
+        "(writeStream.format('textkv_sink')) — each batch committed "
+        "into an immutable batch=<id>/ directory sealed by a _SUCCESS "
+        "marker written AFTER all renames, so a replayed batch is "
+        "discarded and a torn directory is invisible (the "
+        "idempotent-sink half of end-to-end exactly-once; unit-tested "
+        "replay in tests/test_sources.py).  The query then re-reads "
+        "ONLY the sealed batch directories, re-aggregates, and the "
+        "oracle recomputes the count from the ORIGINAL table — a "
+        "dropped batch, a double-committed replay, or a torn "
+        "directory leaking into the read all break the hash.  This "
+        "completes the pluggable-format matrix: batch read, batch "
+        "write (atomic), stream read (offset-resumable), stream "
+        "write (idempotent per-batch commit)."
+    ),
+    tags=("streaming", "sink", "source", "text"),
+)
+def stream_python_kv_sink_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+    from tda596_lab02mapreduce_spark.queries.sinks import _sink_path
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        committed_stream_batches,
+        register_textkv_sink,
+        register_wholefile_stream,
+    )
+
+    docs = io.load(spark, sf_dir, "documents")
+    src = _sink_path(sf_dir, "docs_wholefiles_kvstream")
+    docs.select("text").repartition(8).write.mode("overwrite").text(src)
+    register_wholefile_stream(spark)
+    register_textkv_sink(spark)
+    out = _sink_path(sf_dir, "kv_stream_sink_out")
+    ckpt = _sink_path(sf_dir, "kv_stream_sink_ckpt")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    st = (
+        spark.readStream.format("wholefile_stream")
+        .option("glob", os.path.join(src, "part-*"))
+        .load()
+    )
+    pairs = st.select(
+        F.explode(tokens_nonempty("content")).alias("word"), F.lit(1).alias("one")
+    )
+    q = (
+        pairs.writeStream.format("textkv_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = committed_stream_batches(out)
+    assert batches, f"no sealed batch directories under {out}"
+    files = [os.path.join(b, f) for b in batches
+             for f in os.listdir(b) if f.startswith("mr-out-")]
+    back = spark.read.text(files)
+    kv = F.split(F.col("value"), " ", 2)
+    return (
+        back.select(kv.getItem(0).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

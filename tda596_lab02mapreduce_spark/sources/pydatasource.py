@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -151,6 +152,14 @@ class KVTextSinkDataSource(DataSource):
             raise ValueError("textkv_sink requires .option('path', <dir>)")
         return KVTextSinkWriter(path, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "KVTextStreamSinkWriter":
+        # fourth quadrant of the pluggable matrix (batch read/write and
+        # stream read exist above): df.writeStream.format("textkv_sink")
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("textkv_sink requires .option('path', <dir>)")
+        return KVTextStreamSinkWriter(path)
+
 
 class KVTextSinkWriter(DataSourceWriter):
     def __init__(self, path: str, overwrite: bool) -> None:
@@ -197,6 +206,74 @@ class KVTextSinkWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
             except (OSError, TypeError):
                 pass
+
+
+class KVTextStreamSinkWriter(DataSourceStreamWriter):
+    """Streaming twin of KVTextSinkWriter: per micro-batch, each task
+    stages ``key value\n`` lines to a temp file and ``commit(messages,
+    batchId)`` publishes them under an immutable ``batch=<id>/``
+    directory sealed with a ``_SUCCESS`` marker.
+
+    EXACTLY-ONCE VISIBLE OUTPUT under replay: structured streaming
+    re-runs a batch after a crash between sink-commit and offset-log
+    commit; a replayed ``commit`` finds the marker already present,
+    discards its temp files, and leaves the committed directory
+    byte-identical — the idempotent-sink half of the end-to-end
+    exactly-once contract (the engine's offset log is the other half).
+    The marker is written AFTER all renames, so a torn batch directory
+    (no marker) is invisible to the reader contract and simply
+    overwritten by the replay.  Same local/shared-fs scope as the
+    batch sink."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator) -> _KVCommitMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"tmp-stream-{uuid.uuid4().hex}-out-{pid}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row[0]} {row[1]}\n")
+        return _KVCommitMessage(tmp_path=tmp, final_name=f"mr-out-{pid}")
+
+    def commit(self, messages, batchId: int) -> None:
+        bdir = os.path.join(self.path, f"batch={batchId}")
+        marker = os.path.join(bdir, "_SUCCESS")
+        if os.path.exists(marker):
+            # replay of an already-committed batch: drop the staged
+            # duplicates, keep the first commit (idempotence)
+            for m in messages:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass
+            return
+        os.makedirs(bdir, exist_ok=True)
+        for m in messages:
+            os.replace(m.tmp_path, os.path.join(bdir, m.final_name))
+        with open(marker, "w", encoding="utf-8"):
+            pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except (OSError, TypeError):
+                pass
+
+
+def committed_stream_batches(path: str) -> list[str]:
+    """Directories of batches whose ``_SUCCESS`` marker exists — the
+    reader-side contract: torn (markerless) directories are invisible."""
+    out = []
+    for d in sorted(os.listdir(path)) if os.path.isdir(path) else []:
+        full = os.path.join(path, d)
+        if d.startswith("batch=") and os.path.exists(os.path.join(full, "_SUCCESS")):
+            out.append(full)
+    return out
 
 
 def register_textkv_sink(spark: SparkSession) -> None:

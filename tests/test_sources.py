@@ -517,3 +517,39 @@ def test_vacuum_versions_idempotent_and_keeps_current(spark, tmp_path):
     with _pytest.raises(ValueError):
         versioned.read_version(spark, base, version=1)
     assert versioned.read_version(spark, base).count() == df.filter(df.id % 4 != 0).count()
+
+
+def test_stream_kv_sink_commit_is_idempotent(tmp_path):
+    """A replayed micro-batch commit (same batchId) must keep the
+    FIRST committed files and discard the replay's temp files — the
+    crash-between-sink-commit-and-offset-commit case."""
+    import os
+
+    from tda596_lab02mapreduce_spark.sources.pydatasource import (
+        KVTextStreamSinkWriter,
+        _KVCommitMessage,
+        committed_stream_batches,
+    )
+
+    base = str(tmp_path / "kvstream")
+    os.makedirs(base)
+    w = KVTextStreamSinkWriter(base)
+
+    def stage(content: str) -> _KVCommitMessage:
+        tmp = os.path.join(base, f"tmp-stream-test-{content}")
+        with open(tmp, "w") as fh:
+            fh.write(f"{content} 1\n")
+        return _KVCommitMessage(tmp_path=tmp, final_name="mr-out-0")
+
+    w.commit([stage("first")], batchId=7)
+    bdir = os.path.join(base, "batch=7")
+    assert os.path.exists(os.path.join(bdir, "_SUCCESS"))
+    # replay with DIFFERENT content: first commit must win, replay tmp gone
+    replay = stage("replayed")
+    w.commit([replay], batchId=7)
+    assert not os.path.exists(replay.tmp_path)
+    with open(os.path.join(bdir, "mr-out-0")) as fh:
+        assert fh.read() == "first 1\n"
+    # a torn directory (no marker) is invisible to the reader contract
+    os.makedirs(os.path.join(base, "batch=9"))
+    assert committed_stream_batches(base) == [bdir]
