@@ -152,7 +152,25 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    # Full per-query map goes to a FILE (the r8 driver record had
+    # "parsed": null because the 64-query single-line JSON outran the
+    # driver's stdout tail window, so the captured line started
+    # mid-string — VERDICT r8 "what's wrong" #1). The full line is
+    # still printed for humans/logs, but the very LAST stdout line is
+    # a short summary that always fits the tail window and parses.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
     print(json.dumps(result))
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries_file": "bench_queries.json",
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

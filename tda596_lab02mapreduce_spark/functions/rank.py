@@ -66,7 +66,15 @@ def small_df_rank(
     ``limit``, or keyed by a bounded domain) via a triangular
     self-join: rank(row) = 1 + count of rows strictly ordered before
     it.  ``order_pairs`` is ``[(col, "asc"|"desc"), ...]`` and must be
-    a total order (unique tiebreak) or ranks would collide."""
+    a total order (unique tiebreak) or ranks would collide.
+
+    PRECONDITION: every order column must be NON-NULL.  The strictly-
+    before predicate uses plain comparisons, so a NULL key makes the
+    join condition NULL — NULL-keyed rows would match nothing (all
+    rank 1) and be invisible to other rows' counts, silently producing
+    duplicate/shifted ranks (ADVICE r8 #3).  All current callers feed
+    aggregate outputs (non-null by construction); enforce with a
+    ``coalesce``/``filter`` upstream before adding a nullable caller."""
     cols = df.columns
     other = df.select(*[F.col(c).alias(f"__b_{c}") for c in cols])
     strictly_before = F.lit(False)

@@ -118,13 +118,20 @@ def gemm_topk(
             S = Xn @ Qn.T  # (n, |q|) — one BLAS call scores the batch
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):
-                col = S[:, j]
+                # round BEFORE the per-batch cut so the batch-local
+                # ordering is the SAME (rounded cosine desc, id asc)
+                # ordering the global window uses — otherwise >margin
+                # sub-5e-10 near-ties at the k boundary inside one batch
+                # could evict a row the rounded ordering ranks inside
+                # top-k (ADVICE r8 #2); with identical orderings the cut
+                # is provably exact and margin only covers self-matches.
+                col = np.round(S[:, j], 9)
                 # top (k+margin) by (cosine desc, id asc) — lexsort keys
                 # are last-key-primary
                 take = np.lexsort((ids, -col))[:kk]
                 out_q.append(np.full(len(take), qids[j], dtype=np.int64))
                 out_n.append(ids[take].astype(np.int64))
-                out_c.append(np.round(col[take], 9))
+                out_c.append(col[take])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.concatenate(out_q)),
@@ -385,15 +392,23 @@ def ivf_topk(
     cent_lit = _centroid_literal(cent_rows)
 
     # corpus assignment: map-only argmin against the literal centroids;
-    # cached per (app, dataset, params) — the assignment IS the index
+    # cached per (app, dataset, params, MODEL). The model fingerprint is
+    # part of the key: a refit (or a fit with different iters/fraction)
+    # produces new centroids, and serving assignments computed from the
+    # OLD quantizer against the new one would silently return
+    # wrong/low-recall neighbors (ADVICE r8 #1). Hashing the centroid
+    # values themselves makes the cache exact w.r.t. model identity, no
+    # matter how the model was obtained.
     akey = None
     if dataset_key is not None:
+        model_fp = hashlib.sha256(repr(cent_rows).encode()).hexdigest()[:16]
         akey = (
             corpus.sparkSession.sparkContext.applicationId,
             dataset_key,
             vec_col,
             id_col,
             n_cells,
+            model_fp,
         )
     c_assigned = _IVF_ASSIGNED_CACHE.get(akey) if akey is not None else None
     if c_assigned is None:

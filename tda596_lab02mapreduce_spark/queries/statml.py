@@ -1101,11 +1101,17 @@ WITH pts AS (
   FROM by_val GROUP BY event_type
 )
 SELECT v.event_type, v.c AS cents, v.cnt AS n_rows,
-       CAST(round(CAST(n * v.c - s AS DOUBLE)
-                  / sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) AS DOUBLE) AS zscore,
-       CAST(round(CAST(v.c - mn AS DOUBLE) / (mx - mn), 6) AS DOUBLE) AS minmax,
-       CAST(round(CAST(cum_cnt - v.cnt AS DOUBLE) / (n - 1), 6) AS DOUBLE)
-         AS pct_rank
+       CASE WHEN mx = mn THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(round(CAST(n * v.c - s AS DOUBLE)
+                       / sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) AS DOUBLE)
+       END AS zscore,
+       CASE WHEN mx = mn THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(round(CAST(v.c - mn AS DOUBLE) / (mx - mn), 6) AS DOUBLE)
+       END AS minmax,
+       CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(round(CAST(cum_cnt - v.cnt AS DOUBLE) / (n - 1), 6)
+                      AS DOUBLE)
+       END AS pct_rank
 FROM cum v JOIN stats USING (event_type)
 """,
     doc=(
@@ -1157,27 +1163,47 @@ def feature_scale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_expr=F.floor(F.col("c") / F.lit(65536)),
     )
     n, s, ss = F.col("n").cast(dec), F.col("s"), F.col("ss")
+    # degenerate-stratum guards (ADVICE r8 #4): an all-equal-value
+    # group (mx = mn, which includes every singleton) zeroes the
+    # z-score and min-max denominators, and a singleton group (n = 1)
+    # zeroes pct_rank's (n - 1) — NaN/NULL would propagate where real
+    # pipelines expect "this feature carries no signal here", so the
+    # degenerate scalings are defined as 0.0, symmetrically in the
+    # oracle.
+    degenerate = F.col("mx") == F.col("mn")
     return (
         cum.join(F.broadcast(stats), "event_type")
         .select(
             "event_type",
             F.col("c").alias("cents"),
             F.col("cnt").alias("n_rows"),
-            F.round(
-                (n * F.col("c") - s).cast("double")
-                / F.sqrt((n * ss - s * s).cast("double")),
-                6,
-            ).alias("zscore"),
-            F.round(
-                (F.col("c") - F.col("mn")).cast("double")
-                / (F.col("mx") - F.col("mn")),
-                6,
-            ).alias("minmax"),
-            F.round(
-                (F.col("cum_cnt") - F.col("cnt")).cast("double")
-                / (F.col("n") - 1),
-                6,
-            ).alias("pct_rank"),
+            F.when(degenerate, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (n * F.col("c") - s).cast("double")
+                    / F.sqrt((n * ss - s * s).cast("double")),
+                    6,
+                )
+            )
+            .alias("zscore"),
+            F.when(degenerate, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("c") - F.col("mn")).cast("double")
+                    / (F.col("mx") - F.col("mn")),
+                    6,
+                )
+            )
+            .alias("minmax"),
+            F.when(F.col("n") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("cum_cnt") - F.col("cnt")).cast("double")
+                    / (F.col("n") - 1),
+                    6,
+                )
+            )
+            .alias("pct_rank"),
         )
     )
 
@@ -1223,10 +1249,14 @@ gpos AS (
   FROM cum v JOIN ng USING (event_type)
 )
 SELECT event_type, c AS cents, cnt AS n_rows,
-       CAST(round(CAST(r0 AS DOUBLE) / (n_g - 1), 6) AS DOUBLE) AS pct_rank,
+       CASE WHEN n_g = 1 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(round(CAST(r0 AS DOUBLE) / (n_g - 1), 6) AS DOUBLE)
+       END AS pct_rank,
        q_cents AS q_norm_cents
 FROM mapped
-JOIN qgrid ON qgrid.i = (200 * r0 + (n_g - 1)) // (2 * (n_g - 1))
+JOIN qgrid ON qgrid.i = CASE WHEN n_g = 1 THEN 50
+                             ELSE (200 * r0 + (n_g - 1)) // (2 * (n_g - 1))
+                        END
 """,
     doc=(
         "Distributed QuantileTransformer (the sklearn preprocessing "
@@ -1326,7 +1356,15 @@ def quantile_transform_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_cnt") - F.col("cnt")).alias("r0"),
         "n_g",
     )
-    j = F.expr("(200 * r0 + (n_g - 1)) div (2 * (n_g - 1))")
+    # singleton-group guard (ADVICE r8 #4): for n_g = 1 both the
+    # pct_rank divisor (n_g - 1) and the grid-index denominator
+    # 2·(n_g - 1) are zero — the NULL __j would silently DROP the
+    # group's rows at the inner join instead of reporting them.
+    # Define the degenerate stratum as pct_rank = 0 at the median grid
+    # point (j = 50), symmetrically in the oracle.
+    j = F.when(F.col("n_g") == 1, F.lit(50).cast("bigint")).otherwise(
+        F.expr("(200 * r0 + (n_g - 1)) div (2 * (n_g - 1))")
+    )
     return (
         mapped.withColumn("__j", j)
         .join(F.broadcast(qgrid), F.col("__j") == F.col("i"))
@@ -1334,9 +1372,11 @@ def quantile_transform_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("c").alias("cents"),
             F.col("cnt").alias("n_rows"),
-            F.round(F.col("r0").cast("double") / (F.col("n_g") - 1), 6).alias(
-                "pct_rank"
-            ),
+            F.when(F.col("n_g") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("r0").cast("double") / (F.col("n_g") - 1), 6)
+            )
+            .alias("pct_rank"),
             F.col("q_cents").alias("q_norm_cents"),
         )
     )
