@@ -827,3 +827,203 @@ def pq_topk(
         refined.withColumn("nbr_rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("nbr_rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN serving-path oracle replay (VERDICT r8 next-round #1)
+#
+# The IVF/PQ FITS are sample-based and stay property-tested (recall
+# floors); but the SERVING half — assignment, ADC scoring, top-k — is
+# pure deterministic arithmetic GIVEN the fitted model.  The canonical
+# serving models are the committed JSON sidecars under .models/ (the
+# same files ivf_fit/pq_fit consult before refitting), so both engines
+# replay the identical model: Spark loads it through the fit cache,
+# DuckDB gets it embedded as a literal table by the builders below.
+# Bit-exactness argument: every float reduction on the Spark side is a
+# strict left fold (F.aggregate seeded 0.0); DuckDB's list_reduce seeds
+# with the first element, and 0.0 + x1 == x1 bitwise — the same
+# discipline similarity_lsh_topk's oracle already proves out.  The PQ
+# path's numpy folds (pq_encode argmin, the per-query LUT) sum ≤ 8
+# contiguous elements, where numpy's pairwise summation degenerates to
+# the same sequential left fold.
+# ---------------------------------------------------------------------------
+
+CORRECTNESS_SF = "/root/testdata/sf0.01"
+
+
+def _load_sidecar(prefix: str, key: tuple):
+    import json
+    import os
+
+    path = os.path.join(
+        _model_cache_dir(),
+        prefix + "_" + hashlib.sha256(repr(key).encode()).hexdigest()[:16] + ".json",
+    )
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"canonical {prefix} model sidecar missing: {path} — run the "
+            f"corresponding similarity_{prefix}_topk query once at "
+            f"{key[0]} to fit and persist it (the committed .models/ "
+            "files are the canonical serving models)"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _sql_double(x: float) -> str:
+    # repr() is the shortest round-trip decimal: DuckDB parses it back
+    # to the bit-identical double
+    return repr(float(x))
+
+
+def ivf_oracle_sql(
+    sf_dir: str = CORRECTNESS_SF,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    kmeans_iters: int = 3,
+    train_fraction: float = 0.2,
+    n_probe: int = 3,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the ivf_topk SERVING path against the committed
+    sidecar model: argmin-L2 cell assignment (tie → lowest cell) for
+    the corpus, n_probe nearest cells per query (vec_id < 10), exact
+    cosine within probed cells, top-k by (cosine DESC, neighbor_id)."""
+    model = _load_sidecar(
+        "ivf", (sf_dir, vec_col, id_col, n_cells, kmeans_iters, train_fraction)
+    )
+    rows = ",\n".join(
+        f"({int(c)}, [{', '.join(_sql_double(x) for x in v)}]::DOUBLE[])"
+        for c, v in model
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(cell, cen) AS (VALUES
+{rows}
+),
+d AS (
+  SELECT e.vec_id, cents.cell,
+         list_reduce(list_transform(range(1, {dim + 1}),
+             j -> (e.v[j] - cents.cen[j]) * (e.v[j] - cents.cen[j])),
+           (a, b) -> a + b) AS d2
+  FROM e, cents
+),
+a AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d WHERE vec_id < 10
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT qc.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(qe.v, ce.v) AS cosine
+  FROM qc JOIN a USING (cell)
+  JOIN e qe ON qe.vec_id = qc.query_id
+  JOIN e ce ON ce.vec_id = a.vec_id
+  WHERE a.vec_id <> qc.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(nbr_rank AS BIGINT) AS nbr_rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nbr_rank
+      FROM scored)
+WHERE nbr_rank <= {k}
+"""
+
+
+def pq_oracle_sql(
+    sf_dir: str = CORRECTNESS_SF,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 16,
+    k_codes: int = 16,
+    iters: int = 8,
+    n_train: int = 4096,
+    refine: int = 50,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the pq_topk SERVING path against the committed
+    sidecar codebooks: per-subspace argmin encoding (tie → lowest
+    code), per-query LUT, ADC = j-ordered left-fold sum rounded to
+    6 dp, top-``refine`` shortlist, exact-L2 re-rank to top-``k``."""
+    model = _load_sidecar(
+        "pq", (sf_dir, vec_col, id_col, m, k_codes, iters, n_train)
+    )
+    d = dim // m
+    rows = ",\n".join(
+        f"({j}, {c}, [{', '.join(_sql_double(x) for x in cen)}]::DOUBLE[])"
+        for j, sub in enumerate(model)
+        for c, cen in enumerate(sub)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb(j, c, cen) AS (VALUES
+{rows}
+),
+encd AS (
+  SELECT e.vec_id, cb.j, cb.c,
+         list_reduce(list_transform(range(1, {d + 1}),
+             t -> (e.v[cb.j * {d} + t] - cb.cen[t])
+                  * (e.v[cb.j * {d} + t] - cb.cen[t])),
+           (a, b) -> a + b) AS d2
+  FROM e, cb
+),
+enc AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM encd
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+lut AS (
+  SELECT q.query_id, cb.j, cb.c,
+         list_reduce(list_transform(range(1, {d + 1}),
+             t -> (q.qv[cb.j * {d} + t] - cb.cen[t])
+                  * (q.qv[cb.j * {d} + t] - cb.cen[t])),
+           (a, b) -> a + b) AS pd2
+  FROM q, cb
+),
+adc AS (
+  SELECT l.query_id, enc.vec_id AS neighbor_id,
+         round(list_reduce(list(l.pd2 ORDER BY l.j), (a, b) -> a + b), 6)
+           AS adc_d2
+  FROM enc JOIN lut l ON l.j = enc.j AND l.c = enc.c
+  WHERE enc.vec_id <> l.query_id
+  GROUP BY l.query_id, enc.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {refine}
+),
+ref AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_reduce(list_transform(range(1, {dim + 1}),
+             t -> (qe.v[t] - ce.v[t]) * (qe.v[t] - ce.v[t])),
+           (a, b) -> a + b), 6) AS d2
+  FROM short s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ce ON ce.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, d2, CAST(nbr_rank AS BIGINT) AS nbr_rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2, neighbor_id) AS nbr_rank
+      FROM ref)
+WHERE nbr_rank <= {k}
+"""

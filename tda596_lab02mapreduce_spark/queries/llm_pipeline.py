@@ -493,7 +493,13 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ivf_topk",
-    oracle=None,  # approximate by design; recall@k vs brute force pytest-checked
+    # approximate w.r.t. brute force, but EXACTLY replayable given the
+    # fitted model: the committed .models/ sidecar is the canonical
+    # quantizer (both engines serve it), and the serving half —
+    # argmin-L2 assignment, probe-cell selection, cosine, top-k — is
+    # bit-deterministic left-fold arithmetic (the similarity_lsh_topk
+    # discipline).  Recall@k vs brute force stays pytest-checked.
+    oracle=lambda: sim.ivf_oracle_sql(),
     doc=(
         "IVF-Flat approximate cosine top-5: k-means coarse quantizer "
         "(DataFrame-native Lloyd, operators/similarity.py:kmeans_centroids) "
@@ -1919,7 +1925,12 @@ def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_pq_topk",
-    oracle=None,  # approximate by design; recall@k vs exact L2 pytest-checked
+    # approximate w.r.t. exact search, but EXACTLY replayable given the
+    # fitted codebooks: the committed .models/ sidecar is canonical,
+    # and encoding/ADC/refine are deterministic (numpy's ≤8-element
+    # folds degenerate to the same sequential left fold DuckDB's
+    # list_reduce computes).  Recall@5 floor stays pytest-checked.
+    oracle=lambda: sim.pq_oracle_sql(),
     doc=(
         "Product-quantization ANN top-5 with an exact refine stage "
         "(Jégou et al. TPAMI'11 + Faiss IndexRefine shape, "

@@ -22,16 +22,28 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 class Query:
     name: str
     spark_fn: SparkQuery
-    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    # DuckDB SQL; None → driver does rows-only check.  A zero-arg
+    # callable is resolved lazily at oracle_sql() time — used by the
+    # ANN serving-path oracles, whose SQL embeds the FITTED model
+    # (centroids / codebooks) as literal tables read from the committed
+    # sidecar under .models/ (VERDICT r8 next-round #1).
+    oracle: "str | Callable[[], str] | None"
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+
+    def oracle_text(self) -> str | None:
+        """The oracle SQL with lazy callables resolved."""
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
 def register(
-    name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()
+    name: str,
+    oracle: "str | Callable[[], str] | None" = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
 ) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator: ``@register("q_name", oracle="SELECT ...")``."""
 
@@ -61,7 +73,11 @@ def all_queries() -> dict[str, SparkQuery]:
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return {name: q.oracle for name, q in sorted(_REGISTRY.items()) if q.oracle is not None}
+    return {
+        name: q.oracle_text()
+        for name, q in sorted(_REGISTRY.items())
+        if q.oracle is not None
+    }
 
 
 def registry() -> dict[str, Query]:

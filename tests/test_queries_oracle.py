@@ -15,7 +15,7 @@ _WITH_ORACLE = [q for q in _QUERIES.values() if q.oracle is not None]
 
 @pytest.mark.parametrize("query", _WITH_ORACLE, ids=[q.name for q in _WITH_ORACLE])
 def test_query_matches_oracle(spark, sf_correctness, query):
-    compare(spark, sf_correctness, query.spark_fn, query.oracle)
+    compare(spark, sf_correctness, query.spark_fn, query.oracle_text())
 
 
 def test_entry_smoke(spark):

@@ -66,7 +66,7 @@ def main() -> None:
             if q.oracle is None:
                 rows_only += 1
                 continue
-            d_cols, d_rows = run_oracle(SF_DIR, q.oracle)
+            d_cols, d_rows = run_oracle(SF_DIR, q.oracle_text())
             why = verdict(s_cols, s_rows, d_cols, d_rows)
             if why is None:
                 ok += 1
