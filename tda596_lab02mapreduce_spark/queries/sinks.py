@@ -360,6 +360,28 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT registered: env-gated like the Pillow codec path and
+# transformWithState — the spark-avro connector jar is absent from
+# this container (and there is no network to fetch it), so the Avro
+# round-trip cannot run here.  The plumbing is complete and the gate
+# is loud (sources.write_avro/read_avro raise NotImplementedError with
+# the exact --packages coordinate); tests/test_sources.py carries the
+# skip-unless-available round-trip so the query self-verifies the
+# moment the jar appears.  Same aggregate contract as
+# sink_orc_roundtrip, so the identical DuckDB oracle applies then.
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = io.load(spark, sf_dir, "part")
+    path = _sink_path(sf_dir, "part_avro")
+    sources.write_avro(part, path)
+    back = sources.read_avro(spark, path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 @register(
     "sink_csv_roundtrip",
     oracle="""

@@ -146,6 +146,78 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf_arrow_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_c2,
+       CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) // count(*)
+            AS BIGINT) AS avg_qty_c
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc=(
+        "groupBy(...).applyInArrow (Spark 4): the Arrow-native grouped "
+        "twin of udf_grouped_agg — the engine hands the WHOLE group as "
+        "one pyarrow Table (the closest modern analogue of the "
+        "reference's full-value-list reducef contract, mr/worker.go:149, "
+        "with zero pandas conversion on either side). Body aggregates "
+        "in int64 cents (ROUND→cast, the udf_map_in_arrow tie-safety "
+        "argument) so sums are exact and order-independent, and the "
+        "mean is FLOOR-integer cents (Σqty_c div n) — zero floats in "
+        "the output, nothing for engines to tie-break. Like reducef "
+        "it is not partial-aggregatable: rows shuffle, not partial "
+        "states — the inventory carries the algebraic built-in path "
+        "(pricing_summary) alongside for the trade."
+    ),
+    tags=("udf", "agg"),
+)
+def udf_arrow_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_group(table: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.round(pc.multiply(table.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(table.column("l_discount"), 100.0)), pa.int64()
+        )
+        qty_c = pc.cast(
+            pc.round(pc.multiply(table.column("l_quantity"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        n = table.num_rows
+        sum_qty_c = pc.sum(qty_c).as_py()
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "n": [n],
+                "revenue_c2": [pc.sum(rev).as_py()],
+                "avg_qty_c": [sum_qty_c // n],
+            },
+            schema=pa.schema(
+                [
+                    ("l_returnflag", pa.string()),
+                    ("n", pa.int64()),
+                    ("revenue_c2", pa.int64()),
+                    ("avg_qty_c", pa.int64()),
+                ]
+            ),
+        )
+
+    li = io.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        per_group,
+        "l_returnflag string, n bigint, revenue_c2 bigint, avg_qty_c bigint",
+    )
+
+
+@register(
     "udtf_trigram_explode",
     oracle=r"""
 WITH base AS (

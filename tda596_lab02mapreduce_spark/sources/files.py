@@ -87,6 +87,58 @@ def write_orc(
     w.orc(path)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro SQL connector is on the classpath.
+
+    Spark ships Avro as an EXTERNAL data source module (the core
+    avro-1.x jars in pyspark/jars are the serialization library, not
+    the connector), and this container has no network to fetch
+    ``org.apache.spark:spark-avro`` — so the Avro round-trip is an
+    env-gated capability exactly like the Pillow codec path
+    (operators/multimodal.py): the plumbing below is real and tested
+    via pytest.importorskip-style gating, and lights up unmodified the
+    moment the jar is deployable."""
+    try:
+        # the authoritative probe is Spark's own provider resolution:
+        # AvroFileFormat CLASSES ship inside spark-catalyst (so a bare
+        # Class.forName succeeds misleadingly), but lookupDataSource
+        # rejects "avro" unless the connector module is deployed
+        conf = spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", conf
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "Avro scan requires the spark-avro connector jar "
+            "(org.apache.spark:spark-avro) — not present in this "
+            "container; deploy with --packages org.apache.spark:"
+            f"spark-avro_2.13:{spark.version} to enable"
+        )
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(
+    df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    if not avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "Avro sink requires the spark-avro connector jar "
+            "(org.apache.spark:spark-avro) — not present in this "
+            "container; deploy with --packages org.apache.spark:"
+            f"spark-avro_2.13:{df.sparkSession.version} to enable"
+        )
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format("avro").save(path)
+
+
 def write_parquet(
     df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None
 ) -> None:

