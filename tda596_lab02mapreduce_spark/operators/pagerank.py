@@ -58,7 +58,7 @@ def pagerank(
     damping: float = 0.85,
     id_out: str = "id",
     rank_out: str = "rank",
-    checkpoint_every: int = 0,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Rank nodes of an undirected edge list by power iteration.
 
@@ -129,15 +129,17 @@ def pagerank(
                 ).alias("rank_u"),
             )
         )
-        # checkpoint cadence (round-9 experiment, VERDICT r8 #4):
-        # checkpoint_every=0 chains ALL rounds into ONE job — zero
-        # per-round job-scheduling/materialization overhead; the plan
-        # is 10 stacked join+agg layers over the cached edge list,
-        # analyzed once.  A non-zero cadence bounds lineage for
-        # fault-tolerance-sensitive deployments (at 1000 executors a
-        # lost partition under a 20-stage lineage recomputes the whole
-        # chain; cadence 2 was round 8's default).  Results are
-        # independent of checkpoint placement (pure integer plan).
+        # checkpoint cadence (round-9 sweep, VERDICT r8 #4, measured at
+        # sf0.1 on pre-checkpointed edges): every round 8.1 s, cadence
+        # 2 → 4.1-5.1 s, cadence 3 → 3.6-4.6 s, cadence 5 → 4.2 s, and
+        # the fully-chained single job (checkpoint_every=0) LOST at
+        # 6.9 s — a 10-layer join+agg plan pays more in optimizer/
+        # codegen than it saves in job scheduling (negative result,
+        # recorded in BASELINE.md).  Default 3: near the fixture
+        # optimum, and lineage depth ≤ 3 joins also bounds the
+        # recompute cost of a lost partition at cluster scale.
+        # Results are independent of checkpoint placement (pure
+        # integer plan).
         if checkpoint_every and (
             it % checkpoint_every == checkpoint_every - 1 or it == iters - 1
         ):
