@@ -200,14 +200,23 @@ BROADCAST_TRANSITION_OK = {
 
 
 def stage(spark) -> None:
-    # one suffix letter per replica: beyond 20, substring returns ''
-    # and replicas silently share tokens, breaking the disjointness
-    # the honest-linear construction rests on — refuse instead.
-    if REPLICAS > 20:
-        raise ValueError("SCALE_REPLICAS must be ≤ 20 (one suffix letter each)")
+    # replica-unique letter suffix keeps replica token spaces DISJOINT
+    # (the honest-linear construction): one letter for ≤ 20 replicas
+    # (unchanged, so prior 10×/20× stagings stay byte-identical), two
+    # letters up to 400 (r9's 50× probe) — beyond that, refuse rather
+    # than silently share tokens.
+    if REPLICAS > 400:
+        raise ValueError("SCALE_REPLICAS must be ≤ 400 (two suffix letters)")
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
-    suffix = F.substring(F.lit("abcdefghijklmnopqrst"), F.col("replica") + 1, 1)
+    letters = F.lit("abcdefghijklmnopqrst")
+    if REPLICAS <= 20:
+        suffix = F.substring(letters, F.col("replica") + 1, 1)
+    else:
+        suffix = F.concat(
+            F.substring(letters, (F.col("replica") / 20).cast("int") + 1, 1),
+            F.substring(letters, F.col("replica") % 20 + 1, 1),
+        )
     text2 = F.concat_ws(
         " ",
         F.transform(

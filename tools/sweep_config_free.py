@@ -13,6 +13,13 @@ took down round-1 and round-4 driver rows.
 
 Run: python tools/sweep_config_free.py   (~8 min)
 Prints one JSON line: {"oracle_pass": N, "rows_only": M, "fail": [...]}
+and writes the FULL per-query verdict map — the driver's
+CORRECTNESS_r{N}.json shape (rows_match/schema_match/hash_match/
+spark_rows/oracle_rows/err per query) — to $SWEEP_OUT (default
+CORRECTNESS_LOCAL.json at the repo root).  Committed per round as
+CORRECTNESS_LOCAL_r{N}.json, this makes the 80% of the inventory the
+driver's alphabetical window never reaches a diffable artifact
+instead of a prose claim (VERDICT r8 next-round #2).
 """
 
 from __future__ import annotations
@@ -53,6 +60,7 @@ def main() -> None:
     ok = rows_only = 0
     fail: list[dict] = []
     window_sins: list[str] = []
+    detail: dict[str, dict] = {}
     for name, q in sorted(registry.registry().items()):
         try:
             sdf = q.spark_fn(spark, SF_DIR)
@@ -65,17 +73,56 @@ def main() -> None:
             s_rows = [tuple(r) for r in sdf.collect()]
             if q.oracle is None:
                 rows_only += 1
+                detail[name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": len(s_rows),
+                    "oracle_rows": None,
+                    "err": "no_oracle",
+                }
                 continue
             d_cols, d_rows = run_oracle(SF_DIR, q.oracle_text())
             why = verdict(s_cols, s_rows, d_cols, d_rows)
+            schema_match = sorted(s_cols) == sorted(d_cols)
+            rows_match = len(s_rows) == len(d_rows)
+            # hash is only meaningful once schema+rows agree (the
+            # driver's shape): True/False then, None otherwise
+            hash_match = (
+                (why is None) if (schema_match and rows_match) else None
+            )
+            detail[name] = {
+                "rows_match": rows_match,
+                "schema_match": schema_match,
+                "hash_match": hash_match,
+                "spark_rows": len(s_rows),
+                "oracle_rows": len(d_rows),
+                "err": why,
+            }
             if why is None:
                 ok += 1
             else:
                 fail.append({"q": name, "err": why})
         except Exception:
-            fail.append(
-                {"q": name, "err": traceback.format_exc(limit=2).splitlines()[-1]}
-            )
+            err = traceback.format_exc(limit=2).splitlines()[-1]
+            fail.append({"q": name, "err": err})
+            detail[name] = {
+                "rows_match": False,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": err,
+            }
+    out_path = os.environ.get(
+        "SWEEP_OUT",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_LOCAL.json",
+        ),
+    )
+    with open(out_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
@@ -84,6 +131,7 @@ def main() -> None:
                 "rows_only": rows_only,
                 "fail": fail,
                 "partitionless_windows": window_sins,
+                "detail_file": out_path,
             }
         )
     )
