@@ -196,6 +196,14 @@ BROADCAST_TRANSITION_OK = {
     # regime change, observed one doubling later
     "tpch_q7_nation_trade_volume",
     "tpch_q10_returned_revenue",
+    # keeps its broadcasts through 20× and crosses at 50×
+    # (SCALE_REPLICAS=50, r9): the candidate-pair verification joins
+    # outgrow the 10 MB threshold and exchanges go 6 → 21 with the
+    # id_a/id_b pair keys appearing — at 100 TB candidate pairs are
+    # never broadcastable, so the pair-keyed hash join IS the cluster
+    # plan (same designed regime change as join_interval_overlap,
+    # observed two doublings later).
+    "dedup_ppjoin_pairs",
 }
 
 
