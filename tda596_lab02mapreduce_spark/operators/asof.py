@@ -53,8 +53,10 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = list(on)
 
     payload = F.struct(
@@ -89,6 +91,62 @@ def asof_join(
     # sort before left at equal ts (prio 0 first) — a simultaneous
     # right row matches in either direction. right_order ties flip with
     # the walk so "earliest future" keeps the same deterministic pick.
+    if direction == "nearest":
+        # ONE ascending window pass computes BOTH sides (same single
+        # shuffle as backward/forward): the backward candidate is the
+        # running last() right payload, the forward candidate the
+        # first() right payload in the tail frame; the pick is then
+        # row-local arithmetic on the two gaps (ties -> backward, the
+        # pandas merge_asof 'nearest' convention). A simultaneous
+        # right row sorts before the left row, so it is the backward
+        # candidate with gap 0 and wins outright.
+        w_asc = Window.partitionBy(*on).orderBy(
+            F.col("__event_ts").asc(),
+            F.col("__prio").asc(),
+            *[F.col(f"__ord_{i}").asc_nulls_first() for i in range(len(right_order))],
+        )
+        matched = unioned.withColumn(
+            "__mb",
+            F.last("__payload", ignorenulls=True).over(
+                w_asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).withColumn(
+            "__mf",
+            F.first("__payload", ignorenulls=True).over(
+                w_asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+        )
+        out = matched.filter(F.col("__prio") == 1)
+        if tolerance is not None:
+            out = out.withColumn(
+                "__mb",
+                F.when(
+                    F.col("__mb.__ts") >= F.col("__event_ts") - tolerance,
+                    F.col("__mb"),
+                ),
+            ).withColumn(
+                "__mf",
+                F.when(
+                    F.col("__mf.__ts") <= F.col("__event_ts") + tolerance,
+                    F.col("__mf"),
+                ),
+            )
+        gap_b = F.unix_micros(F.col("__event_ts")) - F.unix_micros(F.col("__mb.__ts"))
+        gap_f = F.unix_micros(F.col("__mf.__ts")) - F.unix_micros(F.col("__event_ts"))
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(gap_b <= gap_f, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        )
+        if how == "inner":
+            out = out.filter(F.col("__match").isNotNull())
+        sel = [F.col(c) for c in left_cols]
+        sel.append(F.col("__match.__ts").alias(f"asof_{right_ts}"))
+        sel.extend(F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_payload)
+        return out.select(*sel)
+
     ts_ord = (
         F.col("__event_ts").asc()
         if direction == "backward"

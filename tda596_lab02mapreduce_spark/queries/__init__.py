@@ -18,6 +18,7 @@ from tda596_lab02mapreduce_spark.queries import (  # noqa: F401
     sinks,
     statml,
     streaming_batch,
+    survival,
     textprep,
     timeseries,
     tpch_extra,

@@ -266,3 +266,352 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         quartile("n_orders").alias("f_score"),
         quartile("total_cents").alias("m_score"),
     )
+
+
+@register(
+    "assoc_rules_confidence",
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+bc AS (SELECT brand, CAST(count(*) AS HUGEINT) AS c FROM ob GROUP BY brand),
+tot AS (SELECT CAST(count(DISTINCT okey) AS HUGEINT) AS n FROM ob),
+pc AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS HUGEINT) AS c_ab
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+  HAVING count(*) >= 20
+),
+rules AS (
+  SELECT brand_a AS antecedent, brand_b AS consequent, c_ab FROM pc
+  UNION ALL
+  SELECT brand_b, brand_a, c_ab FROM pc
+)
+SELECT r.antecedent, r.consequent,
+       CAST(r.c_ab AS BIGINT) AS support_n,
+       CAST(1000000 * r.c_ab // ca.c AS BIGINT) AS confidence_ppm,
+       CAST(1000000 * r.c_ab * t.n // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+FROM rules r
+JOIN bc ca ON r.antecedent = ca.brand
+JOIN bc cb ON r.consequent = cb.brand
+CROSS JOIN tot t
+""",
+    doc=(
+        "Directional association rules A=>B over per-order brand "
+        "baskets (the confidence/lift step apriori runs after "
+        "copurchase_brand_pairs' candidate counts): "
+        "confidence = P(B|A) = c_ab/c_a and lift = c_ab*N/(c_a*c_b), "
+        "both emitted as exact integer parts-per-million via integer "
+        "division, so the whole rule table is bit-exact with zero "
+        "float ordering risk. Plan: the same bounded collect_set "
+        "basket pass as copurchase_brand_pairs (pairs emitted "
+        "row-locally, never an exploded self-join), one count shuffle "
+        "on the pair key, then broadcast probes into the 25-row brand "
+        "count table and the 1-row basket total — at 100 TB the only "
+        "large shuffles are the basket rollup and the pair count."
+    ),
+    tags=("agg", "analytics", "llm"),
+)
+def assoc_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = io.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", F.col("p_brand").alias("brand")
+    )
+    bc = ob.distinct().groupBy("brand").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
+    )
+    tot = ob.agg(
+        F.count_distinct("l_orderkey").cast("decimal(20,0)").alias("n")
+    )
+    per_order = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("brand")).alias("brands")
+    )
+    pc = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) -> "
+                    "transform(slice(brands, i + 2, size(brands)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    rules = pc.selectExpr(
+        "brand_a AS antecedent", "brand_b AS consequent", "c_ab"
+    ).unionAll(
+        pc.selectExpr("brand_b AS antecedent", "brand_a AS consequent", "c_ab")
+    )
+    ca = bc.selectExpr("brand AS antecedent", "c AS c_a")
+    cb = bc.selectExpr("brand AS consequent", "c AS c_b")
+    return (
+        rules.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_ab").cast("bigint").alias("support_n"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * c_ab) div c_a"
+                " AS BIGINT)"
+            ).alias("confidence_ppm"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * c_ab * n)"
+                " div (c_a * c_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+@register(
+    "recsys_item_cosine_topk",
+    oracle="""
+WITH cb AS (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+ic AS (SELECT pk, CAST(count(*) AS HUGEINT) AS c FROM cb GROUP BY pk),
+pc AS (
+  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS HUGEINT) AS c_ab
+  FROM cb a JOIN cb b ON a.ck = b.ck AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= 3
+),
+sym AS (
+  SELECT pa AS item, pb AS neighbor, c_ab FROM pc
+  UNION ALL
+  SELECT pb, pa, c_ab FROM pc
+),
+scored AS (
+  SELECT s.item, s.neighbor,
+         CAST(s.c_ab AS BIGINT) AS n_common,
+         CAST(1000000000000 * s.c_ab * s.c_ab // (ci.c * cn.c) AS BIGINT)
+           AS cos2_ppt
+  FROM sym s
+  JOIN ic ci ON s.item = ci.pk
+  JOIN ic cn ON s.neighbor = cn.pk
+)
+SELECT item, neighbor, n_common, cos2_ppt, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY item ORDER BY cos2_ppt DESC, neighbor) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+""",
+    doc=(
+        "Item-item collaborative filtering: for every part, the top-5 "
+        "most-similar parts by cosine similarity over customer "
+        "co-purchase vectors (binary basket model: cos(i,j) = "
+        "c_ij/sqrt(c_i*c_j)). Ranking uses cos^2 scaled to exact "
+        "integer parts-per-trillion — monotone in cosine since all "
+        "values are positive — so the top-k cut is bit-deterministic "
+        "with a neighbor-id tiebreak and no cross-engine float "
+        "ordering risk (the lesson similarity_topk_gemm's rounded-rank "
+        "fix taught). Plan: per-customer sorted part arrays emit i<j "
+        "pairs row-locally (bounded by basket size, never a k^2 "
+        "exploded self-join), one pair-count shuffle, broadcast item "
+        "counts, then a part-keyed WindowGroupLimit top-5 — the window "
+        "partitions on the 2000-key item grain, so parallelism grows "
+        "with the catalog, not the corpus."
+    ),
+    tags=("analytics", "llm", "window", "join"),
+)
+def recsys_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    ic = cb.groupBy("pk").agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("c"))
+    per_cust = cb.groupBy("ck").agg(F.array_sort(F.collect_set("pk")).alias("pks"))
+    pc = (
+        per_cust.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(pks, (x, i) -> "
+                    "transform(slice(pks, i + 2, size(pks)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    sym = pc.selectExpr("pa AS item", "pb AS neighbor", "c_ab").unionAll(
+        pc.selectExpr("pb AS item", "pa AS neighbor", "c_ab")
+    )
+    ci = ic.selectExpr("pk AS item", "c AS c_i")
+    cn = ic.selectExpr("pk AS neighbor", "c AS c_n")
+    scored = (
+        sym.join(F.broadcast(ci), "item")
+        .join(F.broadcast(cn), "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            F.col("c_ab").cast("bigint").alias("n_common"),
+            F.expr(
+                "CAST((CAST(1000000000000 AS DECIMAL(38,0)) * c_ab * c_ab)"
+                " div (c_i * c_n) AS BIGINT)"
+            ).alias("cos2_ppt"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cos2_ppt").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("item", "neighbor", "n_common", "cos2_ppt", "rnk")
+    )
+
+
+def _hits_oracle() -> str:
+    from tda596_lab02mapreduce_spark.operators.hits import hits_oracle_sql
+
+    return hits_oracle_sql(
+        "e AS (SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst\n"
+        "      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)",
+        iters=5,
+    )
+
+
+@register(
+    "hits_copurchase_bipartite",
+    oracle=_hits_oracle(),
+    doc=(
+        "Kleinberg HITS over the bipartite customer->part purchase "
+        "graph (co-HITS, the classic graph-recommendation primitive): "
+        "authority = parts endorsed by broad customers, hub = "
+        "customers concentrated on endorsed parts; 5 fixed power-"
+        "iteration rounds, every score an exact integer micro-unit "
+        "with max-normalization via integer division, so the whole "
+        "iteration is bit-identical in both engines and the oracle is "
+        "the full unrolled-CTE replay (the pagerank_neardup_hubs "
+        "discipline, operators/hits.py). Plan per round: two keyed "
+        "join+agg shuffles on cached pre-partitioned edges plus 1-row "
+        "max broadcasts that stay inside the plan; fixed rounds, "
+        "localCheckpoint per half-round, zero driver actions in the "
+        "loop."
+    ),
+    tags=("graph", "analytics", "join", "agg"),
+)
+def hits_copurchase_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.hits import hits
+
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return hits(edges, iters=5)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # each e{i} is referenced 3x by round i+1 (edge source + two degree
+    # rollups); MATERIALIZED stops DuckDB's CTE inlining from
+    # compounding that fan-out 3^rounds (see hits_oracle_sql).
+    parts = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src,"
+        " l.l_partkey AS dst\n"
+        "       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)"
+    ]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT {p}.src, {p}.dst FROM {p}\n"
+            f"  JOIN (SELECT src, count(*) AS c FROM {p} GROUP BY src) ds\n"
+            f"    ON ds.src = {p}.src\n"
+            f"  JOIN (SELECT dst, count(*) AS c FROM {p} GROUP BY dst) dd\n"
+            f"    ON dd.dst = {p}.dst\n"
+            f"  WHERE ds.c >= {k} AND dd.c >= {k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT 'cust' AS node_type, src AS node_id, CAST(count(*) AS BIGINT) AS deg
+FROM e{rounds} GROUP BY src
+UNION ALL
+SELECT 'part', dst, CAST(count(*) AS BIGINT) FROM e{rounds} GROUP BY dst
+"""
+    )
+
+
+@register(
+    "kcore_peel_bipartite",
+    oracle=_kcore_oracle(25, 5),
+    doc=(
+        "Bounded k-core peeling (k=25, 5 fixed rounds) of the "
+        "bipartite customer->part purchase graph — the dense-core "
+        "extractor community-detection and fraud pipelines run before "
+        "expensive per-subgraph analysis (Matula/Beck peeling, made "
+        "deterministic by a FIXED round count instead of a "
+        "data-dependent fixpoint test, the pagerank fixed-iteration "
+        "contract). Each round drops every node with degree < k on "
+        "its own side and every edge touching one; the fixture "
+        "cascade is non-degenerate (48k -> 11k edges over the 5 "
+        "rounds). Output: surviving nodes with their round-5 degrees, "
+        "all exact integers, full unrolled-CTE hash oracle. Plan per "
+        "round: two count aggregates + two semi-join-shaped filters, "
+        "all keyed shuffles on the edge endpoints; edges "
+        "localCheckpoint per round — no lineage stacking, no driver "
+        "decisions in the loop."
+    ),
+    tags=("graph", "analytics", "agg", "join"),
+)
+def kcore_peel_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, rounds = 25, 5
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        ds = e.groupBy("src").agg(F.count(F.lit(1)).alias("c_s")).filter(
+            F.col("c_s") >= k
+        )
+        dd = e.groupBy("dst").agg(F.count(F.lit(1)).alias("c_d")).filter(
+            F.col("c_d") >= k
+        )
+        e = (
+            e.join(ds.select("src"), "src")
+            .join(dd.select("dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            F.lit("cust").alias("node_type"),
+            F.col("src").alias("node_id"),
+            F.col("deg").cast("bigint").alias("deg"),
+        )
+        .unionByName(
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .select(
+                F.lit("part").alias("node_type"),
+                F.col("dst").alias("node_id"),
+                F.col("deg").cast("bigint").alias("deg"),
+            )
+        )
+    )

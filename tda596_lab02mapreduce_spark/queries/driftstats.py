@@ -1223,3 +1223,97 @@ def kl_divergence_lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("t_qp").cast("double"), 6).alias("kl_qp"),
         F.round(F.sum("t_js").cast("double") / 2, 6).alias("js"),
     )
+
+
+@register(
+    "rolling_corr_daily_types",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) FILTER (event_type = 'click') AS HUGEINT) AS clicks,
+         CAST(count(*) FILTER (event_type = 'purchase') AS HUGEINT)
+           AS purchases
+  FROM events GROUP BY day
+),
+win AS (
+  SELECT a.day,
+         CAST(count(*) AS HUGEINT) AS n,
+         SUM(b.clicks) AS sx, SUM(b.purchases) AS sy,
+         SUM(b.clicks * b.clicks) AS sxx,
+         SUM(b.purchases * b.purchases) AS syy,
+         SUM(b.clicks * b.purchases) AS sxy
+  FROM daily a JOIN daily b
+    ON b.day >= a.day - INTERVAL 6 DAY AND b.day <= a.day
+  GROUP BY a.day
+  HAVING count(*) = 7
+)
+SELECT day,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)) AS DOUBLE)
+         AS roll_corr_7d
+FROM win
+WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+""",
+    doc=(
+        "7-day rolling Pearson correlation between the daily click and "
+        "purchase count series (the co-movement drift monitor ops "
+        "dashboards run on metric pairs). All five sufficient "
+        "statistics are exact integer sums over a triangular range "
+        "self-join of the day-grain aggregate — the calendar bounds "
+        "that table (one row per day), so the join is a broadcast of a "
+        "tiny spine against itself, NOT a partition-less sliding "
+        "window (the Catalyst-folds-constant-partitionBy lesson); "
+        "partial windows at the series head are dropped (n = 7 "
+        "exactly). The only float math is one division and one "
+        "IEEE-correctly-rounded sqrt on identically-shaped integer "
+        "inputs, so the hash matches bitwise. At 100 TB the plan is "
+        "one events scan + day rollup; everything after runs on "
+        "#days rows."
+    ),
+    tags=("drift", "timeseries", "agg", "join"),
+)
+def rolling_corr_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count_if(F.col("event_type") == "click")
+        .cast("decimal(20,0)")
+        .alias("clicks"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("decimal(20,0)")
+        .alias("purchases"),
+    )
+    a = daily.select(F.col("day").alias("a_day"))
+    b = daily.select(
+        F.col("day").alias("b_day"),
+        F.col("clicks").alias("bx"),
+        F.col("purchases").alias("by"),
+    )
+    win = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b_day") >= F.col("a_day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("b_day") <= F.col("a_day")),
+        )
+        .groupBy(F.col("a_day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+            F.sum("bx").cast("decimal(38,0)").alias("sx"),
+            F.sum("by").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.col("bx") * F.col("bx")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(F.col("by") * F.col("by")).cast("decimal(38,0)").alias("syy"),
+            F.sum(F.col("bx") * F.col("by")).cast("decimal(38,0)").alias("sxy"),
+        )
+        .filter(F.col("n") == 7)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return win.filter((dx * dy) > 0).select(
+        "day",
+        num.cast("bigint").alias("cov_num"),
+        (num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")))
+        .cast("double")
+        .alias("roll_corr_7d"),
+    )

@@ -869,3 +869,68 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("user_a", "user_b").agg(
         F.count(F.lit(1)).alias("n_session_overlaps")
     )
+
+
+@register(
+    "join_asof_nearest_click",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+b AS (
+  SELECT p.event_id, max(c.ts) AS bts
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+  GROUP BY p.event_id
+),
+f AS (
+  SELECT p.event_id, min(c.ts) AS fts
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts > p.ts
+  GROUP BY p.event_id
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+       CASE WHEN b.bts IS NULL THEN epoch_us(f.fts)
+            WHEN f.fts IS NULL THEN epoch_us(b.bts)
+            WHEN epoch_us(p.ts) - epoch_us(b.bts)
+                 <= epoch_us(f.fts) - epoch_us(p.ts) THEN epoch_us(b.bts)
+            ELSE epoch_us(f.fts)
+       END AS nearest_click_us
+FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+WHERE b.bts IS NOT NULL OR f.fts IS NOT NULL
+""",
+    doc=(
+        "NEAREST as-of join (pandas merge_asof direction='nearest'): "
+        "each purchase matched to the user's temporally closest click "
+        "in EITHER direction, microsecond gaps, ties to the backward "
+        "match. Completes the as-of family (backward / forward / anti "
+        "/ band / nearest). The Spark plan is ONE tagged-union window "
+        "pass computing both the running-last backward candidate and "
+        "the tail-first forward candidate in the same user-keyed "
+        "shuffle, then a row-local gap pick "
+        "(operators/asof.py direction='nearest') — the oracle's "
+        "two-sided LEFT JOIN + argmin spec is the quadratic form the "
+        "operator exists to avoid. Same one-shuffle scale posture as "
+        "join_asof_purchase_click."
+    ),
+    tags=("join", "asof"),
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = io.load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=[],
+        how="inner",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("asof_ts").alias("nearest_click_us"),
+    )

@@ -1651,3 +1651,93 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("sum_cents_filled"),
         F.col("v").isNull().alias("is_interpolated"),
     )
+
+
+@register(
+    "hampel_outliers_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS HUGEINT)) AS BIGINT) AS cents
+  FROM events GROUP BY day
+),
+win AS (
+  SELECT a.day, a.cents, list_sort(list(b.cents)) AS vals
+  FROM daily a JOIN daily b
+    ON b.day >= a.day - INTERVAL 3 DAY AND b.day <= a.day + INTERVAL 3 DAY
+  GROUP BY a.day, a.cents
+  HAVING count(*) = 7
+),
+med AS (
+  SELECT day, cents, vals, 2 * vals[4] AS med2
+  FROM win
+),
+mad AS (
+  SELECT day, cents, med2,
+         list_sort(list_transform(vals, x -> abs(2 * x - med2)))[4] AS mad2
+  FROM med
+)
+SELECT day, cents,
+       CAST(med2 AS BIGINT) AS med2_7d,
+       CAST(mad2 AS BIGINT) AS mad2_7d,
+       CAST(abs(2 * cents - med2) > 3 * mad2 AS BOOLEAN) AS is_outlier
+FROM mad
+""",
+    doc=(
+        "Hampel filter over the daily revenue series: each day is "
+        "compared against the median of its centered 7-day window, "
+        "flagged as an outlier when it deviates more than 3 robust "
+        "sigmas (3x the window's median absolute deviation — the "
+        "despiking filter robust-stats pipelines prefer to the z-score "
+        "because one spike can't inflate its own threshold, cf. "
+        "anomaly_zscore_events/anomaly_mad_events at population "
+        "grain). Exactness: medians of integers are carried DOUBLED "
+        "(med2 = a[3]+a[4] collapses to 2*a[3] for odd n=7; MAD "
+        "likewise), so every column is an exact integer and the "
+        "comparison is integer-only — zero floats, bit-exact hash. "
+        "Plan: one events scan -> day rollup; the windowing is a "
+        "triangular self-join of the calendar-bounded day spine "
+        "(broadcast, row-local sorted-array median), NOT a "
+        "partition-less sliding window; partial edge windows drop "
+        "(n = 7 exactly)."
+    ),
+    tags=("timeseries", "analytics", "agg"),
+)
+def hampel_outliers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select("ts", "value")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("decimal(20,0)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("cents").alias("a_cents"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("cents").alias("b_cents"))
+    win = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b_day") >= F.col("a_day") - F.expr("INTERVAL 3 DAYS"))
+            & (F.col("b_day") <= F.col("a_day") + F.expr("INTERVAL 3 DAYS")),
+        )
+        .groupBy(F.col("a_day").alias("day"), F.col("a_cents").alias("cents"))
+        .agg(
+            F.sort_array(F.collect_list("b_cents")).alias("vals"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") == 7)
+    )
+    med = win.withColumn("med2", 2 * F.element_at("vals", 4))
+    mad = med.withColumn(
+        "mad2",
+        F.element_at(
+            F.array_sort(F.expr("transform(vals, x -> abs(2 * x - med2))")), 4
+        ),
+    )
+    return mad.select(
+        "day",
+        "cents",
+        F.col("med2").cast("bigint").alias("med2_7d"),
+        F.col("mad2").cast("bigint").alias("mad2_7d"),
+        (F.abs(2 * F.col("cents") - F.col("med2")) > 3 * F.col("mad2"))
+        .cast("boolean")
+        .alias("is_outlier"),
+    )

@@ -650,3 +650,121 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"))
     return cand.join(meta, "neg_id").select("anchor_id", "slot", "neg_id", "neg_source")
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (r9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "target_encode_loo_priority",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100, 0) AS HUGEINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT priority, CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS s
+  FROM o GROUP BY priority
+)
+SELECT o.o_orderkey, o.priority,
+       CAST(o.cents AS BIGINT) AS cents,
+       CASE WHEN g.n = 1 THEN NULL
+            ELSE CAST((1000000 * (g.s - o.cents)) // (g.n - 1) AS BIGINT)
+       END AS loo_mean_microcents
+FROM o JOIN g USING (priority)
+""",
+    doc=(
+        "Leave-one-out target encoding of the order-priority category "
+        "against order value (the mean-encoding feature a training "
+        "pipeline derives for categorical columns, LOO so a row never "
+        "leaks its own target): loo = (sum_group - y_i)/(n_group - 1), "
+        "computed in exact integer micro-cents via integer division. "
+        "Singleton categories encode as NULL and stay in the output "
+        "rather than being dropped (the quantile_transform_value "
+        "singleton-group lesson, ADVICE r8). Plan: one 5-row groupBy "
+        "broadcast joined back to the fact table — no window, no "
+        "per-row subquery; at 100 TB it is one partial+final agg "
+        "shuffle and a map-side broadcast probe."
+    ),
+    tags=("trainprep", "agg", "llm"),
+)
+def target_encode_loo_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = io.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("decimal(20,0)")
+        .alias("cents"),
+    )
+    g = o.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    )
+    return o.join(F.broadcast(g), "priority").select(
+        "o_orderkey",
+        "priority",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.when(F.col("n") == 1, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * (s - cents))"
+                " div (n - 1) AS BIGINT)"
+            )
+        )
+        .alias("loo_mean_microcents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurization (r9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_hash_tokens_256",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(text, '[^\p{L}]+'), t -> t <> '')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 256 AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM tok
+GROUP BY doc_id, bucket
+""",
+    doc=(
+        "Hashing-trick featurizer (Weinberger et al. 2009, the "
+        "fixed-width sparse vectorizer large-scale linear models use "
+        "when the vocabulary is unbounded): every token hashes to one "
+        "of 256 buckets and the per-document bucket counts ARE the "
+        "feature vector — no vocabulary build, no dictionary "
+        "broadcast, memory O(buckets) per doc. The hash is the "
+        "portable md5-based 32-bit family from operators/dedup.py "
+        "(conv(substr(md5,1,8),16,10), replayed verbatim in DuckDB), "
+        "so the whole feature matrix is bit-exact integers. Plan: one "
+        "documents scan -> explode -> single partial+final count "
+        "shuffle on (doc_id, bucket); at 100 TB the shuffle carries "
+        "only (id, bucket) pairs, never text."
+    ),
+    tags=("trainprep", "llm", "agg"),
+)
+def feature_hash_tokens_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_nonempty("text")).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long") % 256
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
