@@ -116,6 +116,17 @@ HEADLINE = [
     "concurrency_peak_daily",
     "decision_split_gain",
     "udf_cogroup_asof",
+    # round-9 additions (BASELINE.md "Round-9 anchors"): the two new
+    # fixed-round iterative graph operators (HITS' per-round 1-row max
+    # broadcasts and k-core's cascading semi-joins are new plan
+    # shapes), the basket-pair recsys flagship, the survival life
+    # table (distributed-cumsum consumer at duration grain), and the
+    # nearest as-of (the double-frame window walk).
+    "hits_copurchase_bipartite",
+    "kcore_peel_bipartite",
+    "recsys_item_cosine_topk",
+    "survival_km_signup_purchase",
+    "join_asof_nearest_click",
 ]
 
 

@@ -2045,3 +2045,139 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + W - 1).alias("span_end"),
         (F.max("pos") + W - 1 - F.min("pos") + 1).alias("span_tokens"),
     ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+@register(
+    "sample_cluster_balanced",
+    oracle=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         array_to_string(tk[1:3], ' ') AS prefix,
+         list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+sized AS (
+  SELECT l.doc_id, l.cluster_id, s.cluster_size,
+         CAST('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 1000000 AS draw
+  FROM labeled l
+  JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM labeled GROUP BY cluster_id) s USING (cluster_id)
+)
+SELECT doc_id, cluster_id, cluster_size, draw,
+       CAST(draw * cluster_size < 1000000 AS BOOLEAN) AS keep
+FROM sized
+""",
+    doc=(
+        "Cluster-balanced sampling: every document draws a "
+        "deterministic pseudo-uniform in [0, 1e6) from the portable "
+        "md5-32 family and is kept with probability 1/cluster_size "
+        "(draw * size < 1e6), so each near-dup cluster contributes ~1 "
+        "expected survivor — the SemDeDup-style inverse-cluster-size "
+        "reweighting a training pipeline applies when it wants "
+        "diversity WITHOUT hard dedup (soft dedup keeps independent "
+        "evidence; hard survivor selection is dedup_cluster_survivors). "
+        "Clusters are the same blocked-Jaccard components as "
+        "union_find_components with singletons labeled by their own "
+        "id (always kept: draw * 1 < 1e6); the hash draw replays "
+        "verbatim in SQL, so the whole randomized-looking procedure "
+        "is hash-checked. Plan: pair discovery + O(rounds) component "
+        "propagation + one size rollup + broadcast probe; the draw is "
+        "row-local."
+    ),
+    tags=("dedup", "llm", "trainprep"),
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        pairs, "id_a", "id_b", id_out="doc_id", comp_out="comp_id"
+    )
+    labeled = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp_id", "doc_id").alias("cluster_id")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            draw.alias("draw"),
+            (draw * F.col("cluster_size") < 1_000_000).alias("keep"),
+        )
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=r"""
+WITH pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN (CAST(list_contains(tk, 'the') AS INTEGER)
+                    + CAST(list_contains(tk, 'and') AS INTEGER)
+                    + CAST(list_contains(tk, 'of') AS INTEGER)
+                    + CAST(list_contains(tk, 'a') AS INTEGER)
+                    + CAST(list_contains(tk, 'to') AS INTEGER)) >= 2
+              THEN 'en' ELSE 'und' END AS lang_pred
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+)
+SELECT lang AS lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, lang_pred
+""",
+    doc=(
+        "Language-ID confusion matrix: the text_lang_id stopword "
+        "heuristic's predictions crossed against the fixture's labeled "
+        "lang column — the evaluation rollup a pipeline runs before "
+        "trusting a classifier as a corpus filter (precision/recall "
+        "per language are row-local ratios of these counts). Exact "
+        "integer counts, one scan + one grouped count shuffle on the "
+        "(true, pred) key."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    tk = tokens_nonempty(F.col("text"))
+    score = sum(
+        F.array_contains(tk, w).cast("int") for w in ["the", "and", "of", "a", "to"]
+    )
+    return (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            F.when(score >= 2, "en").otherwise("und").alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

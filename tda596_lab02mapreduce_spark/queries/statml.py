@@ -2176,3 +2176,164 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "welch_t"
         ),
     )
+
+
+@register(
+    "profile_functional_deps",
+    oracle="""
+WITH cand(det, dep) AS (
+  VALUES ('o_orderkey', 'o_custkey'),
+         ('o_custkey', 'o_orderpriority'),
+         ('o_orderpriority', 'o_orderstatus'),
+         ('o_orderstatus', 'o_orderpriority')
+),
+v AS (
+  SELECT 'o_orderkey' AS det, CAST(o_orderkey AS VARCHAR) AS dv,
+         CAST(o_custkey AS VARCHAR) AS pv FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR),
+         o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority, o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus, o_orderpriority FROM orders
+),
+g AS (
+  SELECT det, dv, CAST(count(DISTINCT pv) AS BIGINT) AS n_dep
+  FROM v GROUP BY det, dv
+)
+SELECT c.det AS determinant, c.dep AS dependent,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (g.n_dep > 1) AS BIGINT) AS n_violating,
+       CAST(count(*) FILTER (g.n_dep > 1) = 0 AS BOOLEAN) AS fd_holds
+FROM g JOIN cand c ON g.det = c.det
+GROUP BY c.det, c.dep
+""",
+    doc=(
+        "Functional-dependency discovery over candidate column pairs "
+        "of the orders table (the profiling pass schema-inference and "
+        "data-quality tools run to find keys and denormalization): "
+        "A -> B holds iff no value of A maps to more than one distinct "
+        "B. Each candidate is one count-distinct rollup at the "
+        "determinant grain followed by a violation count — exact "
+        "integers, no windows; o_orderkey -> o_custkey holds (it is "
+        "the key), the three categorical candidates fail with "
+        "thousands of violating groups (probed non-vacuous both "
+        "ways). Plan: per-candidate value projections unioned into "
+        "ONE grouped count-distinct shuffle keyed on (candidate, "
+        "value) — parallelism grows with value cardinality, and "
+        "adding candidates widens the union, not the shuffle count."
+    ),
+    tags=("stats", "analytics", "agg"),
+)
+def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = io.load(spark, sf_dir, "orders")
+    cands = [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority"),
+    ]
+    v = None
+    for det, dep in cands:
+        part = o.select(
+            F.lit(det).alias("det"),
+            F.col(det).cast("string").alias("dv"),
+            F.col(dep).cast("string").alias("pv"),
+        )
+        v = part if v is None else v.unionByName(part)
+    g = v.groupBy("det", "dv").agg(F.count_distinct("pv").alias("n_dep"))
+    dep_map = spark.createDataFrame(cands, "det string, dep string")
+    return (
+        g.join(F.broadcast(dep_map), "det")
+        .groupBy(F.col("det").alias("determinant"), F.col("dep").alias("dependent"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.count_if(F.col("n_dep") > 1).cast("bigint").alias("n_violating"),
+            (F.count_if(F.col("n_dep") > 1) == 0).alias("fd_holds"),
+        )
+    )
+
+
+@register(
+    "audience_overlap_matrix",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_type
+  FROM events
+),
+tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY event_type),
+pc AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.day = b.day
+                     AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       CAST(1000000 * p.n_both // (ca.c + cb.c - p.n_both) AS BIGINT)
+         AS jaccard_ppm
+FROM pc p
+JOIN tc ca ON p.type_a = ca.event_type
+JOIN tc cb ON p.type_b = cb.event_type
+""",
+    doc=(
+        "Audience-overlap matrix at user-DAY grain (DAU overlap): for "
+        "every pair of event types, the count of user-days active in "
+        "both and the Jaccard overlap of the two daily audiences in "
+        "exact integer ppm — the segment-overlap report ad/growth "
+        "analytics runs before building lookalike audiences. User-day "
+        "grain, not lifetime user grain: on a month-long fixture every "
+        "user touches every type eventually, so the lifetime matrix "
+        "is degenerately all-ones (probed; the vacuous-oracle lesson) "
+        "while daily audiences vary (jaccard 0.21-0.24 ppm band). "
+        "Same row-local sorted-set pair emission as "
+        "copurchase_brand_pairs (per-user-day collect_set bounded by "
+        "the type dimension), one pair-count shuffle, broadcast "
+        "audience sizes; all integers, bit-exact."
+    ),
+    tags=("analytics", "agg"),
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    )
+    ut = ev.distinct()
+    tc = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
+    )
+    per_user = ut.groupBy("user_id", "day").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pc = (
+        per_user.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(types, (x, i) -> "
+                    "transform(slice(types, i + 2, size(types)), "
+                    "y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("n_both"))
+    )
+    ca = tc.selectExpr("event_type AS type_a", "c AS c_a")
+    cb = tc.selectExpr("event_type AS type_b", "c AS c_b")
+    return (
+        pc.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_both)"
+                " div (c_a + c_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
