@@ -126,3 +126,73 @@ def test_band_is_nonempty_at_correctness_sf(spark, sf_correctness):
         "tpch_q21_sole_supplier_lines",
     ]:
         assert get(name).spark_fn(spark, sf_correctness).count() > 0, name
+
+
+# --- round-9 completions (q3, q5, q6, q11, q13, q15, q17, q18, q19, q22) ---
+
+
+def test_q3_topk_and_pushed_dates(spark, sf_correctness):
+    """Top-10 is TakeOrderedAndProject; both date predicates reach
+    their scans; the segment filter rides a broadcast."""
+    df = get("tpch_q3_shipping_priority").spark_fn(spark, sf_correctness)
+    p = plans.final_plan(df)
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    assert "CartesianProduct" not in p
+    assert plans.count_nodes(p, "BroadcastHashJoin") >= 1, p[:2000]
+    assert "l_shipdate" in plans.pushed_filters(df)
+
+
+def test_q6_all_predicates_pushed_single_row(spark, sf_correctness):
+    """The pure scan-filter-aggregate: every predicate in
+    PushedFilters, no join anywhere, one output row."""
+    df = get("tpch_q6_forecast_revenue").spark_fn(spark, sf_correctness)
+    p = plans.final_plan(df)
+    assert "Join" not in p, p[:2000]
+    pushed = plans.pushed_filters(df)
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, pushed
+    assert df.count() == 1
+
+
+def test_q5_broadcasts_all_dims_one_fact_join(spark, sf_correctness):
+    """customer/supplier/nation/region broadcast; at most the one
+    lineitem⋈orders shuffle join survives; no cartesian."""
+    p = _plan(spark, sf_correctness, "tpch_q5_local_supplier_volume")
+    assert plans.count_nodes(p, "BroadcastHashJoin") >= 4, p[:2000]
+    assert "CartesianProduct" not in p
+    assert plans.count_nodes(p, "SortMergeJoin") <= 1, p[:2000]
+
+
+def test_q17_integer_threshold_no_float_avg(spark, sf_correctness):
+    """The decorrelated 0.2·avg compare is integer cross-
+    multiplication: no avg() anywhere in the plan, and the part
+    filter rides a broadcast."""
+    p = _plan(spark, sf_correctness, "tpch_q17_small_quantity_revenue")
+    assert "avg(" not in p, p[:2000]
+    assert plans.count_nodes(p, "BroadcastHashJoin") >= 1, p[:2000]
+
+
+def test_q22_anti_join_decorrelates(spark, sf_correctness):
+    """NOT EXISTS plans as a left-anti join; the 1-row stats side is
+    a broadcast; no per-row subquery."""
+    p = _plan(spark, sf_correctness, "tpch_q22_global_sales_opportunity")
+    assert "LeftAnti" in p, p[:2000]
+    assert "CartesianProduct" not in p
+
+
+def test_round9_band_nonempty(spark, sf_correctness):
+    """Every round-9 TPC-H completion returns rows at the
+    correctness SF (q6/q14-style 1-row aggregates included)."""
+    for name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
+        "tpch_q11_important_stock",
+        "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customers",
+        "tpch_q19_discounted_revenue",
+        "tpch_q22_global_sales_opportunity",
+    ):
+        assert get(name).spark_fn(spark, sf_correctness).count() >= 1, name

@@ -162,6 +162,20 @@ QUERIES = [
     # value-grain transform band (events-side)
     "quantile_transform_value",
     "timeseries_interpolate_linear",
+    # round-9 band. hits_copurchase_bipartite / kcore_peel_bipartite /
+    # recsys_item_cosine_topk are deliberately absent: the staging
+    # replicates FACTS against UNCHANGED customer/part dimensions, so
+    # their distinct (cust, part) edge sets densify instead of growing
+    # linearly (recsys basket pair emission is O(b²) in the densified
+    # basket) — the honest-linear ratio interpretation doesn't hold.
+    # The six below scale linearly by construction (disjoint events
+    # users / suffixed documents tokens / linear order facts).
+    "survival_km_signup_purchase",
+    "join_asof_nearest_click",
+    "feature_hash_tokens_256",
+    "assoc_rules_confidence",
+    "audience_overlap_matrix",
+    "hampel_outliers_daily",
 ]
 
 
