@@ -374,9 +374,13 @@ def assoc_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "recsys_item_cosine_topk",
     oracle="""
-WITH cb AS (
+WITH cb0 AS (
   SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cb AS (
+  SELECT ck, unnest(list_sort(list(pk))[1:128]) AS pk
+  FROM cb0 GROUP BY ck
 ),
 ic AS (SELECT pk, CAST(count(*) AS HUGEINT) AS c FROM cb GROUP BY pk),
 pc AS (
@@ -416,12 +420,19 @@ WHERE rnk <= 5
         "values are positive — so the top-k cut is bit-deterministic "
         "with a neighbor-id tiebreak and no cross-engine float "
         "ordering risk (the lesson similarity_topk_gemm's rounded-rank "
-        "fix taught). Plan: per-customer sorted part arrays emit i<j "
-        "pairs row-locally (bounded by basket size, never a k^2 "
-        "exploded self-join), one pair-count shuffle, broadcast item "
-        "counts, then a part-keyed WindowGroupLimit top-5 — the window "
-        "partitions on the 2000-key item grain, so parallelism grows "
-        "with the catalog, not the corpus."
+        "fix taught). Baskets are CAPPED at 128 parts per customer "
+        "(deterministic lowest-id slice — real co-occurrence pipelines "
+        "cap user history for exactly this reason): pair emission is "
+        "O(b^2), and on densified fact growth an uncapped basket "
+        "degenerates to C(catalog,2) per customer; the cap is "
+        "inactive at fixture scale (max basket 90) so the oracle "
+        "result is unchanged, and it bounds the blowup at any scale. "
+        "Plan: per-customer sorted capped arrays emit i<j pairs "
+        "row-locally (never a k^2 exploded self-join), one pair-count "
+        "shuffle, broadcast item counts, then a part-keyed "
+        "WindowGroupLimit top-5 — the window partitions on the "
+        "2000-key item grain, so parallelism grows with the catalog, "
+        "not the corpus."
     ),
     tags=("analytics", "llm", "window", "join"),
 )
@@ -435,8 +446,13 @@ def recsys_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
         .distinct()
     )
-    ic = cb.groupBy("pk").agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("c"))
-    per_cust = cb.groupBy("ck").agg(F.array_sort(F.collect_set("pk")).alias("pks"))
+    per_cust = cb.groupBy("ck").agg(
+        F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
+    )
+    capped = per_cust.select("ck", F.explode("pks").alias("pk"))
+    ic = capped.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
+    )
     pc = (
         per_cust.select(
             F.explode(
