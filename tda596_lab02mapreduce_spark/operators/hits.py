@@ -13,8 +13,9 @@ customers, hub = customers whose baskets concentrate on endorsed
 items.
 
 Cross-engine determinism (the pagerank.py discipline): the whole
-power iteration runs in exact integer micro-units. Scores are
-DECIMAL(38,0) in 1e-6 units; each half-round is an integer-sum
+power iteration runs in exact integer micro-units. Scores are BIGINT
+in 1e-6 units on the hot aggregate path (DECIMAL(38) only inside the
+tiny per-node normalize product); each half-round is an integer-sum
 aggregate followed by max-normalization via integer division
 ((1e6·s) div max_s — max-norm is the standard alternative to the L2
 norm and keeps the fixpoint direction identical). No floating point
@@ -59,45 +60,51 @@ def hits(
     exact integer micro-units (max node of each side scores exactly
     1e6). Nodes absent from ``edges`` are absent from the output.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .persist()
-    )
-    hub = e.select("src").distinct().select(
-        "src", F.lit(_UNIT).cast("decimal(38,0)").alias("hu")
+    # Scores are BIGINT micro-units on the hot aggregate path (sum ≤
+    # 1e6·max_degree, so bigint is safe while max_degree < 9e12); the
+    # normalize expression alone widens to DECIMAL(38) for the 1e6·s
+    # product (safe while max_degree < 1e6 even in bigint, unbounded
+    # in decimal). Same integers either way — the r9 tuning measured
+    # DECIMAL sums as the single largest cost (14.8 s → 11 s at
+    # sf0.1 after this + the raw-frame checkpoint below).
+    norm = f"CAST((CAST({_UNIT} AS DECIMAL(38,0)) * s) div m AS BIGINT)"
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Two cached layouts, one per join direction: irrelevant while the
+    # score side broadcasts (fixture scale), load-bearing at the scale
+    # where it doesn't — the SMJ then reuses the edge layout instead
+    # of re-exchanging the full edge list every half-round.
+    e_src = e.repartition("src").persist()
+    e_dst = e.repartition("dst").persist()
+    hub = e_src.select("src").distinct().select(
+        "src", F.lit(_UNIT).cast("bigint").alias("hu")
     ).localCheckpoint()
     auth = None
     for _ in range(iters):
+        # the raw sums are referenced TWICE (max branch + normalize
+        # branch): without the checkpoint the join+agg would run twice
+        # per half-round (measured — the other half of the r9 tuning)
         a_raw = (
-            e.join(hub, "src")
+            e_src.join(hub, "src")
             .groupBy("dst")
             .agg(F.sum("hu").alias("s"))
+            .localCheckpoint(eager=False)
         )
         a_max = a_raw.agg(F.max("s").alias("m"))
-        auth = (
-            a_raw.crossJoin(F.broadcast(a_max))
-            .select(
-                "dst",
-                F.expr(f"CAST(({_UNIT} * s) div m AS DECIMAL(38,0))").alias("au"),
-            )
-            .localCheckpoint()
+        auth = a_raw.crossJoin(F.broadcast(a_max)).select(
+            "dst", F.expr(norm).alias("au")
         )
         h_raw = (
-            e.join(auth, "dst")
+            e_dst.join(auth.withColumnRenamed("au", "hu"), "dst")
             .groupBy("src")
-            .agg(F.sum("au").alias("s"))
+            .agg(F.sum("hu").alias("s"))
+            .localCheckpoint(eager=False)
         )
         h_max = h_raw.agg(F.max("s").alias("m"))
-        hub = (
-            h_raw.crossJoin(F.broadcast(h_max))
-            .select(
-                "src",
-                F.expr(f"CAST(({_UNIT} * s) div m AS DECIMAL(38,0))").alias("hu"),
-            )
-            .localCheckpoint()
+        hub = h_raw.crossJoin(F.broadcast(h_max)).select(
+            "src", F.expr(norm).alias("hu")
         )
-    e.unpersist()
+    e_src.unpersist()
+    e_dst.unpersist()
     return hub.select(
         F.lit("hub").alias("node_type"),
         F.col("src").alias("node_id"),

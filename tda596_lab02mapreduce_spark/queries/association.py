@@ -427,9 +427,11 @@ WHERE rnk <= 5
         "degenerates to C(catalog,2) per customer; the cap is "
         "inactive at fixture scale (max basket 90) so the oracle "
         "result is unchanged, and it bounds the blowup at any scale. "
-        "Plan: per-customer sorted capped arrays emit i<j pairs "
-        "row-locally (never a k^2 exploded self-join), one pair-count "
-        "shuffle, broadcast item counts, then a part-keyed "
+        "Plan: capped baskets -> customer-keyed equi-self-join pair "
+        "enumeration (the cap bounds the quadratic fan-out; the JVM "
+        "hash join measured 2.6x faster than row-local array-of-"
+        "struct emission at this fan-out), one pair-count shuffle, "
+        "broadcast item counts, then a part-keyed "
         "WindowGroupLimit top-5 — the window partitions on the "
         "2000-key item grain, so parallelism grows with the catalog, "
         "not the corpus."
@@ -449,22 +451,27 @@ def recsys_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = cb.groupBy("ck").agg(
         F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
     )
+    # capped basket back to row grain once; pairs come from an equi-
+    # SELF-JOIN on the customer key, not a higher-order-function
+    # explode: both enumerate the same O(b^2-capped) pair multiset,
+    # but the JVM hash join runs it 2.6x faster than per-customer
+    # array-of-struct allocation in the expression evaluator
+    # (measured at sf0.1: 16.5 s -> 6.3 s for the pair stage).
     capped = per_cust.select("ck", F.explode("pks").alias("pk"))
+    # referenced 3x (item counts + both self-join sides): checkpoint
+    # once, pre-partitioned on the join key (the triangle_count
+    # candidate-once/graph-passes-many shape)
+    capped = capped.repartition("ck").localCheckpoint(eager=False)
     ic = capped.groupBy("pk").agg(
         F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
     )
     pc = (
-        per_cust.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(pks, (x, i) -> "
-                    "transform(slice(pks, i + 2, size(pks)), "
-                    "y -> struct(x AS pa, y AS pb))))"
-                )
-            ).alias("p")
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.pk") < F.col("b.pk")),
         )
-        .select("p.pa", "p.pb")
-        .groupBy("pa", "pb")
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
         .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("c_ab"))
         .filter(F.col("c_ab") >= 3)
     )
@@ -630,4 +637,131 @@ def kcore_peel_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("deg").cast("bigint").alias("deg"),
             )
         )
+    )
+
+
+def _lpa_oracle(rounds: int) -> str:
+    # e is referenced twice per round and every l{i} feeds l{i+1}:
+    # MATERIALIZED stops DuckDB's CTE inlining from re-deriving the
+    # pair graph exponentially (the hits_oracle_sql lesson).
+    parts = [
+        """cb0 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cb AS MATERIALIZED (
+  SELECT ck, unnest(list_sort(list(pk))[1:128]) AS pk FROM cb0 GROUP BY ck
+),
+pc AS MATERIALIZED (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM cb a JOIN cb b ON a.ck = b.ck AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= 5
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pc UNION ALL SELECT pb, pa FROM pc
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT dst AS id, lbl FROM (
+    SELECT dst, lbl,
+           row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl) AS rn
+    FROM (SELECT e.dst, l.lbl, count(*) AS cnt
+          FROM e JOIN l{i - 1} l ON e.src = l.id GROUP BY e.dst, l.lbl)
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT l.id AS part_id, l.lbl AS community,
+       s.community_size
+FROM l{rounds} l
+JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+      FROM l{rounds} GROUP BY lbl) s USING (lbl)
+"""
+    )
+
+
+@register(
+    "community_label_propagation",
+    oracle=_lpa_oracle(4),
+    doc=(
+        "Label-propagation community detection (Raghavan et al. 2007, "
+        "made deterministic: synchronous updates, 4 FIXED rounds, "
+        "argmax neighbor label with count-then-min-label total-order "
+        "tiebreak) over the part co-purchase graph at support >= 5 — "
+        "the graph-clustering step catalog/merchandising pipelines "
+        "run on co-occurrence graphs. Support 5 is load-bearing: at "
+        "support 3 the graph is dense enough that LPA collapses to "
+        "one giant community by round 4 (probed — 1997/2000 nodes; "
+        "the vacuous-oracle lesson), at 5 the fixture yields 466 "
+        "communities over 1101 nodes, top size 14. Every update is "
+        "an integer count argmax, so the full iteration replays "
+        "bit-exactly in the unrolled MATERIALIZED-CTE oracle. Plan "
+        "per round: one edge-label join + one (dst, lbl) count + one "
+        "dst-keyed argmax aggregate (max_by on a (cnt, -lbl) struct — "
+        "total order, no window); edges cached pre-partitioned, "
+        "labels localCheckpoint per round."
+    ),
+    tags=("graph", "analytics", "agg", "join"),
+)
+def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rounds = 4
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    per_cust = cb.groupBy("ck").agg(
+        F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
+    )
+    # equi-self-join pair enumeration (see recsys_item_cosine_topk —
+    # measured 2.6x over the higher-order-function explode)
+    capped = per_cust.select("ck", F.explode("pks").alias("pk"))
+    capped = capped.repartition("ck").localCheckpoint(eager=False)
+    pc = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    e = (
+        pc.selectExpr("pa AS src", "pb AS dst")
+        .unionAll(pc.selectExpr("pb AS src", "pa AS dst"))
+        .repartition("src")
+        .persist()
+    )
+    lab = e.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        lab = (
+            e.join(lab.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    sizes = lab.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return lab.join(sizes, "lbl").select(
+        F.col("id").alias("part_id"),
+        F.col("lbl").alias("community"),
+        "community_size",
     )

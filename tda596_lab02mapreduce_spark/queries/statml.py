@@ -2337,3 +2337,124 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+@register(
+    "table_fingerprint_orders",
+    oracle="""
+WITH canon AS (
+  SELECT CAST(o_orderkey AS VARCHAR) || '|' ||
+         CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
+         o_orderstatus || '|' ||
+         CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR) || '|' ||
+         o_orderpriority || '|' ||
+         CAST(o_custkey AS VARCHAR) AS row_str
+  FROM orders
+),
+h AS (
+  SELECT CAST('0x' || substr(md5(row_str), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(row_str), 9, 8) AS BIGINT) AS h2
+  FROM canon
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h1) AS BIGINT) AS xor_lo,
+       CAST(bit_xor(h2) AS BIGINT) AS xor_hi,
+       CAST(SUM(h1) AS DECIMAL(38,0)) AS sum_lo
+FROM h
+""",
+    doc=(
+        "Order-independent table fingerprint of orders (the "
+        "cross-system reconciliation primitive: two engines agree on "
+        "a migrated/replicated table iff their fingerprints match, "
+        "without sorting or transferring rows): every row is rendered "
+        "to ONE canonical string of integer/string fields — cents, "
+        "epoch-microseconds, never a raw double — hashed with the "
+        "portable md5-32 family (two 32-bit halves), and combined "
+        "with commutative aggregates (count, XOR of each half, "
+        "DECIMAL(38) sum of the low half, so a swap that XOR misses "
+        "still moves the sum). Fully distributive: partial "
+        "fingerprints combine associatively, so the plan is one scan "
+        "+ one 1-row final — no shuffle wider than the partial "
+        "states at any scale."
+    ),
+    tags=("stats", "agg", "analytics"),
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = io.load(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.col("o_orderstatus"),
+        F.unix_micros(F.to_utc_timestamp(F.col("o_orderdate"), "UTC")).cast(
+            "string"
+        ),
+        F.col("o_orderpriority"),
+        F.col("o_custkey").cast("string"),
+    )
+    md5 = F.md5(row_str)
+    h = o.select(
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    return h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(h1)").cast("bigint").alias("xor_lo"),
+        F.expr("bit_xor(h2)").cast("bigint").alias("xor_hi"),
+        F.sum("h1").cast("decimal(38,0)").alias("sum_lo"),
+    )
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+WITH kc AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM kc
+)
+SELECT k.key, k.cnt,
+       CAST(1000000 * k.cnt // t.n_rows AS BIGINT) AS share_ppm,
+       CAST(1000 * k.cnt * t.n_keys // t.n_rows AS BIGINT) AS skew_x1000
+FROM kc k CROSS JOIN tot t
+ORDER BY k.cnt DESC, k.key
+LIMIT 10
+""",
+    doc=(
+        "Join-key skew profiler: the top-10 heaviest o_custkey values "
+        "with their row share (ppm) and their ratio to the mean key "
+        "load in exact milli-units (cnt·n_keys/n_rows, integer "
+        "cross-multiplied — skew_x1000 = 3000 means this key carries "
+        "3x a fair share). This is the diagnostic run BEFORE choosing "
+        "a join strategy: a top key near 1.0x says hash partitioning "
+        "is fine, a 100x key says salt it (operators/skew.py) or "
+        "let AQE split it. One keyed count shuffle + a 1-row total "
+        "broadcast + TakeOrderedAndProject for the top-10 — never a "
+        "global sort."
+    ),
+    tags=("stats", "analytics", "agg", "topk"),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = io.load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    kc = o.groupBy("key").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = kc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    return (
+        kc.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.expr("CAST((1000000 * cnt) div n_rows AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST((1000 * cnt * n_keys) div n_rows AS BIGINT)").alias(
+                "skew_x1000"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(10)
+    )
