@@ -127,6 +127,14 @@ HEADLINE = [
     "recsys_item_cosine_topk",
     "survival_km_signup_purchase",
     "join_asof_nearest_click",
+    # round-9 second wave: LPA (third iterative-graph plan shape),
+    # two of the TPC-H completions (q6 = the pure pushdown/codegen
+    # probe, q18 = the HAVING semi-join), and the distributive
+    # fingerprint (pure scan -> 1-row commutative aggregate).
+    "community_label_propagation",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
+    "table_fingerprint_orders",
 ]
 
 

@@ -1235,3 +1235,117 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check("lineitem_orphan_part", li, "l_partkey", part, "p_partkey", True))
         .unionAll(check("lineitem_orphan_supplier", li, "l_suppkey", sup, "s_suppkey", True))
     )
+
+
+@register(
+    "allocate_order_totals",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ext_c
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_c
+  FROM orders
+),
+w AS (
+  SELECT l_orderkey, CAST(SUM(ext_c) AS BIGINT) AS w_sum,
+         CAST(count(*) AS BIGINT) AS n
+  FROM li GROUP BY l_orderkey
+),
+base AS (
+  SELECT li.l_orderkey, li.l_linenumber, li.ext_c, o.total_c, w.w_sum,
+         (o.total_c * li.ext_c) // w.w_sum AS base_c,
+         o.total_c * li.ext_c - ((o.total_c * li.ext_c) // w.w_sum) * w.w_sum
+           AS frac_num
+  FROM li
+  JOIN o ON o.o_orderkey = li.l_orderkey
+  JOIN w ON w.l_orderkey = li.l_orderkey
+),
+rem AS (
+  SELECT l_orderkey, CAST(max(total_c) - SUM(base_c) AS BIGINT) AS remainder
+  FROM base GROUP BY l_orderkey
+),
+ranked AS (
+  SELECT b.*, r.remainder,
+         row_number() OVER (PARTITION BY b.l_orderkey
+                            ORDER BY b.frac_num DESC, b.l_linenumber) AS rn
+  FROM base b JOIN rem r USING (l_orderkey)
+)
+SELECT l_orderkey, l_linenumber, ext_c,
+       CAST(base_c + CASE WHEN rn <= remainder THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_c
+FROM ranked
+""",
+    doc=(
+        "Largest-remainder proration (the financial allocation "
+        "primitive): each order's header total is split across its "
+        "line items proportionally to extended price, in integer "
+        "cents, such that the allocations sum EXACTLY to the header "
+        "total — floor division assigns the base cents, and the "
+        "remainder cents go to the lines with the largest fractional "
+        "parts (deterministic linenumber tiebreak). Naive "
+        "round(total*w/W) per line drifts by ±n cents per order and "
+        "reconciliation fails; largest-remainder is how billing/"
+        "revenue-recognition systems do it (Hamilton apportionment). "
+        "All integer arithmetic — floor div + cross-multiplied "
+        "remainders — so the hash is bit-exact. Plan: one order-grain "
+        "rollup, two keyed probe joins, and an order-keyed window "
+        "for the remainder ranks (order grain grows with data — the "
+        "scalable window kind)."
+    ),
+    tags=("analytics", "window", "join", "agg"),
+)
+def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = io.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("ext_c"),
+    )
+    o = io.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("total_c"),
+    )
+    w = li.groupBy(F.col("l_orderkey").alias("w_okey")).agg(
+        F.sum("ext_c").cast("bigint").alias("w_sum")
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(w, li.l_orderkey == F.col("w_okey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "ext_c",
+            "total_c",
+            "w_sum",
+            F.expr("(total_c * ext_c) div w_sum").alias("base_c"),
+            F.expr(
+                "total_c * ext_c - ((total_c * ext_c) div w_sum) * w_sum"
+            ).alias("frac_num"),
+        )
+    )
+    rem = base.groupBy(F.col("l_orderkey").alias("r_okey")).agg(
+        (F.max("total_c") - F.sum("base_c")).cast("bigint").alias("remainder")
+    )
+    wnd = Window.partitionBy("l_orderkey").orderBy(
+        F.col("frac_num").desc(), F.col("l_linenumber")
+    )
+    return (
+        base.join(rem, base.l_orderkey == F.col("r_okey"))
+        .withColumn("rn", F.row_number().over(wnd))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "ext_c",
+            (
+                F.col("base_c")
+                + F.when(F.col("rn") <= F.col("remainder"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_c"),
+        )
+    )

@@ -793,3 +793,96 @@ def stream_python_kv_sink_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "stream_fingerprint_incremental",
+    oracle="""
+WITH canon AS (
+  SELECT CAST(event_id AS VARCHAR) || '|' ||
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR) || '|' ||
+         CAST(user_id AS VARCHAR) || '|' ||
+         event_type || '|' ||
+         CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS row_str
+  FROM events
+),
+h AS (
+  SELECT CAST('0x' || substr(md5(row_str), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(row_str), 9, 8) AS BIGINT) AS h2
+  FROM canon
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h1) AS BIGINT) AS xor_lo,
+       CAST(bit_xor(h2) AS BIGINT) AS xor_hi,
+       CAST(SUM(h1) AS DECIMAL(38,0)) AS sum_lo
+FROM h
+""",
+    doc=(
+        "INCREMENTALLY maintained table fingerprint (the streaming "
+        "twin of table_fingerprint_orders): the events stream drains "
+        "through foreachBatch, each micro-batch writes its PARTIAL "
+        "fingerprint (count / XOR halves / decimal sum of the "
+        "portable md5-32 row hashes) to a batchId-keyed dir with "
+        "overwrite semantics — per-batch idempotence matters "
+        "specifically here because XOR is self-inverse: a naive "
+        "read-modify-write running state would UN-count every row a "
+        "replayed batch carries, so the partials stay per-batch and "
+        "the final fingerprint is the commutative merge (XOR of XORs, "
+        "sum of sums) at read time. The merged result is hash-checked "
+        "against the batch fingerprint of the ORIGINAL table — a "
+        "full value-exact oracle for an incremental streaming "
+        "maintenance pipeline. At scale each partial is one row per "
+        "micro-batch; the merge reads metadata-sized state."
+    ),
+    tags=("streaming", "stats", "sink"),
+)
+def stream_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tda596_lab02mapreduce_spark.queries.sinks import _sink_path
+    from tda596_lab02mapreduce_spark.streaming.windows import events_stream
+
+    base = _sink_path(sf_dir, "fingerprint_stream")
+    out, ckpt = f"{base}/partials", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    def write_partial(df: DataFrame, batch_id: int) -> None:
+        row_str = F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.unix_micros(F.col("ts")).cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+        )
+        md5 = F.md5(row_str)
+        h = df.select(
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        partial = h.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(h1)").cast("bigint").alias("xor_lo"),
+            F.expr("bit_xor(h2)").cast("bigint").alias("xor_hi"),
+            F.sum("h1").cast("decimal(38,0)").alias("sum_lo"),
+        )
+        partial.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    stream = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_partial)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(out)
+    return partials.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(xor_lo)").cast("bigint").alias("xor_lo"),
+        F.expr("bit_xor(xor_hi)").cast("bigint").alias("xor_hi"),
+        F.sum("sum_lo").cast("decimal(38,0)").alias("sum_lo"),
+    )
