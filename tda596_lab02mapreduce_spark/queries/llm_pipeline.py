@@ -2181,3 +2181,84 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         array_to_string(tk[1:3], ' ') AS prefix,
+         list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'), t -> t <> '') AS tk
+        FROM documents)
+  WHERE len(tk) >= 3
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+cs AS (
+  SELECT DISTINCT c.cluster_id, d.source
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_clusters
+FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+    doc=(
+        "Cross-source duplication matrix: for every pair of corpus "
+        "sources, the number of near-dup clusters containing documents "
+        "from BOTH — the provenance report a curation pipeline reads "
+        "to find mirror sites, syndication, and scraped re-posts "
+        "(within-source duplication is cleaning; cross-source "
+        "duplication is a licensing/attribution signal). Clusters are "
+        "the same blocked-Jaccard components as union_find_components; "
+        "per cluster the distinct source set collapses row-locally to "
+        "sorted pairs (bounded by the source dimension, the "
+        "copurchase_brand_pairs shape); one pair-count shuffle ends "
+        "it. All integers, full RECURSIVE-CTE oracle."
+    ),
+    tags=("dedup", "llm", "analytics"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    pairs = _blocked_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        pairs, "id_a", "id_b", id_out="doc_id", comp_out="cluster_id"
+    )
+    cs = (
+        comp.join(docs.select("doc_id", "source"), "doc_id")
+        .select("cluster_id", "source")
+        .distinct()
+    )
+    per_cluster = cs.groupBy("cluster_id").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    return (
+        per_cluster.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_clusters"))
+    )
