@@ -886,3 +886,70 @@ def stream_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("bit_xor(xor_hi)").cast("bigint").alias("xor_hi"),
         F.sum("sum_lo").cast("decimal(38,0)").alias("sum_lo"),
     )
+
+
+@register(
+    "stream_floor_balance_user",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT)
+              ELSE -CAST(round(value * 100, 0) AS BIGINT) END AS delta_c
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+c1 AS (
+  SELECT *, SUM(delta_c) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS s
+  FROM ev
+),
+c2 AS (
+  SELECT *, min(s) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS m
+  FROM c1
+)
+SELECT event_id, user_id,
+       CAST(s - CASE WHEN m < 0 THEN m ELSE 0 END AS BIGINT) AS balance_c
+FROM c2
+""",
+    doc=(
+        "Streaming twin of inventory_floor_balance: the floored "
+        "running balance as a stateful streaming operator "
+        "(applyInPandasWithState, state = ONE integer per user). The "
+        "pair is the point: the BATCH form needs the reflected-walk "
+        "identity because SQL has no per-row recursion; the STREAM "
+        "form runs the recursion literally with O(1) state — and the "
+        "drained per-event output hash-matches the identity's oracle "
+        "bit-for-bit, proving the two formulations equal on the whole "
+        "fixture (the stream_ewma_user value-level consistency "
+        "discipline). Deltas are computed Spark-side; Python "
+        "contributes only integer adds and max."
+    ),
+    tags=("streaming", "stateful", "udf", "timeseries"),
+)
+def stream_floor_balance_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.streaming.stateful import floor_balance_user
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    deltas = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("bigint"),
+            )
+            .otherwise(-F.round(F.col("value") * 100, 0).cast("bigint"))
+            .alias("delta_c"),
+        )
+    )
+    drained = run_available_now(
+        floor_balance_user(deltas), "q_stream_floor_balance", output_mode="update"
+    )
+    return drained.select("event_id", "user_id", "balance_c")

@@ -199,3 +199,52 @@ def ewma_user_value(events_cents: DataFrame, *, watermark: str = "1 hour") -> Da
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def floor_balance_user(events_deltas: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``inventory_floor_balance``: the floored
+    running balance b_t = max(0, b_{t-1} + x_t) as a stateful
+    streaming operator via applyInPandasWithState — state is ONE
+    integer per user (the current balance), the textbook bounded-state
+    recursion that the batch form solves with the reflected-walk
+    identity instead. Pure integer arithmetic in the UDF, so the
+    drained per-event output hash-matches the batch identity's oracle
+    bit-for-bit (the stream_ewma_user consistency discipline).
+
+    Same ordering contract as ewma_user_value: rows sorted by
+    (ts, event_id) within each micro-batch; exact under the
+    AvailableNow single-batch drain the oracle checks.
+    ``events_deltas`` must carry ``delta_c`` = signed integer cents
+    computed Spark-side."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        bal: int = int(state.get[0]) if state.exists else 0
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out_ids, out_bal = [], []
+        for eid, d in zip(pdf["event_id"], pdf["delta_c"]):
+            bal = max(0, bal + int(d))
+            out_ids.append(int(eid))
+            out_bal.append(bal)
+        state.update((bal,))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": [user_id] * len(out_ids),
+                "balance_c": out_bal,
+            }
+        )
+
+    return (
+        events_deltas.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="event_id long, user_id long, balance_c long",
+            stateStructType="bal long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

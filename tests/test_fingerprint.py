@@ -90,3 +90,42 @@ def test_lpa_is_run_deterministic(spark, sf_smoke):
     a = sorted(tuple(r) for r in q.spark_fn(spark, sf_smoke).collect())
     b = sorted(tuple(r) for r in q.spark_fn(spark, sf_smoke).collect())
     assert a == b
+
+
+def test_floor_balance_identity_matches_literal_recursion(spark, sf_smoke):
+    """The reflected-walk identity b_t = S_t - min(0, min_{j<=t} S_j)
+    used by inventory_floor_balance equals a literal Python
+    re-execution of the recursion b_t = max(0, b_{t-1} + x_t) on every
+    user of the smoke fixture."""
+    from collections import defaultdict
+
+    from tda596_lab02mapreduce_spark.registry import get
+
+    out = get("inventory_floor_balance").spark_fn(spark, sf_smoke)
+    rows = out.collect()
+    got = {(r["user_id"], r["event_id"]): r["balance_c"] for r in rows}
+
+    ev = io.load(spark, sf_smoke, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100, 0).cast("bigint"),
+        )
+        .otherwise(-F.round(F.col("value") * 100, 0).cast("bigint"))
+        .alias("delta_c"),
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    checked = 0
+    for uid, urows in by_user.items():
+        bal = 0
+        for r in sorted(urows, key=lambda x: (x["ts"], x["event_id"])):
+            bal = max(0, bal + r["delta_c"])
+            assert got[(uid, r["event_id"])] == bal, (uid, r["event_id"])
+            checked += 1
+    assert checked == len(rows) and checked > 0
