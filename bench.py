@@ -135,6 +135,14 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume_customers",
     "table_fingerprint_orders",
+    # round-9 third wave: the reflected-walk balance pair (batch
+    # two-window identity vs O(1)-state stateful streaming), the
+    # drawdown argmin aggregate, and the largest-remainder proration
+    # (order-keyed remainder-rank window over 60k rows).
+    "inventory_floor_balance",
+    "max_drawdown_user",
+    "stream_floor_balance_user",
+    "allocate_order_totals",
 ]
 
 
