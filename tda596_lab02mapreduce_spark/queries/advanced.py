@@ -1227,13 +1227,16 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = io.load(spark, sf_dir, "supplier")
     check = fk_check
 
+    # broadcast_right=True only for the grain-BOUNDED nation side (25
+    # rows at any SF); catalog-proportional sides (cust/part/sup) rely
+    # on stats/AQE so the keys-only anti probe survives a 100 TB catalog
     return (
         check("lineitem_orphans", li, "l_orderkey", orders, "o_orderkey", False)
         .unionAll(check("orders_without_lines", orders, "o_orderkey", li, "l_orderkey", False))
-        .unionAll(check("orders_orphan_customer", orders, "o_custkey", cust, "c_custkey", True))
+        .unionAll(check("orders_orphan_customer", orders, "o_custkey", cust, "c_custkey", False))
         .unionAll(check("customer_orphan_nation", cust, "c_nationkey", nation, "n_nationkey", True))
-        .unionAll(check("lineitem_orphan_part", li, "l_partkey", part, "p_partkey", True))
-        .unionAll(check("lineitem_orphan_supplier", li, "l_suppkey", sup, "s_suppkey", True))
+        .unionAll(check("lineitem_orphan_part", li, "l_partkey", part, "p_partkey", False))
+        .unionAll(check("lineitem_orphan_supplier", li, "l_suppkey", sup, "s_suppkey", False))
     )
 
 

@@ -541,7 +541,7 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey", F.col("r_name").alias("region")
     )
     nat = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy("region", "nation")

@@ -481,8 +481,11 @@ def recsys_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ci = ic.selectExpr("pk AS item", "c AS c_i")
     cn = ic.selectExpr("pk AS neighbor", "c AS c_n")
     scored = (
-        sym.join(F.broadcast(ci), "item")
-        .join(F.broadcast(cn), "neighbor")
+        # item counts are CATALOG-proportional (part is 200k x SF): no
+        # broadcast hint — stats/AQE broadcast them below threshold at
+        # fixture scale and shuffle-join past it (VERDICT r9 #1)
+        sym.join(ci, "item")
+        .join(cn, "neighbor")
         .select(
             "item",
             "neighbor",

@@ -216,14 +216,15 @@ def enriched_segment_agg(
     """Stream-static enrichment: join the (possibly streaming) event
     feed against the static customer dimension (user_id = c_custkey-1,
     the fixture's surrogate mapping), then window-aggregate per market
-    segment. The dim side is broadcast — on a real cluster the static
-    table is re-read per micro-batch and shipped once per executor,
-    never shuffled with the stream; stream state stays bounded by the
-    watermark exactly as in the un-enriched windowed aggs."""
-    dim = F.broadcast(
-        customer.select(
-            (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
-        )
+    segment. The dim side carries NO broadcast hint: customer is
+    catalog-proportional (150k x SF), so plan-time stats broadcast the
+    2-column projection per micro-batch below threshold (fixture scale
+    — shipped once per executor, never shuffled with the stream) and
+    the join falls back to a shuffled stream-static join when a 100 TB
+    catalog outgrows it; stream state stays bounded by the watermark
+    exactly as in the un-enriched windowed aggs."""
+    dim = customer.select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
     )
     return (
         events.withWatermark("ts", watermark)
