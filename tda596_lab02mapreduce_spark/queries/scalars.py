@@ -212,8 +212,29 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_math_libm",
-    oracle=None,  # JVM StrictMath vs C++ libm differ in the last ulp — pytest bounds-check instead
-    doc="Transcendental math (ln/exp/pow/sin): rows-only driver check; tolerance-tested in pytest.",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(ln(l_extendedprice), 6) AS ln_price,
+       ROUND(exp(l_discount), 6) AS exp_disc,
+       ROUND(pow(l_quantity, 2.0), 6) AS qty_sq,
+       ROUND(sin(l_tax), 6) AS sin_tax
+FROM lineitem WHERE l_extendedprice > 0
+""",
+    doc=(
+        "Transcendental math (ln/exp/pow/sin) with a rounded-margin "
+        "hash oracle (round 10, VERDICT r9 #5 — the bm25/keyword-"
+        "extraction rank-on-rounded discipline applied to raw libm "
+        "outputs): JVM Math.* and C++ libm may differ in the last few "
+        "ulps (|Δ| ≤ ~2 ulp ≈ 5e-15 for ln on this range), so BOTH "
+        "engines round every transcendental to 6 dp, and the pytest "
+        "margin test proves no fixture value sits within 1e-7 of a "
+        "0.5·10⁻⁶ rounding boundary (measured min margin 1.7e-6 at "
+        "sf0.01 AND sf0.1 — ≥200× the combined libm-drift + "
+        "multiply-rounding bound of ~7e-9 in boundary units), so the "
+        "rounded doubles are bit-identical cross-engine. A 9 dp "
+        "variant was probed and REJECTED: ln(l_extendedprice)·1e9 "
+        "lands exactly on a .5 boundary for at least one sf0.01 row."
+    ),
     tags=("scalar", "math"),
 )
 def scalar_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,10 +242,10 @@ def scalar_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.log(F.col("l_extendedprice")).alias("ln_price"),
-        F.exp(F.col("l_discount")).alias("exp_disc"),
-        F.pow(F.col("l_quantity"), 2.0).alias("qty_sq"),
-        F.sin(F.col("l_tax")).alias("sin_tax"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_disc"),
+        F.round(F.pow(F.col("l_quantity"), 2.0), 6).alias("qty_sq"),
+        F.round(F.sin(F.col("l_tax")), 6).alias("sin_tax"),
     )
 
 

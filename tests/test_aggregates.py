@@ -46,11 +46,51 @@ def test_approx_count_distinct_within_rsd(spark):
             )
 
 
+def test_scalar_math_libm_rounding_margin():
+    """Guard for scalar_math_libm's round-to-6dp hash oracle: no raw
+    transcendental value may sit near a 0.5e-6 rounding boundary, or
+    last-ulp libm drift between the JVM and DuckDB could round the two
+    engines to different 6dp values and the bit-exact hash check would
+    become flaky on a future fixture. Threshold 1e-7 in boundary units
+    is ≥10× the combined drift bound (~2 ulp libm ≈ 5e-9 + multiply
+    rounding ≈ 1.2e-9 at this magnitude); measured fixture margins are
+    ~1.7e-6 (ln), 3.4e-2 (exp), 2.0e-4 (sin), 0.5 (integral pow)."""
+    con = duck_connect(SF)
+    margins = con.execute(
+        """
+        SELECT
+          min(abs(ln(l_extendedprice)*1e6 - floor(ln(l_extendedprice)*1e6) - 0.5)),
+          min(abs(exp(l_discount)*1e6 - floor(exp(l_discount)*1e6) - 0.5)),
+          min(abs(pow(l_quantity,2.0)*1e6 - floor(pow(l_quantity,2.0)*1e6) - 0.5)),
+          min(abs(sin(l_tax)*1e6 - floor(sin(l_tax)*1e6) - 0.5))
+        FROM lineitem WHERE l_extendedprice > 0
+        """
+    ).fetchone()
+    con.close()
+    for name, m in zip(("ln_price", "exp_disc", "qty_sq", "sin_tax"), margins):
+        assert m > 1e-7, f"{name}: min boundary margin {m:.3e} too small for 6dp oracle"
+
+
 def test_scalar_math_libm_matches_duckdb_within_tolerance(spark):
     """JVM StrictMath vs DuckDB's C libm agree to ~1 ulp; assert every
-    transcendental column within 1e-12 relative — tight enough to catch
-    a wrong function or argument, loose enough for last-ulp drift."""
-    sdf = registry.get("scalar_math_libm").spark_fn(spark, SF)
+    RAW transcendental column within 1e-12 relative — tight enough to
+    catch a wrong function or argument, loose enough for last-ulp
+    drift. (The registered query rounds to 6dp for its hash oracle;
+    this test rebuilds the raw projection to pin the underlying libm
+    agreement that the rounding margin relies on.)"""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark import io
+
+    li = io.load(spark, SF, "lineitem").filter(F.col("l_extendedprice") > 0)
+    sdf = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.log(F.col("l_extendedprice")).alias("ln_price"),
+        F.exp(F.col("l_discount")).alias("exp_disc"),
+        F.pow(F.col("l_quantity"), 2.0).alias("qty_sq"),
+        F.sin(F.col("l_tax")).alias("sin_tax"),
+    )
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture;
     # align rows by sorting both sides on (key, ln_price) — ln is
     # monotone in the input, and same-key rows differ in price by far
