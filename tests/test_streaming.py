@@ -297,3 +297,118 @@ def test_foreachbatch_sink_is_idempotent_per_batch(spark, sf_smoke, tmp_path):
         lambda df: run_available_now(df, "t_febatch_src", output_mode="append")
     ).count()
     assert n1 == src_n
+
+
+_PHASE1 = r"""
+import json, os, sys, time
+from pyspark.sql import SparkSession
+
+src, ckpt, out = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("restart-phase1")
+    .getOrCreate()
+)
+schema = spark.read.parquet(src).schema
+stream = (
+    spark.readStream.schema(schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(src)
+)
+done = []
+
+def wb(df, bid):
+    df.write.mode("overwrite").parquet(f"{out}/batch={bid}")
+    done.append(bid)
+
+q = stream.writeStream.foreachBatch(wb).option(
+    "checkpointLocation", ckpt
+).start()
+# kill mid-stream: wait for batch 0's COMMIT to land in the WAL, then
+# stop the query while later batches are still pending
+while not os.path.exists(os.path.join(ckpt, "commits", "0")):
+    time.sleep(0.1)
+q.stop()
+q.awaitTermination()
+committed = sorted(
+    int(f) for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+)
+print("PHASE1 " + json.dumps({"written": done, "committed": committed}))
+spark.stop()
+"""
+
+
+def test_exactly_once_across_process_restart(spark, sf_smoke, tmp_path):
+    """End-to-end exactly-once ACROSS A PROCESS RESTART (VERDICT r9
+    #8): a subprocess starts a foreachBatch query over a 4-file source
+    (maxFilesPerTrigger=1), is stopped mid-stream right after batch 0's
+    commit lands in the WAL, and exits. THIS process then resumes from
+    the same checkpoint with Trigger.AvailableNow and the same
+    idempotent batchId-keyed writer. Proofs: (a) the resumed run never
+    re-processes a batch the dead process committed (offsets replay
+    from the WAL, not from zero); (b) the union of both processes'
+    sink output equals the batch oracle exactly — no event lost at the
+    kill point, none duplicated by the resume. Previously this claim
+    was only argued compositionally (checkpoint-resume + idempotent
+    sink tested separately, in one process)."""
+    import json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    # 4-file staging => 4 micro-batches at maxFilesPerTrigger=1
+    (
+        io.load(spark, sf_smoke, "events")
+        .select("event_id", "user_id", "event_type")
+        .repartition(4)
+        .write.parquet(src)
+    )
+
+    env = dict(**__import__("os").environ)
+    r = subprocess.run(
+        [sys.executable, "-c", _PHASE1, src, ckpt, out],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = next(l for l in r.stdout.splitlines() if l.startswith("PHASE1 "))
+    phase1 = json.loads(line[len("PHASE1 "):])
+    assert 0 in phase1["committed"], phase1
+    # the kill was genuinely mid-stream: the dead process must NOT have
+    # drained all 4 batches
+    assert len(phase1["committed"]) < 4, phase1
+
+    seen2 = []
+
+    def wb(df, bid):
+        df.write.mode("overwrite").parquet(f"{out}/batch={bid}")
+        seen2.append(bid)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(wb)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert seen2, "resumed process processed nothing"
+    # (a) no committed batch re-processed after the restart
+    assert not set(seen2) & set(phase1["committed"]), (seen2, phase1)
+    # (b) union of both processes' output == the batch oracle, exactly
+    sink = spark.read.parquet(out).select("event_id", "user_id", "event_type")
+    oracle = spark.read.parquet(src)
+    assert sorted(map(tuple, sink.collect())) == sorted(
+        map(tuple, oracle.collect())
+    )
