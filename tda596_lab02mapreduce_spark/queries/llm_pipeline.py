@@ -2262,3 +2262,95 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_clusters"))
     )
+
+
+@register(
+    "embedding_jl_project",
+    oracle="""
+WITH signs AS (
+  SELECT d.d, i.i,
+         CASE WHEN CAST('0x' || substr(md5(d.d || ':' || i.i), 1, 8)
+                   AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(16)) AS d) d,
+       (SELECT unnest(range(64)) AS i) i
+),
+elems AS (
+  SELECT vec_id, u.i - 1 AS i,
+         CAST(FLOOR(u.x * 1048576) AS BIGINT) AS q
+  FROM emb_unnested u
+),
+emb_unnested AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT e.vec_id, s.d AS dim,
+       CAST(SUM(s.s * e.q) AS BIGINT) AS proj_q
+FROM elems e JOIN signs s ON s.i = e.i
+GROUP BY 1, 2
+""",
+    doc=(
+        "Johnson-Lindenstrauss random projection 64 -> 16 dims with a "
+        "PORTABLE Rademacher sign matrix: sign(d, i) = parity of the "
+        "first-8-hex md5('d:i') (the dedup.py md5lin hash-family "
+        "discipline), so both engines derive the identical +-1 matrix "
+        "in-plan — no shipped model file. Element values quantize by "
+        "floor(x * 2^20): a power-of-TWO scale, so the multiply is "
+        "EXACT for float32 inputs and the floor has no cross-engine "
+        "rounding boundary (the scalar_math_libm margin problem "
+        "designed away instead of margin-proven); the projection is "
+        "then a pure BIGINT dot product — order-independent, AQE-safe, "
+        "bit-identical. Plan: posexplode the vector, join the "
+        "1024-row broadcast sign table, one (vec_id, dim) keyed "
+        "aggregate — linear in corpus size, constant in the sign "
+        "matrix. The distance-preservation (JL) property is pinned in "
+        "tests/test_analytics_properties.py. Scale: at 100 TB this is "
+        "the standard dimensionality-reduction pre-pass before "
+        "LSH/IVF indexing; the only shuffle is the (vec_id, dim) "
+        "aggregate which AQE coalesces."
+    ),
+    tags=("llm", "similarity", "agg", "join"),
+)
+def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.load(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "vec_id",
+        F.col("pos").alias("i"),
+        F.floor(F.col("col") * 1048576).cast("bigint").alias("q"),
+    )
+    dims = spark.range(16).select(F.col("id").cast("int").alias("d"))
+    idxs = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    signs = dims.crossJoin(idxs).select(
+        "d",
+        "i",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("d").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    return (
+        elems.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", F.col("d").alias("dim"))
+        .agg(F.sum(F.col("s") * F.col("q")).cast("bigint").alias("proj_q"))
+    )

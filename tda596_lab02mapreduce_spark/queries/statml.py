@@ -2458,3 +2458,198 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("key"))
         .limit(10)
     )
+
+
+@register(
+    "isotonic_calibration_price",
+    oracle="""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(l_extendedprice / 5000) AS INT), 19) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS pos
+  FROM lineitem GROUP BY 1
+),
+segs AS (
+  SELECT a.bin AS i, c.bin AS j,
+         (1000000 * SUM(t.pos)) // SUM(t.cnt) AS rate_q
+  FROM b a JOIN b c ON c.bin >= a.bin
+       JOIN b t ON t.bin BETWEEN a.bin AND c.bin
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT s.i, k.bin AS k, MIN(s.rate_q) AS mn
+  FROM segs s JOIN b k ON s.i <= k.bin AND s.j >= k.bin
+  GROUP BY 1, 2
+),
+fit AS (SELECT k, MAX(mn) AS iso_ppm FROM m GROUP BY 1)
+SELECT b.bin, b.cnt, b.pos,
+       CAST((1000000 * b.pos) // b.cnt AS BIGINT) AS rate_ppm,
+       CAST(fit.iso_ppm AS BIGINT) AS iso_ppm
+FROM b JOIN fit ON fit.k = b.bin
+""",
+    doc=(
+        "Distributed isotonic regression (PAVA) via the max-min closed "
+        "form: the monotone least-squares calibration map score-bin -> "
+        "positive rate that sklearn's IsotonicRegression / calibrated "
+        "classifiers fit, here over 20 price bins x return flag. "
+        "Instead of the sequential pool-adjacent-violators stack (a "
+        "driver loop), the fit uses the textbook closed form "
+        "iso(k) = max_{i<=k} min_{j>=k} avg(y[i..j]) (Barlow et al. "
+        "1972) on the BOUNDED bin grain: one corpus scan aggregates "
+        "60k rows to 20 (bin, cnt, pos) rows, then two triangular "
+        "joins over that 20-row table (O(bins^3) = 8k rows, constant "
+        "at any corpus SF) compute every pooled-segment rate and the "
+        "max-min envelope. Pooled rates are quantized to integer ppm "
+        "via the hits.py integer-division discipline, so both engines "
+        "produce bit-identical fits and the DuckDB oracle replays the "
+        "closed form exactly. Scale: the corpus-dependent work is ONE "
+        "map-side-combinable groupBy(bin); everything after is "
+        "constant-size broadcast algebra — at 100 TB the fit costs a "
+        "scan, not a shuffle. Monotonicity + envelope properties "
+        "pinned in tests/test_statml.py."
+    ),
+    tags=("stats", "ml", "agg", "join"),
+)
+def isotonic_calibration_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").select("l_extendedprice", "l_returnflag")
+    b = (
+        li.groupBy(
+            F.least(
+                F.floor(F.col("l_extendedprice") / 5000).cast("int"), F.lit(19)
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        # referenced 4x (segment endpoints, members, k-probe, output);
+        # 20 rows — one eager materialization, never recomputed
+        .localCheckpoint()
+    )
+    bi = b.select(F.col("bin").alias("i"))
+    bj = b.select(F.col("bin").alias("j"))
+    bt = b.select(F.col("bin").alias("t"), "cnt", "pos")
+    segs = (
+        bi.join(F.broadcast(bj), F.col("j") >= F.col("i"))
+        .join(
+            F.broadcast(bt),
+            (F.col("t") >= F.col("i")) & (F.col("t") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.expr("CAST((1000000 * SUM(pos)) div SUM(cnt) AS BIGINT)").alias(
+                "rate_q"
+            )
+        )
+    )
+    m = (
+        segs.join(
+            F.broadcast(b.select(F.col("bin").alias("k"))),
+            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("i", "k")
+        .agg(F.min("rate_q").alias("mn"))
+    )
+    fit = m.groupBy("k").agg(F.max("mn").alias("iso_ppm"))
+    return b.join(F.broadcast(fit), b.bin == fit.k).select(
+        "bin",
+        "cnt",
+        "pos",
+        F.expr("CAST((1000000 * pos) div cnt AS BIGINT)").alias("rate_ppm"),
+        F.col("iso_ppm").cast("bigint").alias("iso_ppm"),
+    )
+
+
+@register(
+    "cms_token_counts",
+    oracle=r"""
+WITH tok AS (
+  SELECT word AS token FROM (
+    SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word
+    FROM documents
+  ) t WHERE word <> ''
+),
+rws AS (SELECT unnest(range(4)) AS r),
+cells AS (
+  SELECT r,
+         CAST('0x' || substr(md5(r || ':' || token), 1, 8) AS BIGINT) % 256
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS mass
+  FROM tok CROSS JOIN rws
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM tok GROUP BY token
+  ORDER BY exact_cnt DESC, token LIMIT 20
+),
+est AS (
+  SELECT e.token, MIN(c.mass) AS cms_est
+  FROM exact e CROSS JOIN rws
+  JOIN cells c
+    ON c.r = rws.r
+   AND c.bucket = CAST('0x' || substr(md5(rws.r || ':' || e.token), 1, 8)
+                       AS BIGINT) % 256
+  GROUP BY e.token
+)
+SELECT e.token, e.exact_cnt, CAST(est.cms_est AS BIGINT) AS cms_est
+FROM exact e JOIN est USING (token)
+""",
+    doc=(
+        "Count-min sketch (Cormode & Muthukrishnan 2005) with a "
+        "PORTABLE hash family: depth 4 x width 256 counters, row-r "
+        "bucket = first-8-hex-digits of md5('r:token') mod 256 — the "
+        "dedup.py md5lin discipline, so the sketch is bit-identical in "
+        "any engine and the DuckDB oracle replays the ENTIRE sketch "
+        "build plus the point-query path exactly (no rows-only "
+        "contract needed, unlike the HLL/GK sketches whose register "
+        "layouts are engine-private). Build: one map-side-combinable "
+        "groupBy over (r, bucket) — 1024 cells regardless of corpus "
+        "size, the streaming-friendly fixed-memory shape. Probe: the "
+        "top-20 exact tokens' estimates = min over the 4 rows of their "
+        "cell mass. CMS guarantee (est >= exact; est <= exact + "
+        "eps*N w.h.p.) pinned in tests/test_statml.py."
+    ),
+    tags=("stats", "sketch", "agg", "text"),
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+
+    docs = io.load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens_nonempty("text")).alias("token"))
+    rws = F.broadcast(spark.range(4).select(F.col("id").cast("int").alias("r")))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 256
+    )
+    cells = (
+        tok.crossJoin(rws)
+        .select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mass"))
+    )
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    probes = exact.crossJoin(rws).select(
+        "token", "exact_cnt", "r", bucket.alias("bucket")
+    )
+    est = (
+        probes.join(cells, ["r", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("mass").alias("cms_est"))
+    )
+    return est.select("token", "exact_cnt", F.col("cms_est").cast("bigint"))

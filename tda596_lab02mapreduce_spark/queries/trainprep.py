@@ -768,3 +768,73 @@ def feature_hash_tokens_256(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "split_group_kfold",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 5 AS fold,
+         count(*) AS n_events
+  FROM events
+  GROUP BY 1
+)
+SELECT CAST(fold AS INT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST((1000000 * SUM(n_events))
+            // (SELECT SUM(n_events) FROM assigned) AS BIGINT) AS share_ppm
+FROM assigned
+GROUP BY 1
+""",
+    doc=(
+        "GroupKFold split assignment (sklearn GroupKFold / the "
+        "leakage-free CV split every user-level model needs): every "
+        "EVENT of a user lands in the same fold, because the fold is a "
+        "deterministic function of the GROUP key alone — fold = "
+        "first-8-hex md5(user_id) mod 5 (the portable md5lin hash "
+        "discipline, replayed bit-identically by the DuckDB oracle). "
+        "Row-level random splits leak: a user's history straddles "
+        "train and eval and the model memorizes the user instead of "
+        "generalizing (why split_train_valid_test's doc-grain split "
+        "is not enough when rows share a group). Output: per-fold user "
+        "and event counts plus integer-ppm event share — balance "
+        "within ~binomial noise since md5 is uniform. The structural "
+        "no-leakage guarantee (each user in EXACTLY one fold) is "
+        "pinned in tests/test_trainprep.py. Plan: one user-keyed "
+        "count, one 5-row rollup, a 1-row total broadcast — "
+        "map-side-combinable end to end."
+    ),
+    tags=("llm", "trainprep", "agg"),
+)
+def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select("user_id")
+    assigned = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    ).select(
+        "user_id",
+        "n_events",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 5
+        )
+        .cast("int")
+        .alias("fold"),
+    )
+    folds = assigned.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    tot = folds.agg(F.sum("n_events").alias("__tot"))
+    return folds.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_users",
+        "n_events",
+        F.expr("CAST((1000000 * n_events) div __tot AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

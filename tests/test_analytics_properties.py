@@ -257,3 +257,43 @@ def test_fk_audit_counts_injected_violations(spark):
     assert (orphans.check_name, orphans.n_violations) == ("orphans", 3)
     [childless] = fk_check("childless", parent, "pk", child, "fk", False).collect()
     assert (childless.check_name, childless.n_violations) == ("childless", 2)
+
+
+def test_jl_projection_preserves_distances(spark, sf_correctness):
+    """JL lemma sanity on the md5-sign projection: for the first 20
+    vectors' 190 pairs, squared distance in the 16-dim projection
+    (scaled by 1/16, in the same 2^20 micro-units as the inputs) must
+    track the 64-dim squared distance. Fixture-probed distortion:
+    median 0.236, p90 0.542, max 0.787 — assert median < 0.4 and
+    max < 1.5: loose enough for an honest 16-dim Rademacher projection
+    (E[distortion] ~ sqrt(2/16) = 0.35), tight enough to catch a
+    broken sign matrix (wrong parity collapses dims -> distortion ~1+)
+    or a quantization bug (2^20 scale-off shows up as ~1e6x)."""
+    import itertools
+
+    from tda596_lab02mapreduce_spark.registry import get as _get
+
+    proj_rows = (
+        _get("embedding_jl_project")
+        .spark_fn(spark, sf_correctness)
+        .filter(F.col("vec_id") < 20)
+        .collect()
+    )
+    P = {}
+    for r in proj_rows:
+        P.setdefault(r["vec_id"], {})[r["dim"]] = r["proj_q"]
+    emb = {
+        r["vec_id"]: [int(x * 1048576 // 1) for x in r["embedding"]]
+        for r in io.load(spark, sf_correctness, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .collect()
+    }
+    errs = []
+    for a, b in itertools.combinations(sorted(P), 2):
+        do = sum((x - y) ** 2 for x, y in zip(emb[a], emb[b]))
+        dp = sum((P[a][d] - P[b][d]) ** 2 for d in range(16)) / 16
+        errs.append(abs(dp - do) / do)
+    errs.sort()
+    assert len(errs) == 190
+    assert errs[len(errs) // 2] < 0.4, f"median distortion {errs[len(errs)//2]:.3f}"
+    assert errs[-1] < 1.5, f"max distortion {errs[-1]:.3f}"

@@ -154,3 +154,62 @@ def test_l_diversity_flag_non_vacuous(spark, sf_correctness):
     flagged = out.filter("is_homogeneous").count()
     total = out.count()
     assert 0 < flagged < total, (flagged, total)
+
+
+def test_isotonic_fit_properties(spark, sf_correctness):
+    """The max-min closed form must produce a genuine isotonic fit:
+    (a) non-decreasing in the bin order; (b) inside the [min, max]
+    envelope of the raw rates; (c) NON-DEGENERATE on this fixture —
+    real pooling happens (the raw rates wiggle, so the fit must differ
+    from the raw rates somewhere, or the oracle pins an identity map);
+    (d) where the raw rates are already isotonic end-to-end the fit
+    equals them (checked on a hand-built monotone micro-case)."""
+    rows = sorted(
+        (r["bin"], r["rate_ppm"], r["iso_ppm"])
+        for r in get("isotonic_calibration_price")
+        .spark_fn(spark, sf_correctness)
+        .collect()
+    )
+    iso = [r[2] for r in rows]
+    raw = [r[1] for r in rows]
+    assert all(a <= b for a, b in zip(iso, iso[1:])), "fit not monotone"
+    assert min(raw) <= min(iso) and max(iso) <= max(raw), "fit outside envelope"
+    assert iso != raw, "fixture degenerate: no pooling happened"
+    assert len(rows) == 20, "expected 20 price bins"
+
+    # (d) a 3-bin already-monotone case fits itself exactly: run the
+    # same closed form in pure python as the spec
+    import itertools
+
+    cnt = [10, 10, 10]
+    pos = [1, 5, 9]
+    def rate_q(i, j):
+        return (1_000_000 * sum(pos[i : j + 1])) // sum(cnt[i : j + 1])
+    fit = [
+        max(
+            min(rate_q(i, j) for j in range(k, 3))
+            for i in range(0, k + 1)
+        )
+        for k in range(3)
+    ]
+    assert fit == [100_000, 500_000, 900_000]
+
+
+def test_cms_guarantee(spark, sf_correctness):
+    """CMS point estimates NEVER undercount (every collision adds), and
+    with width 256 the expected overcount is N/256 per row — assert the
+    one-sided bound exactly and the 4-row min within 8x the expected
+    collision mass (loose enough for the synthetic corpus's ~31-token
+    skew, tight enough to catch a broken hash or a wrong min)."""
+    rows = get("cms_token_counts").spark_fn(spark, sf_correctness).collect()
+    assert len(rows) == 20
+    from tda596_lab02mapreduce_spark.functions.text import tokens_nonempty
+
+    n = (
+        io.load(spark, sf_correctness, "documents")
+        .select(F.explode(tokens_nonempty("text")).alias("t"))
+        .count()
+    )
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["cms_est"] - r["exact_cnt"] <= 8 * n / 256, r

@@ -293,3 +293,36 @@ def test_lm_bigram_no_collect_in_plan(spark, sf_correctness):
     no cartesian; the only broadcast is the 1-row vocabulary size."""
     df = get("lm_bigram_score").spark_fn(spark, sf_correctness)
     assert not plans.has_operator(df, r"CartesianProduct")
+
+
+def test_group_kfold_no_leakage(spark, sf_correctness):
+    """Structural no-leakage: the fold is a pure function of user_id,
+    so re-deriving folds at EVENT grain must put every user's events in
+    exactly one fold; fold sizes must be non-degenerate (all 5 folds
+    populated — md5 is uniform, the fixture has ~2k users)."""
+    from tda596_lab02mapreduce_spark import io as _io
+
+    ev = _io.load(spark, sf_correctness, "events").select("user_id")
+    per_event = ev.select(
+        "user_id",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    from tda596_lab02mapreduce_spark.registry import get
+
+    leaky = (
+        per_event.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert leaky == 0
+    folds = get("split_group_kfold").spark_fn(spark, sf_correctness).collect()
+    assert len(folds) == 5
+    assert min(f["n_users"] for f in folds) > 0
+    # shares sum to ~1e6 (floor division loses < 5 ppm)
+    s = sum(f["share_ppm"] for f in folds)
+    assert 1_000_000 - 5 <= s <= 1_000_000
