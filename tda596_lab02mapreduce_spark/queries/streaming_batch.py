@@ -953,3 +953,89 @@ def stream_floor_balance_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_balance_user(deltas), "q_stream_floor_balance", output_mode="update"
     )
     return drained.select("event_id", "user_id", "balance_c")
+
+
+@register(
+    "stream_cms_merge_users",
+    oracle="""
+WITH rws AS (SELECT unnest(range(4)) AS r)
+SELECT CAST(r AS BIGINT) AS r,
+       CAST(CAST('0x' || substr(md5(r || ':' || CAST(user_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 256 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS mass
+FROM events CROSS JOIN rws
+GROUP BY 1, 2
+""",
+    doc=(
+        "Streaming count-min sketch with cross-batch MERGE: each "
+        "micro-batch folds its rows into a PARTIAL depth-4 x width-256 "
+        "CMS (portable md5 buckets, the cms_token_counts family over "
+        "user_id) written to a batchId-keyed overwrite dir — the "
+        "idempotent exactly-once layout — and the final sketch is the "
+        "cell-wise SUM of the partials. CMS cells are counters, so "
+        "merge is exact addition and the streamed-and-merged sketch "
+        "must equal the one-shot batch sketch BIT-FOR-BIT: that "
+        "equality is this query's oracle (DuckDB computes the batch "
+        "sketch directly). This is the 100 TB monitoring shape — "
+        "every executor/batch keeps 1024 counters, merge is "
+        "associative, no keyed state store needed. Per-batch "
+        "idempotence is load-bearing exactly as in "
+        "stream_fingerprint_incremental: a replayed batch overwrites "
+        "its own partial instead of double-counting."
+    ),
+    tags=("streaming", "sketch", "agg"),
+)
+def stream_cms_merge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from tda596_lab02mapreduce_spark.queries.sinks import _sink_path
+    from tda596_lab02mapreduce_spark.streaming.windows import events_stream
+
+    base = _sink_path(sf_dir, "cms_stream")
+    out, ckpt = f"{base}/partials", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    rws = spark.range(4).select(F.col("id").cast("int").alias("r"))
+
+    def write_partial(df: DataFrame, batch_id: int) -> None:
+        cells = (
+            df.crossJoin(rws)
+            .select(
+                "r",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("r").cast("string"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % 256
+                ).alias("bucket"),
+            )
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("mass"))
+        )
+        cells.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    stream = events_stream(spark, sf_dir).select("user_id")
+    q = (
+        stream.writeStream.foreachBatch(write_partial)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(out)
+    return partials.groupBy(
+        F.col("r").cast("bigint").alias("r"), F.col("bucket").cast("bigint").alias("bucket")
+    ).agg(F.sum("mass").cast("bigint").alias("mass"))

@@ -838,3 +838,176 @@ def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+@register(
+    "rrf_fuse_retrieval",
+    oracle=rf"""
+WITH q(query_id, term) AS (VALUES {_BM25_QUERIES_SQL}),
+tok AS (SELECT doc_id, {_TOK_SQL} AS word FROM documents),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE word <> '' GROUP BY doc_id, word
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM tok WHERE word <> '' GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         avg(CAST(dl AS DOUBLE)) AS avgdl
+  FROM dl
+),
+df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+cand AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({_BM25_K1} + 1)
+           / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+         ) AS score,
+         (1000000000 * SUM(tf)) // MIN(dl) AS ql_u
+  FROM q
+  JOIN tf ON tf.word = q.term
+  JOIN df ON df.word = q.term
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+r1 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY ROUND(score, 4) DESC, doc_id
+         ) AS rk
+  FROM cand
+),
+r2 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY ql_u DESC, doc_id
+         ) AS rk
+  FROM cand
+),
+fused AS (
+  SELECT query_id, doc_id,
+         COALESCE((SELECT 1000000000 // (60 + a.rk) FROM r1 a
+                   WHERE a.query_id = f.query_id AND a.doc_id = f.doc_id
+                     AND a.rk <= {_BM25_TOPK}), 0)
+       + COALESCE((SELECT 1000000000 // (60 + b.rk) FROM r2 b
+                   WHERE b.query_id = f.query_id AND b.doc_id = f.doc_id
+                     AND b.rk <= {_BM25_TOPK}), 0) AS rrf_u,
+         COALESCE((SELECT a.rk FROM r1 a
+                   WHERE a.query_id = f.query_id AND a.doc_id = f.doc_id
+                     AND a.rk <= {_BM25_TOPK}), 0) AS bm25_rank,
+         COALESCE((SELECT b.rk FROM r2 b
+                   WHERE b.query_id = f.query_id AND b.doc_id = f.doc_id
+                     AND b.rk <= {_BM25_TOPK}), 0) AS ql_rank
+  FROM (SELECT DISTINCT query_id, doc_id FROM cand) f
+)
+SELECT query_id, doc_id, CAST(rrf_u AS BIGINT) AS rrf_u,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(ql_rank AS BIGINT) AS ql_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_u DESC, doc_id
+  ) AS rn
+  FROM fused WHERE rrf_u > 0
+)
+WHERE rn <= {_BM25_TOPK}
+""",
+    doc=(
+        "Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009, the "
+        "standard hybrid-retrieval merge): fuse BM25 (the registered "
+        "ranker, same rounded-4dp score discipline) with an exact "
+        "integer query-likelihood ranker ql_u = (1e9 * Σtf) div dl "
+        "over the SAME single corpus tokenization; each system "
+        "contributes floor(1e9 / (60 + rank)) for its top-10, fused "
+        "score summed in exact BIGINT so the merged ranking has no "
+        "float anywhere and the DuckDB oracle replays rank-for-rank. "
+        "RRF is how production search fuses lexical + semantic "
+        "rankings without score calibration — only RANKS cross system "
+        "boundaries, which is also why it is exactly replayable while "
+        "raw-score interpolation would re-import the libm problem. "
+        "Plan: the bm25 posting shuffles (word, then doc_id) feed BOTH "
+        "rankers; two query-keyed WindowGroupLimits; fusion is a "
+        "full-outer join at (query_id, doc_id) grain capped at 2*k "
+        "rows per query."
+    ),
+    tags=("text", "llm", "retrieval", "window"),
+)
+def rrf_fuse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
+    q = F.broadcast(
+        spark.createDataFrame(list(_BM25_QUERIES), "query_id int, term string")
+    )
+    tok = docs.select("doc_id", F.explode(tokens_nonempty("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    cand = (
+        q.join(tf, tf["word"] == q["term"])
+        .join(df_t, "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom), 4
+            ).alias("bm25"),
+            F.expr("CAST((1000000000 * SUM(tf)) div MIN(dl) AS BIGINT)").alias(
+                "ql_u"
+            ),
+        )
+        # feeds both rank windows + the fusion join: one materialization
+        .localCheckpoint(eager=False)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("ql_u"), "doc_id")
+    r1 = (
+        cand.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", F.col("rk").alias("bm25_rank"))
+    )
+    r2 = (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", F.col("rk").alias("ql_rank"))
+    )
+    fused = (
+        r1.join(r2, ["query_id", "doc_id"], "full_outer")
+        .na.fill({"bm25_rank": 0, "ql_rank": 0})
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.when(
+                    F.col("bm25_rank") > 0,
+                    F.expr("1000000000 div (60 + bm25_rank)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("ql_rank") > 0,
+                    F.expr("1000000000 div (60 + ql_rank)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rrf_u"),
+            F.col("bm25_rank").cast("bigint"),
+            F.col("ql_rank").cast("bigint"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_u"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "rrf_u", "bm25_rank", "ql_rank")
+    )

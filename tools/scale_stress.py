@@ -40,6 +40,7 @@ from tda596_lab02mapreduce_spark.session import get_spark
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/tda596-scale10x")
 OUT_GRAPH = os.environ.get("SPARK_GRAFT_SCALE_GRAPH_DIR", OUT + "-graph")
+OUT_SKEW = os.environ.get("SPARK_GRAFT_SCALE_SKEW_DIR", OUT + "-skew")
 REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
 REPS = int(os.environ.get("SCALE_REPS", "2"))
 
@@ -197,6 +198,30 @@ GRAPH_QUERIES = [
     "kcore_peel_bipartite",
     "community_label_propagation",
     "recsys_item_cosine_topk",
+]
+
+# SCALE_BAND=skew (round-10, VERDICT r9 #6): the user-keyed band under
+# pathological key skew — ONE user carries ~25% of all rows (hot-row
+# selection by md5 parity of the event id, so the hot rows are spread
+# uniformly over time and input splits: the shuffle TARGET is skewed,
+# not the scan). Control and treatment stagings have IDENTICAL row
+# counts and time axes; only the user_id layout differs. Every query
+# below reads ONLY the events table. Measured twice on the skewed
+# staging: with AQE skew handling as shipped, and with
+# spark.sql.adaptive.{skewJoin,optimizeSkewsInRebalancePartitions}
+# disabled — joins can be AQE-split, but window/groupBy state for one
+# key CANNOT (a single partitionBy key is inherently serial), which is
+# exactly what the table should show.
+SKEW_QUERIES = [
+    "sessionize_events",
+    "cdc_latest_per_user",
+    "window_time_range_1h",
+    "ewma_dyadic_user_value",
+    "inventory_floor_balance",
+    "max_drawdown_user",
+    "user_activity_streaks",
+    "join_asof_purchase_click",
+    "udf_cogroup_asof",
 ]
 
 
@@ -412,6 +437,60 @@ def stage_graph(spark) -> None:
     lg.repartition(32).write.parquet(f"{OUT_GRAPH}/lineitem.parquet")
 
 
+def stage_skew(spark) -> None:
+    """Two same-size events stagings under ``OUT_SKEW``: ``uniform/``
+    (replica-disjoint user ranges — the existing honest-linear layout)
+    and ``skewed/`` (identical rows except ~25% of user_ids remapped to
+    the single hot user 1, selected by md5 parity of (event_id,
+    replica) so hot rows are uniform over time and splits)."""
+    from tda596_lab02mapreduce_spark import io as _io  # noqa: PLC0415
+
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
+    ev = _io.load(spark, SRC, "events")
+    base = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("replica").cast("long") * 100_000_000).alias(
+            "event_id"
+        ),
+        "ts",
+        (F.col("user_id") + F.col("replica").cast("long") * 10_000_000).alias(
+            "user_id"
+        ),
+        "event_type",
+        "value",
+        "props",
+        F.col("replica"),
+    )
+    hot = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("replica").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+        == 0
+    )
+    shutil.rmtree(OUT_SKEW, ignore_errors=True)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base.select(*cols).repartition(32).write.parquet(
+        f"{OUT_SKEW}/uniform/events.parquet"
+    )
+    base.withColumn(
+        "user_id", F.when(hot, F.lit(1).cast("long")).otherwise(F.col("user_id"))
+    ).select(*cols).repartition(32).write.parquet(
+        f"{OUT_SKEW}/skewed/events.parquet"
+    )
+
+
 import re as _re
 
 
@@ -478,6 +557,18 @@ def measure(spark, sf_dir: str, queries: list[str] | None = None) -> dict[str, d
         finally:
             del os.environ["SPARK_GRAFT_NO_WIDEN"]
         res[name] = {"sec": round(best, 3), "exchanges": n, "keys": keys}
+        # drop this query's lingering localCheckpoint/cache blocks NOW:
+        # the ContextCleaner only releases them once the Python-side
+        # DataFrame objects are collected, and letting 3 runs x N
+        # queries of checkpointed RDDs pile up OOMed the 8g heap at the
+        # 20x graph-band scale (round-10 session) — an artifact of the
+        # probe loop, not of any single query's plan
+        del shape_df
+        import gc  # noqa: PLC0415
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
     return res
 
 
@@ -487,7 +578,7 @@ def main() -> None:
     # reuses an existing staging dir from a prior run at the same
     # REPLICAS (the derivation is deterministic, so reuse is exact).
     band = os.environ.get("SCALE_BAND", "")
-    queries = GRAPH_QUERIES if band == "graph" else QUERIES
+    queries = {"graph": GRAPH_QUERIES, "skew": SKEW_QUERIES}.get(band, QUERIES)
     only = os.environ.get("SCALE_ONLY")
     if only:
         keep = {q.strip() for q in only.split(",") if q.strip()}
@@ -496,6 +587,47 @@ def main() -> None:
             raise ValueError(f"SCALE_ONLY names not in QUERIES: {sorted(unknown)}")
         queries[:] = [q for q in queries if q in keep]
     spark = get_spark(app_name="tda596-scale-stress")
+    if band == "skew":
+        if not (os.environ.get("SCALE_SKIP_STAGE") == "1" and os.path.exists(OUT_SKEW)):
+            stage_skew(spark)
+        uni = measure(spark, f"{OUT_SKEW}/uniform", queries)
+        skw = measure(spark, f"{OUT_SKEW}/skewed", queries)
+        # third pass: AQE's skew mitigations OFF, so the table shows
+        # what the runtime re-plan buys for joins (windows/groupBys on
+        # one hot key cannot be split by AQE either way)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set(
+            "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled",
+            "false",
+        )
+        try:
+            skw_off = measure(spark, f"{OUT_SKEW}/skewed", queries)
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.set(
+                "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled",
+                "true",
+            )
+        table = {
+            q: {
+                "uniform_sec": uni[q]["sec"],
+                "skew_sec": skw[q]["sec"],
+                "skew_ratio": round(skw[q]["sec"] / uni[q]["sec"], 2),
+                "skew_noaqeskew_sec": skw_off[q]["sec"],
+                "exchanges_uniform": uni[q]["exchanges"],
+                "exchanges_skew": skw[q]["exchanges"],
+                "shape_stable": uni[q]["keys"] == skw[q]["keys"],
+            }
+            for q in queries
+        }
+        print(
+            json.dumps(
+                {"band": "skew", "replicas": REPLICAS, "hot_share": "~25%",
+                 "src": SRC, "queries": table},
+                indent=2,
+            )
+        )
+        return
     if band == "graph":
         if not (os.environ.get("SCALE_SKIP_STAGE") == "1" and os.path.exists(OUT_GRAPH)):
             stage_graph(spark)
