@@ -768,3 +768,99 @@ def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         "community_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent triples — apriori level 3 (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "frequent_triples_brand",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT GREATEST(3, count(DISTINCT ok) // 200) AS minsup FROM items)
+SELECT i1.b AS brand_a, i2.b AS brand_b, i3.b AS brand_c,
+       CAST(count(*) AS BIGINT) AS support
+FROM items i1
+JOIN items i2 ON i1.ok = i2.ok AND i1.b < i2.b
+JOIN items i3 ON i2.ok = i3.ok AND i2.b < i3.b
+GROUP BY 1, 2, 3
+HAVING count(*) >= (SELECT minsup FROM n)
+""",
+    doc=(
+        "Frequent brand TRIPLES over order baskets at relative "
+        "support >= 0.5% of orders (floor 3) — the level-3 apriori "
+        "step beyond copurchase_brand_pairs. The ORACLE is the direct "
+        "spec (triple self-join + HAVING); the Spark plan is the "
+        "apriori-pruned form that survives scale: pair supports are "
+        "counted first, the frequent-pair set (bounded by the brand "
+        "alphabet squared, ~300 rows) is BROADCAST, and candidate "
+        "triple occurrences are pruned by all three pair subsets "
+        "(a,b),(b,c),(a,c) BEFORE the triple count — identical result "
+        "by the apriori property (every subset of a frequent itemset "
+        "is frequent), but the shuffled triple-candidate volume drops "
+        "by the infrequent-pair mass. Baskets are distinct (order, "
+        "brand) pairs, so the self-join fan-out is bounded by the "
+        "25-brand alphabet per order, not by line count."
+    ),
+    tags=("association", "agg", "join"),
+)
+def frequent_triples_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = io.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    minsup = items.agg(
+        F.greatest(
+            F.lit(3).cast("bigint"),
+            F.expr("CAST(count(DISTINCT ok) DIV 200 AS BIGINT)"),
+        ).alias("minsup")
+    )
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.b") < F.col("b.b")),
+        )
+        .groupBy(F.col("a.b").alias("pa"), F.col("b.b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("ps"))
+        .crossJoin(F.broadcast(minsup))
+        .filter(F.col("ps") >= F.col("minsup"))
+        .select("pa", "pb")
+    )
+    fp = F.broadcast(pairs)
+    p12 = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.b") < F.col("b.b")),
+        )
+        .select(F.col("a.ok").alias("ok"), F.col("a.b").alias("b1"), F.col("b.b").alias("b2"))
+        .join(fp, (F.col("b1") == fp.pa) & (F.col("b2") == fp.pb), "left_semi")
+    )
+    tri = (
+        p12.join(
+            items.alias("c"),
+            (p12.ok == F.col("c.ok")) & (p12.b2 < F.col("c.b")),
+        )
+        .select("b1", "b2", F.col("c.b").alias("b3"))
+        .join(fp, (F.col("b2") == fp.pa) & (F.col("b3") == fp.pb), "left_semi")
+        .join(fp, (F.col("b1") == fp.pa) & (F.col("b3") == fp.pb), "left_semi")
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .crossJoin(F.broadcast(minsup))
+        .filter(F.col("support") >= F.col("minsup"))
+    )
+    return tri.select(
+        F.col("b1").alias("brand_a"),
+        F.col("b2").alias("brand_b"),
+        F.col("b3").alias("brand_c"),
+        "support",
+    )

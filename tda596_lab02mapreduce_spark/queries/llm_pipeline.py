@@ -2354,3 +2354,44 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", F.col("d").alias("dim"))
         .agg(F.sum(F.col("s") * F.col("q")).cast("bigint").alias("proj_q"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (round-10 widening) — see operators/pca.py
+# ---------------------------------------------------------------------------
+
+
+def _pca_oracle():
+    from tda596_lab02mapreduce_spark.operators.pca import pca_oracle_sql
+
+    return pca_oracle_sql("/root/testdata/sf0.01")
+
+
+@register(
+    "embedding_pca_project",
+    oracle=_pca_oracle,
+    doc=(
+        "PCA projection 64 -> 8 dims: the LEARNED counterpart of "
+        "embedding_jl_project (JL preserves distances obliviously; "
+        "PCA concentrates variance, the standard pre-pass before "
+        "clustering / visualization / cheap ANN). Fit is a one-pass "
+        "distributed moments mapInArrow (dim^2-sized partials only) "
+        "+ driver eigh, persisted as a committed .models/ sidecar "
+        "(the IVF/PQ fit-once/serve-many discipline); the sidecar "
+        "stores mean and weights PRE-QUANTIZED by floor(x * 2^20), "
+        "so serving is a pure BIGINT dot product — bit-identical in "
+        "both engines with no fold-order argument. The oracle "
+        "replays the identical integer model as a literal table. "
+        "Plan: posexplode + one 512-row broadcast join + one "
+        "(vec_id, dim) keyed aggregate — JL's shape with learned "
+        "weights. Explained-variance ordering is pinned in "
+        "tests/test_analytics_properties.py."
+    ),
+    tags=("llm", "similarity", "agg", "join"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.pca import pca_fit, pca_project
+
+    emb = io.load(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, dataset_key=sf_dir)
+    return pca_project(spark, emb, model)

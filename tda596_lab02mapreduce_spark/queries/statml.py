@@ -2653,3 +2653,104 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("mass").alias("cms_est"))
     )
     return est.select("token", "exact_cnt", F.col("cms_est").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes rate shrinkage (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eb_shrunk_return_rate",
+    oracle="""
+WITH g AS (
+  SELECT p.p_brand AS brand,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returns
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+r AS (
+  SELECT *, (1000000 * n_returns) // n_lines AS rate_ppm FROM g
+),
+prior AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb,
+         CAST(SUM(rate_ppm) AS BIGINT) AS s1,
+         CAST(SUM(rate_ppm * rate_ppm) AS BIGINT) AS s2
+  FROM r
+),
+scal AS (
+  SELECT (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)) / 1000000.0 AS m,
+         ((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / CAST(nb AS DOUBLE))
+           / (CAST(nb AS DOUBLE) - 1.0)) / 1000000000000.0 AS v
+  FROM prior
+)
+SELECT brand, n_lines, n_returns, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+       CASE WHEN v > 0.0 AND (m * (1.0 - m) / v) - 1.0 > 0.0
+            THEN ((m * ((m * (1.0 - m) / v) - 1.0)) + CAST(n_returns AS DOUBLE))
+                 / (((m * (1.0 - m) / v) - 1.0) + CAST(n_lines AS DOUBLE))
+            ELSE CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+       END AS shrunk_rate
+FROM r, scal
+""",
+    doc=(
+        "Empirical-Bayes (beta-binomial, method-of-moments) shrinkage "
+        "of per-brand return rates toward the corpus prior — the "
+        "standard guard against small-sample rate estimates (a brand "
+        "with 3 lines and 1 return is NOT a 33% returner). Prior "
+        "strength s = m(1-m)/v - 1 from the mean/variance of the "
+        "brand-level rates; posterior rate = (alpha + r)/(s + n). "
+        "Float discipline: group moments are EXACT BIGINT sums of "
+        "integer-ppm rates (rate_ppm = (1e6*r) DIV n, exact integer "
+        "division in both engines), so the prior scalars and the "
+        "single posterior expression are bit-identical IEEE doubles "
+        "given identical parenthesization — no fold-order exposure "
+        "anywhere. Plan: one keyed lineitem+part join-aggregate, a "
+        "25-row brand table, a 1-row prior broadcast back; the only "
+        "corpus-sized shuffle is the brand aggregate."
+    ),
+    tags=("statml", "agg", "join"),
+)
+def eb_shrunk_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = io.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_returns"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.expr("CAST((1000000 * n_returns) DIV n_lines AS BIGINT)"),
+        )
+    )
+    prior = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("rate_ppm").cast("bigint").alias("s1"),
+        F.sum(F.col("rate_ppm") * F.col("rate_ppm")).cast("bigint").alias("s2"),
+    )
+    scal = prior.selectExpr(
+        "(CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)) / 1000000.0D AS m",
+        "((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+        " / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0D))"
+        " / 1000000000000.0D AS v",
+    )
+    return g.crossJoin(F.broadcast(scal)).selectExpr(
+        "brand",
+        "n_lines",
+        "n_returns",
+        "CAST(rate_ppm AS BIGINT) AS rate_ppm",
+        "CASE WHEN v > 0.0D AND (m * (1.0D - m) / v) - 1.0D > 0.0D"
+        " THEN ((m * ((m * (1.0D - m) / v) - 1.0D)) + CAST(n_returns AS DOUBLE))"
+        "      / (((m * (1.0D - m) / v) - 1.0D) + CAST(n_lines AS DOUBLE))"
+        " ELSE CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)"
+        " END AS shrunk_rate",
+    )

@@ -784,3 +784,68 @@ def topk_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("rnk").cast("bigint").alias("rnk"), "word", "tf", "tfidf"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-adaptive stopword discovery (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stopword_discovery",
+    oracle=r"""
+WITH tok AS (
+  SELECT DISTINCT source, doc_id, unnest(list_filter(
+           string_split_regex(text, '[^\p{L}]+'), t -> t <> '')) AS token
+  FROM documents
+),
+nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1),
+df AS (SELECT source, token, CAST(count(*) AS BIGINT) AS df_docs
+       FROM tok GROUP BY 1, 2)
+SELECT df.source, df.token, df.df_docs, nd.n_docs,
+       CAST((1000000 * df.df_docs) // nd.n_docs AS BIGINT) AS df_share_ppm
+FROM df JOIN nd USING (source)
+WHERE (1000000 * df.df_docs) // nd.n_docs >= 600000
+""",
+    doc=(
+        "Corpus-adaptive stopword discovery: per SOURCE, the tokens "
+        "present in >= 60% of that source's documents (document "
+        "frequency, not term frequency — one boilerplate repeat "
+        "doesn't inflate it). This is the data-derived stopword/"
+        "boilerplate list quality and dedup pipelines use instead of "
+        "a fixed English list (text_quality's stopword ratio uses the "
+        "fixed list; this discovers it from the corpus per source). "
+        "df_share is integer ppm ((1e6*df) DIV n) so the filter and "
+        "output are exact in both engines. Plan: row-local "
+        "array_distinct before the explode (a doc contributes one row "
+        "per DISTINCT token, bounding the explode at vocab size, not "
+        "doc length), one (source, token) keyed count, one broadcast "
+        "join of the per-source doc counts (sources are a bounded "
+        "catalog; at 100 TB the (source, token) aggregate is the only "
+        "corpus-sized shuffle)."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.array_distinct(tokens_nonempty("text"))).alias("token"),
+    )
+    nd = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    df = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_docs")
+    )
+    return (
+        df.join(F.broadcast(nd), "source")
+        .withColumn(
+            "df_share_ppm",
+            F.expr("CAST((1000000 * df_docs) DIV n_docs AS BIGINT)"),
+        )
+        .filter(F.col("df_share_ppm") >= 600000)
+        .select("source", "token", "df_docs", "n_docs", "df_share_ppm")
+    )

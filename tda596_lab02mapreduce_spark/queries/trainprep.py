@@ -1011,3 +1011,116 @@ def rrf_fuse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _BM25_TOPK)
         .select("query_id", "doc_id", "rrf_u", "bm25_rank", "ql_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal holdout split (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_temporal_holdout",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT CASE WHEN rn <= 2 THEN 'test' ELSE 'train' END AS split,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM ranked
+GROUP BY 1, 2
+""",
+    doc=(
+        "Per-user TEMPORAL holdout split — the leakage-safe "
+        "alternative to split_train_valid_test's hash split for "
+        "time-ordered data (a random split lets the model train on a "
+        "user's future and predict their past): each user's LAST two "
+        "events (ts DESC, event_id tiebreak) go to 'test', the rest "
+        "to 'train'; output is the split x event_type audit rollup. "
+        "Values sum as integer cents so the aggregate is "
+        "order-independent. Plan: one user-keyed PARTITIONED window "
+        "(never partition-less) + one keyed aggregate — both shuffles "
+        "on high-cardinality keys, AQE-coalesced; at 100 TB this is "
+        "the same per-user shape as sessionize_events."
+    ),
+    tags=("trainprep", "window", "split"),
+)
+def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.when(F.col("rn") <= 2, F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard bin-packing (round-10 widening)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@register(
+    "shard_bin_packing",
+    oracle=f"""
+WITH ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT CAST((rn - 1) % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM ranked
+GROUP BY 1
+""",
+    doc=(
+        "Deterministic size-balanced shard assignment for training-"
+        "data writers: docs ranked by (n_chars DESC, doc_id) and dealt "
+        "round-robin across 16 shards (the sorted-greedy 'longest "
+        "processing time' heuristic in its distributed form), so every "
+        "shard gets one doc from each size stratum and per-shard token "
+        "totals stay within one max-doc of each other. The global rank "
+        "uses functions/rank.py's two-pass range-partitioned "
+        "row_number — no single-partition WindowExec anywhere (the "
+        "partition-less-window sweep stays at zero). Output is the "
+        "per-shard audit (count / chars / max)."
+    ),
+    tags=("trainprep", "rank", "sink"),
+)
+def shard_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_rank_cumsum(
+        docs, [F.desc("n_chars"), F.asc("doc_id")], rank_col="rn"
+    )
+    return (
+        ranked.select(
+            ((F.col("rn") - 1) % _N_SHARDS).cast("bigint").alias("shard"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )

@@ -297,3 +297,25 @@ def test_jl_projection_preserves_distances(spark, sf_correctness):
     assert len(errs) == 190
     assert errs[len(errs) // 2] < 0.4, f"median distortion {errs[len(errs)//2]:.3f}"
     assert errs[-1] < 1.5, f"max distortion {errs[-1]:.3f}"
+
+
+def test_pca_model_properties(spark, sf_correctness):
+    """The committed PCA sidecar is a real eigenbasis: components are
+    orthonormal (pre-quantization, up to the 2^-20 quantization step),
+    explained variances are non-increasing, and the top-8 subspace
+    captures more variance than 8/64 of the total (i.e., PCA beats a
+    random axis split on this corpus)."""
+    from tda596_lab02mapreduce_spark import io as _io
+    from tda596_lab02mapreduce_spark.operators.pca import pca_fit
+
+    import numpy as np
+
+    model = pca_fit(
+        _io.load(spark, sf_correctness, "embeddings"), dataset_key=sf_correctness
+    )
+    w = np.asarray(model["w_q"], dtype=np.float64) / (1 << 20)
+    gram = w @ w.T
+    assert np.allclose(gram, np.eye(w.shape[0]), atol=1e-4)
+    ev = model["explained_var"]
+    assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
+    assert sum(ev) > (len(ev) / 64.0) * model["total_var"]

