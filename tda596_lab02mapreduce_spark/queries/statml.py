@@ -2754,3 +2754,235 @@ def eb_shrunk_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)"
         " END AS shrunk_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U test (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_mannwhitney_u",
+    oracle="""
+WITH pts AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+rk AS (
+  SELECT grp,
+         2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1
+           AS r2
+  FROM pts
+),
+ties AS (
+  SELECT CAST(SUM(m * m * m - m) AS BIGINT) AS tie3
+  FROM (SELECT count(*) AS m FROM pts GROUP BY x)
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN grp = 'click' THEN r2 ELSE 0 END) AS BIGINT) AS s2a
+  FROM rk
+)
+SELECT na, nb,
+       CAST(s2a - na * (na + 1) AS BIGINT) AS u2_a,
+       (CAST(s2a - na * (na + 1) AS DOUBLE) / 2.0 -
+        (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 2.0)
+       / sqrt(((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 12.0)
+              * ((CAST(na + nb AS DOUBLE) + 1.0)
+                 - CAST(tie3 AS DOUBLE)
+                   / (CAST(na + nb AS DOUBLE)
+                      * (CAST(na + nb AS DOUBLE) - 1.0)))) AS z
+FROM s, ties
+""",
+    doc=(
+        "Mann-Whitney U (Wilcoxon rank-sum) test of click-vs-purchase "
+        "value distributions — the distribution-free A/B complement "
+        "to ab_test_conversion_z / stats_welch_ttest (rank-based: "
+        "robust to the heavy tails that invalidate the t-test's "
+        "normality). Pooled doubled midranks (2*rank + ties - 1, the "
+        "spearman integer discipline) make S2_A and 2*U_A EXACT "
+        "BIGINTs; the tie-corrected normal approximation z is one "
+        "parenthesized double expression over those integers, so it "
+        "replays bit-identically (sqrt is IEEE-correctly-rounded, the "
+        "scalar_math_libm quarantine does not apply). Plan: midranks "
+        "from VALUE-grain counts via the distributed global cumsum "
+        "(functions/rank.py — never a partition-less window), joined "
+        "back on the value key; everything after is 1-row algebra. "
+        "At ~1e10 rows the doubled-rank sums approach BIGINT range — "
+        "the decimal(38) swap is noted inline."
+    ),
+    tags=("statml", "agg", "stats"),
+)
+def ab_test_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
+    ev = io.load(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+    )
+    vc = pts.groupBy("x").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("grp") == "click", 1).otherwise(0)).alias("a"),
+    )
+    # value-grain doubled midrank: 2*cum_before + m + 1, exact integers
+    # (sums fit BIGINT to ~1e9 rows; swap the sum dtypes to
+    # decimal(38,0) beyond that)
+    g = global_rank_cumsum(
+        vc,
+        [F.asc("x")],
+        [("cum", "m")],
+        rank_col="__rn",
+        bucket_expr=F.floor(F.col("x") / F.lit(2048)),
+    )
+    s = g.select(
+        (2 * (F.col("cum") - F.col("m")) + F.col("m") + 1).alias("r2"),
+        "m",
+        "a",
+    ).agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum(F.col("m") - F.col("a")).cast("bigint").alias("nb"),
+        F.sum(F.col("r2") * F.col("a")).cast("bigint").alias("s2a"),
+        F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    return s.selectExpr(
+        "na",
+        "nb",
+        "CAST(s2a - na * (na + 1) AS BIGINT) AS u2_a",
+        "(CAST(s2a - na * (na + 1) AS DOUBLE) / 2.0D -"
+        " (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 2.0D)"
+        " / sqrt(((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 12.0D)"
+        "        * ((CAST(na + nb AS DOUBLE) + 1.0D)"
+        "           - CAST(tie3 AS DOUBLE)"
+        "             / (CAST(na + nb AS DOUBLE)"
+        "                * (CAST(na + nb AS DOUBLE) - 1.0D)))) AS z",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theilsen_daily_trend",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+slopes AS (
+  SELECT b.y - a.y AS num, b.d - a.d AS den,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+rk AS (
+  SELECT num, den, s,
+         row_number() OVER (ORDER BY s, num, den) AS rn,
+         count(*) OVER () AS n
+  FROM slopes
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN num END) AS BIGINT) AS lo_num,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN den END) AS BIGINT) AS lo_den,
+       CAST(MAX(CASE WHEN rn = (n + 2) // 2 THEN num END) AS BIGINT) AS hi_num,
+       CAST(MAX(CASE WHEN rn = (n + 2) // 2 THEN den END) AS BIGINT) AS hi_den,
+       (MAX(CASE WHEN rn = (n + 1) // 2
+            THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END)
+        + MAX(CASE WHEN rn = (n + 2) // 2
+              THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END)) / 2.0
+         AS slope_per_day
+FROM rk
+""",
+    doc=(
+        "Theil-Sen robust trend of the daily event count: the median "
+        "of all pairwise slopes (y_j - y_i)/(d_j - d_i) — a 29%-"
+        "breakdown-point alternative to regr_slope_by_type's OLS "
+        "(one bot-traffic day drags OLS; the slope median shrugs). "
+        "Slopes stay EXACT integer fractions; ordering is by the "
+        "identical IEEE double quotient in both engines with a "
+        "(num, den) tiebreak, and the even-n median is the doubled-"
+        "median discipline (both middle elements reported as exact "
+        "fractions; the final average is one deterministic double "
+        "expression). Plan: the corpus collapses to a DAY-grain "
+        "aggregate first (bounded: a year is 365 rows, 66k pairs), so "
+        "the pair join and the small_df_rank triangular rank are "
+        "constant-size algebra — the only corpus-sized work is the "
+        "daily count scan, map-side combinable."
+    ),
+    tags=("statml", "agg", "stats", "timeseries"),
+)
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import small_df_rank
+
+    ev = io.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.col("ts").cast("long") / F.lit(86400))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    # (da, db) completes the total order small_df_rank requires; ties
+    # within an identical (s, num, den) triple cannot change which
+    # fraction VALUES land at the two median positions, so the oracle's
+    # (s, num, den) row_number picks the same outputs
+    slopes = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            (F.col("yb") - F.col("ya")).alias("num"),
+            (F.col("db") - F.col("da")).alias("den"),
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("s"),
+            "da",
+            "db",
+        )
+    )
+    rk = small_df_rank(
+        slopes,
+        [("s", "asc"), ("num", "asc"), ("den", "asc"), ("da", "asc"), ("db", "asc")],
+        rank_col="rn",
+    )
+    n = rk.agg(F.count(F.lit(1)).alias("n"))
+    mid = rk.crossJoin(F.broadcast(n)).filter(
+        (F.col("rn") == F.expr("(n + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    )
+    return mid.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("num")))
+        .cast("bigint")
+        .alias("lo_num"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("den")))
+        .cast("bigint")
+        .alias("lo_den"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 2) DIV 2"), F.col("num")))
+        .cast("bigint")
+        .alias("hi_num"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 2) DIV 2"), F.col("den")))
+        .cast("bigint")
+        .alias("hi_den"),
+        (
+            (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 1) DIV 2"),
+                        F.col("num").cast("double") / F.col("den").cast("double"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 2) DIV 2"),
+                        F.col("num").cast("double") / F.col("den").cast("double"),
+                    )
+                )
+            )
+            / F.lit(2.0)
+        ).alias("slope_per_day"),
+    )

@@ -272,3 +272,48 @@ def test_frequent_triples_apriori_property(spark, sf_correctness):
         assert all(p >= minsup for p in subs), r
         assert s <= min(subs)
         assert s >= minsup
+
+
+def test_mannwhitney_bounds_and_scipy_free_sanity(spark, sf_correctness):
+    """2*U_A lies in [0, 2*na*nb]; U_A + U_B == na*nb (the defining
+    identity, re-derived from the complementary rank sum); z is finite
+    and modest on the null-ish fixture (both groups draw from the same
+    value generator)."""
+    from tda596_lab02mapreduce_spark.registry import get
+
+    r = get("ab_test_mannwhitney_u").spark_fn(spark, sf_correctness).collect()[0]
+    na, nb, u2a = r["na"], r["nb"], r["u2_a"]
+    assert 0 <= u2a <= 2 * na * nb
+    assert abs(r["z"]) < 5.0
+    # recompute U_B via total rank sum: S2_A + S2_B = 2 * (N(N+1)/2)
+    n = na + nb
+    s2a = u2a + na * (na + 1)
+    s2b = 2 * (n * (n + 1) // 2) - s2a
+    u2b = s2b - nb * (nb + 1)
+    assert u2a + u2b == 2 * na * nb
+
+
+def test_theilsen_median_within_slope_range(spark, sf_correctness):
+    """The reported slope is a true median: between the min and max
+    pairwise slopes, and n_pairs == C(n_days, 2)."""
+    from tda596_lab02mapreduce_spark import io as _io
+    from tda596_lab02mapreduce_spark.registry import get
+
+    r = get("theilsen_daily_trend").spark_fn(spark, sf_correctness).collect()[0]
+    ev = _io.load(spark, sf_correctness, "events")
+    daily = (
+        ev.groupBy((F.col("ts").cast("long") / 86400).cast("bigint").alias("d"))
+        .count()
+        .collect()
+    )
+    days = sorted((row["d"], row["count"]) for row in daily)
+    slopes = [
+        (y2 - y1) / (d2 - d1)
+        for i, (d1, y1) in enumerate(days)
+        for (d2, y2) in days[i + 1 :]
+    ]
+    assert r["n_pairs"] == len(slopes)
+    assert min(slopes) <= r["slope_per_day"] <= max(slopes)
+    import statistics
+
+    assert abs(r["slope_per_day"] - statistics.median(slopes)) < 1e-9
