@@ -143,6 +143,15 @@ HEADLINE = [
     "max_drawdown_user",
     "stream_floor_balance_user",
     "allocate_order_totals",
+    # round-10 additions: the apriori triple miner (two pruned
+    # self-joins — the heaviest new plan shape), the PCA projection
+    # (model-sidecar broadcast + posexplode aggregate), the shard
+    # bin-packer (distributed-rank consumer at corpus grain), and the
+    # stopword discovery (distinct-token explode + source-keyed DF).
+    "frequent_triples_brand",
+    "embedding_pca_project",
+    "shard_bin_packing",
+    "text_stopword_discovery",
 ]
 
 

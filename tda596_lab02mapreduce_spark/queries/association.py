@@ -864,3 +864,201 @@ def frequent_triples_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b3").alias("brand_c"),
         "support",
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+def _ppr_oracle(rounds: int) -> str:
+    # same MATERIALIZED discipline as _lpa_oracle / hits_oracle_sql:
+    # e and n0 are referenced every round — without MATERIALIZED,
+    # DuckDB's CTE inlining re-derives the pair graph exponentially
+    parts = [
+        """cb0 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cb AS MATERIALIZED (
+  SELECT ck, unnest(list_sort(list(pk))[1:128]) AS pk FROM cb0 GROUP BY ck
+),
+pc AS MATERIALIZED (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM cb a JOIN cb b ON a.ck = b.ck AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= 5
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pc UNION ALL SELECT pb, pa FROM pc
+),
+deg AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+seeds AS (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 5),
+n0 AS MATERIALIZED (
+  SELECT d.id, d.deg,
+         CAST(CASE WHEN s.id IS NOT NULL
+              THEN 30000 * (SELECT n FROM nv) ELSE 0 END AS BIGINT) AS base_u
+  FROM deg d LEFT JOIN seeds s USING (id)
+),
+p0 AS MATERIALIZED (
+  SELECT id, deg, base_u, CAST(1000000 AS BIGINT) AS rank_u FROM n0
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT d.id, d.deg, d.base_u,
+         CAST(d.base_u + (170 * m.in_mass_e8 + 10000) // 20000 AS BIGINT)
+           AS rank_u
+  FROM (SELECT e.dst AS id,
+               SUM((200 * p.rank_u + p.deg) // (2 * p.deg)) AS in_mass_e8
+        FROM p{i - 1} p JOIN e ON e.src = p.id GROUP BY e.dst) m
+  JOIN n0 d ON d.id = m.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS part_id,
+       CAST(rank_u AS DOUBLE) / 1000000.0 AS ppr,
+       CAST(CASE WHEN base_u > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+FROM p{rounds}
+"""
+    )
+
+
+@register(
+    "ppr_seeded_related_parts",
+    oracle=_ppr_oracle(6),
+    doc=(
+        "Personalized PageRank over the part co-purchase graph "
+        "(support >= 5, the LPA edge source): the restart mass "
+        "(1-d) = 0.15, scaled by |V|, is paid ONLY to the 5 highest-"
+        "degree seed parts each round, so rank measures proximity to "
+        "the seed set — the related-items relevance propagation "
+        "recommenders run (Pinterest's Pixie shape, computed exactly "
+        "instead of by random walks). The ENTIRE 6-round iteration is "
+        "the pagerank integer discipline (1e-6-unit BIGINT ranks, "
+        "half-up 1e-8 shares, integer damping update; seed base "
+        "30000·|V| micro-units = (1-d)·|V|·1e6/5 exactly), so the "
+        "unrolled MATERIALIZED-CTE oracle replays it bit-for-bit. "
+        "Plan per round: one state-edge join + one dst-keyed "
+        "aggregate; dst deg AND seed base ride the edge list (joined "
+        "once up front), state localCheckpoints at cadence 3 (the "
+        "pagerank sweep), seeds via TakeOrderedAndProject (never a "
+        "partition-less window)."
+    ),
+    tags=("graph", "analytics", "agg", "join"),
+)
+def ppr_seeded_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rounds = 6
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    per_cust = cb.groupBy("ck").agg(
+        F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
+    )
+    capped = per_cust.select("ck", F.explode("pks").alias("pk"))
+    capped = capped.repartition("ck").localCheckpoint(eager=False)
+    pc = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    e = (
+        pc.selectExpr("pa AS src", "pb AS dst")
+        .unionAll(pc.selectExpr("pb AS src", "pa AS dst"))
+        .repartition("src")
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    nv = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(5)
+        .select(F.col("src").alias("id"), F.lit(1).alias("sfl"))
+    )
+    n0 = (
+        deg.select(F.col("src").alias("id"), "deg")
+        .join(F.broadcast(seeds), "id", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "id",
+            "deg",
+            F.when(F.col("sfl") == 1, 30000 * F.col("n"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("base_u"),
+        )
+        .localCheckpoint()
+    )
+    # dst's deg and seed base ride the edges: one up-front join, the
+    # loop is join+agg only (the pagerank shape)
+    sym_d = (
+        e.join(
+            n0.select(
+                F.col("id").alias("dst"),
+                F.col("deg").alias("dst_deg"),
+                F.col("base_u").alias("dst_base_u"),
+            ),
+            "dst",
+        )
+        .select("src", "dst", "dst_deg", "dst_base_u")
+        .repartition("src")
+        .persist()
+    )
+    state = n0.select(
+        "id", "deg", "base_u", F.lit(1_000_000).cast("bigint").alias("rank_u")
+    ).localCheckpoint()
+    for it in range(rounds):
+        state = (
+            sym_d.join(
+                state.select(
+                    F.col("id").alias("src"),
+                    F.expr("(200 * rank_u + deg) div (2 * deg)").alias("share_e8"),
+                ),
+                "src",
+            )
+            .groupBy(
+                F.col("dst").alias("id"),
+                F.col("dst_deg").alias("deg"),
+                F.col("dst_base_u").alias("base_u"),
+            )
+            .agg(F.sum("share_e8").alias("in_mass_e8"))
+            .select(
+                "id",
+                "deg",
+                "base_u",
+                (
+                    F.col("base_u")
+                    + F.expr("(170 * in_mass_e8 + 10000) div 20000")
+                )
+                .cast("bigint")
+                .alias("rank_u"),
+            )
+        )
+        if it % 3 == 2 or it == rounds - 1:
+            state = state.localCheckpoint()
+    e.unpersist()
+    sym_d.unpersist()
+    return state.select(
+        F.col("id").alias("part_id"),
+        (F.col("rank_u").cast("double") / F.lit(1_000_000.0)).alias("ppr"),
+        F.when(F.col("base_u") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_seed"),
+    )

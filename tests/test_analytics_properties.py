@@ -319,3 +319,18 @@ def test_pca_model_properties(spark, sf_correctness):
     ev = model["explained_var"]
     assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
     assert sum(ev) > (len(ev) / 64.0) * model["total_var"]
+
+
+def test_ppr_mass_concentrates_at_seeds(spark, sf_correctness):
+    """Personalized PageRank sanity: the 5 seeds exist, every seed's
+    rank exceeds the overall median (restart mass is paid only to
+    seeds), and all ranks are positive."""
+    from tda596_lab02mapreduce_spark.registry import get
+
+    rows = get("ppr_seeded_related_parts").spark_fn(spark, sf_correctness).collect()
+    seeds = [r for r in rows if r["is_seed"] == 1]
+    others = sorted(r["ppr"] for r in rows if r["is_seed"] == 0)
+    assert len(seeds) == 5
+    med = others[len(others) // 2]
+    assert all(s["ppr"] > med for s in seeds)
+    assert all(r["ppr"] >= 0 for r in rows)
