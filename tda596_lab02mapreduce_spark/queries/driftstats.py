@@ -1317,3 +1317,97 @@ def rolling_corr_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("roll_corr_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast error / MASE (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_mase_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, d, y,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS y7,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS y1
+  FROM daily
+),
+err AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN y7 IS NOT NULL THEN abs(y - y7) END) AS BIGINT)
+           AS sae_snaive,
+         CAST(SUM(CASE WHEN y7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_snaive,
+         CAST(SUM(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) END) AS BIGINT)
+           AS sae_naive,
+         CAST(SUM(CASE WHEN y1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_naive
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, sae_snaive, n_snaive, sae_naive, n_naive,
+       CAST((1000 * sae_snaive * n_naive) // (sae_naive * n_snaive)
+            AS BIGINT) AS mase_milli
+FROM err
+""",
+    doc=(
+        "MASE (mean absolute scaled error, Hyndman-Koehler 2006) of "
+        "the seasonal-naive lag-7 forecast of daily event counts, "
+        "scaled by the one-step naive MAE — the standard "
+        "unit-free forecast-accuracy readout (mase < 1000 milli = "
+        "weekly seasonality carries real signal beyond persistence; "
+        "the eval twin of holt_forecast_daily, which produces "
+        "forecasts but never scores them). Counts are integers, "
+        "absolute errors are integers, and the final ratio is one "
+        "exact cross-multiplied integer division — nothing to round. "
+        "Plan: the corpus collapses to the (type, day) grain first; "
+        "both lags ride ONE type-partitioned window pass over that "
+        "bounded aggregate (never partition-less); the rollup is a "
+        "5-row group."
+    ),
+    tags=("timeseries", "stats", "window", "agg"),
+)
+def forecast_mase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / F.lit(86400)).cast("bigint").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 1).over(w).alias("y1"),
+    )
+    err = lagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("y7").isNotNull(), F.abs(F.col("y") - F.col("y7"))))
+        .cast("bigint")
+        .alias("sae_snaive"),
+        F.sum(F.when(F.col("y7").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_snaive"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.abs(F.col("y") - F.col("y1"))))
+        .cast("bigint")
+        .alias("sae_naive"),
+        F.sum(F.when(F.col("y1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_naive"),
+    )
+    return err.select(
+        "event_type",
+        "sae_snaive",
+        "n_snaive",
+        "sae_naive",
+        "n_naive",
+        F.expr(
+            "CAST((1000 * sae_snaive * n_naive) DIV (sae_naive * n_snaive)"
+            " AS BIGINT)"
+        ).alias("mase_milli"),
+    )

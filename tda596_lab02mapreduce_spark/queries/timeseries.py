@@ -1887,3 +1887,96 @@ def max_drawdown_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_trough_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ltv_cohort_curve",
+    oracle="""
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END AS cents
+  FROM events
+),
+fw AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id),
+cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort_users
+       FROM fw GROUP BY 1),
+wkrev AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, e.wk) // 7 AS BIGINT)
+           AS week_offset,
+         CAST(SUM(e.cents) AS BIGINT) AS rev_cents
+  FROM ev e JOIN fw f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT w.cohort_week, w.week_offset, c.n_cohort_users,
+       CAST(SUM(w.rev_cents) OVER (
+              PARTITION BY w.cohort_week ORDER BY w.week_offset) AS BIGINT)
+         AS cum_revenue_cents,
+       CAST(SUM(w.rev_cents) OVER (
+              PARTITION BY w.cohort_week ORDER BY w.week_offset)
+            // c.n_cohort_users AS BIGINT) AS ltv_cents_per_user
+FROM wkrev w JOIN cs c USING (cohort_week)
+""",
+    doc=(
+        "Cohort lifetime-value curve: for each signup cohort (week of "
+        "a user's first event) and week offset, the CUMULATIVE "
+        "purchase revenue and the per-user LTV — the growth-"
+        "accounting readout that retention_cohorts' activity matrix "
+        "feeds into when each cell carries money instead of presence. "
+        "Integer cents throughout; LTV is exact integer division by "
+        "the cohort size. Plan: the user-grain first-week agg and the "
+        "per-(user, week) revenue share one user_id shuffle; the "
+        "cumulative sum runs on the COHORT-grain aggregate (a few "
+        "hundred rows at any scale — cohorts × offsets), partitioned "
+        "by cohort_week, never partition-less."
+    ),
+    tags=("timeseries", "window", "agg"),
+)
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+    )
+    fw = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    cs = fw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort_users")
+    )
+    wkrev = (
+        ev.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return (
+        wkrev.join(cs, "cohort_week")
+        .withColumn(
+            "cum_revenue_cents", F.sum("rev_cents").over(w).cast("bigint")
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_cohort_users",
+            "cum_revenue_cents",
+            F.expr("CAST(cum_revenue_cents DIV n_cohort_users AS BIGINT)").alias(
+                "ltv_cents_per_user"
+            ),
+        )
+    )

@@ -1124,3 +1124,90 @@ def shard_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-mix token allocation (round-10 widening)
+# ---------------------------------------------------------------------------
+
+# Target mixture shares in ppm (sums to 1,000,000): the literal
+# recipe a training run would pin in its config — lang share, not a
+# fitted quantity, so a literal table is the honest representation.
+_MIX_TARGET_PPM: tuple[tuple[str, int], ...] = (
+    ("en", 700_000),
+    ("de", 150_000),
+    ("fr", 150_000),
+)
+
+
+@register(
+    "dataset_mix_allocation",
+    oracle=f"""
+WITH tgt(lang, target_ppm) AS (VALUES
+  {", ".join(f"('{lang}', {ppm})" for lang, ppm in _MIX_TARGET_PPM)}
+),
+src AS (
+  SELECT d.lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(d.text, '[^\\p{{L}}]+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents d GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(s.n_tokens) AS BIGINT) AS budget
+  FROM src s JOIN tgt USING (lang)
+)
+SELECT s.lang, s.n_docs, s.n_tokens, t.target_ppm,
+       CAST((tot.budget * t.target_ppm) // 1000000 AS BIGINT)
+         AS target_tokens,
+       CAST((1000 * ((tot.budget * t.target_ppm) // 1000000))
+            // s.n_tokens AS BIGINT) AS epochs_milli
+FROM src s JOIN tgt t USING (lang), tot
+""",
+    doc=(
+        "Dataset-mixture token allocation: given the pinned target "
+        "language shares (the run config) and the measured per-source "
+        "token inventory, compute each source's token budget and the "
+        "implied epoch count (epochs > 1000 milli = that source must "
+        "repeat — the data-constrained signal mixture planners act "
+        "on). The budget is the total tokens across targeted sources, "
+        "split by target share in exact integer ppm; epochs are "
+        "integer milli-epochs (1000·target DIV available). This is "
+        "the PLANNING twin of dataset_mix_weighted (which executes a "
+        "sampled mix): real pipelines compute this table first and "
+        "sample second. One token-count aggregate per source (the "
+        "reference tokenizer, row-local length — no explode), one "
+        "3-row literal join, one 1-row budget broadcast."
+    ),
+    tags=("trainprep", "llm", "agg"),
+)
+def dataset_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    tgt = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            list(_MIX_TARGET_PPM), "lang string, target_ppm long"
+        )
+    )
+    src = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens_nonempty("text"))).cast("bigint").alias("n_tokens"),
+    )
+    joined = src.join(tgt, "lang")
+    tot = joined.agg(F.sum("n_tokens").cast("bigint").alias("budget"))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tokens",
+            F.expr("CAST((budget * target_ppm) DIV 1000000 AS BIGINT)"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "target_ppm",
+            "target_tokens",
+            F.expr("CAST((1000 * target_tokens) DIV n_tokens AS BIGINT)").alias(
+                "epochs_milli"
+            ),
+        )
+    )
