@@ -283,3 +283,40 @@ def audio_frame_energy(audio: DataFrame, *, frame: int = 256) -> DataFrame:
             yield pd.DataFrame(out)
 
     return audio.select("media_id", "blob").mapInPandas(run, AUDIO_FRAME_SCHEMA)
+
+
+def phash16(media: DataFrame) -> DataFrame:
+    """16-bit average-hash (aHash) over binary media blobs — the
+    perceptual-dedup primitive (real pipelines: downscale to 8×8,
+    threshold against the mean; here the fake-decode integer features
+    stand in for the pixel grid, same signature as extract_features'
+    escape hatch).
+
+    INTEGER discipline: bit_i = (16·v_i > Σv) with v_i the
+    pre-division fake-decode integers ((md5-window + i) mod 10007), so
+    the hash is exact — no float mean, no cross-engine threshold
+    boundary.  mapInPandas map-only: blobs never shuffle; only
+    (media_id, phash) leaves the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ahash(b: bytes) -> int:
+            h = hashlib.md5(b).digest()
+            vs = [
+                (int.from_bytes(h[(4 * i) % 16 : (4 * i) % 16 + 4], "big") + i)
+                % 10007
+                for i in range(16)
+            ]
+            s = sum(vs)
+            return sum((1 << i) for i, v in enumerate(vs) if 16 * v > s)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash16": pdf["blob"].map(lambda b: ahash(bytes(b))).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        run, schema="media_id long, phash16 long"
+    )

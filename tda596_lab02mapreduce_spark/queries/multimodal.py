@@ -128,3 +128,59 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("blob"),
     )
     return mm.audio_frame_energy(audio, frame=256)
+
+
+@register(
+    "multimodal_phash_buckets",
+    oracle="""
+WITH v AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(0, 16), i ->
+           (CAST('0x' || substr(md5(text), ((4 * i) % 16) * 2 + 1, 8)
+                 AS BIGINT) + i) % 10007) AS vs
+  FROM documents
+),
+h AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, 16), i ->
+           CASE WHEN 16 * vs[i + 1] > list_sum(vs) THEN 1 << i ELSE 0 END))
+           AS BIGINT) AS phash16
+  FROM v
+)
+SELECT media_id, phash16,
+       CAST(count(*) OVER (PARTITION BY phash16) AS BIGINT) AS bucket_n
+FROM h
+""",
+    doc=(
+        "Perceptual-hash (aHash) bucketing over binary media blobs "
+        "(operators/multimodal.py:phash16): the near-duplicate-IMAGE "
+        "analogue of dedup_simhash — blobs hash to 16 bits via "
+        "threshold-against-the-mean, equal hashes land in one bucket, "
+        "bucket_n > 1 marks perceptual-dup candidates for pairwise "
+        "verification. The hash is EXACT integer math over the "
+        "fake-decode feature integers (16·v_i > Σv — no float mean), "
+        "so the DuckDB oracle replays the full mapInPandas path from "
+        "the md5 hex. Map-only over the blobs (bytes never shuffle); "
+        "bucket counts come from the BOUNDED hash-grain aggregate "
+        "(≤ 2^16 rows at any corpus size) broadcast-joined back — a "
+        "corpus-wide window would sort the corpus for a count a "
+        "forever-broadcastable table already holds. Swap _fake_decode "
+        "for a real 8×8 grayscale downsample at the same signature "
+        "and nothing else changes."
+    ),
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.media_table_from_documents(io.load(spark, sf_dir, "documents"))
+    # hashed twice below (rows + counts): lazy checkpoint pins ONE
+    # mapInPandas evaluation of the blobs
+    h = mm.phash16(media).localCheckpoint(eager=False)
+    # counts via the BOUNDED hash-grain aggregate (≤ 2^16 rows at any
+    # corpus size) joined back — not a corpus-wide window sort: the
+    # count table broadcasts forever, the window would sort the corpus
+    counts = h.groupBy("phash16").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_n")
+    )
+    return h.join(F.broadcast(counts), "phash16").select(
+        "media_id", "phash16", "bucket_n"
+    )
