@@ -54,3 +54,23 @@ def test_decay_attribution_credit_conserved_and_decays(spark, sf_correctness):
         weights = [r.weight for r in rs]
         assert all(w in (1, 2, 4, 8, 16, 32) for w in weights)
         assert weights == sorted(weights, reverse=True)
+
+
+def test_ltv_curve_monotone(spark, sf_correctness):
+    """Cumulative revenue is non-decreasing in week offset within each
+    cohort, and LTV is the exact integer division by cohort size."""
+    from tda596_lab02mapreduce_spark.registry import get
+
+    rows = get("ltv_cohort_curve").spark_fn(spark, sf_correctness).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+        assert (
+            r["ltv_cents_per_user"]
+            == r["cum_revenue_cents"] // r["n_cohort_users"]
+        )
+    for curve in by_cohort.values():
+        curve.sort(key=lambda r: r["week_offset"])
+        cums = [r["cum_revenue_cents"] for r in curve]
+        assert cums == sorted(cums)

@@ -446,3 +446,17 @@ def test_fixture_days_are_contiguous(spark, sf_correctness):
     )
     span = (days[-1] - days[0]).days + 1
     assert span == len(days), f"day gap: {span} calendar days, {len(days)} present"
+
+
+def test_mase_positive_and_consistent(spark, sf_correctness):
+    from tda596_lab02mapreduce_spark.registry import get
+
+    rows = get("forecast_mase_daily").spark_fn(spark, sf_correctness).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # 30 fixture days: 23 lag-7 points, 29 lag-1 points
+        assert r["n_snaive"] == r["n_naive"] - 6
+        assert r["mase_milli"] == (1000 * r["sae_snaive"] * r["n_naive"]) // (
+            r["sae_naive"] * r["n_snaive"]
+        )
+        assert r["mase_milli"] > 0

@@ -377,3 +377,18 @@ def test_shard_bin_packing_balance(spark, sf_correctness):
     max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
     n_strata = (sum(counts) + 15) // 16
     assert max(totals) - min(totals) <= max_doc * n_strata
+
+
+def test_mix_allocation_budget_conserved(spark, sf_correctness):
+    """Target tokens split the budget by share (sum within ppm floor
+    loss of the budget), and a source with target share above its
+    inventory share must show epochs > 1000 milli."""
+    from tda596_lab02mapreduce_spark.registry import get
+
+    rows = get("dataset_mix_allocation").spark_fn(spark, sf_correctness).collect()
+    assert {r["lang"] for r in rows} == {"en", "de", "fr"}
+    budget = sum(r["n_tokens"] for r in rows)
+    tgt_sum = sum(r["target_tokens"] for r in rows)
+    assert budget - 3 <= tgt_sum <= budget
+    for r in rows:
+        assert r["epochs_milli"] == (1000 * r["target_tokens"]) // r["n_tokens"]
