@@ -934,3 +934,61 @@ def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("purchase_us"),
         F.unix_micros("asof_ts").alias("nearest_click_us"),
     )
+
+
+@register(
+    "join_asof_tolerance_click",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       c.click_us,
+       CAST(CASE WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS matched
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT epoch_us(c.ts) AS click_us
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+  ORDER BY c.ts DESC LIMIT 1
+) c ON TRUE
+""",
+    doc=(
+        "Bounded-staleness as-of join (pandas merge_asof's `tolerance` "
+        "knob): each purchase takes the user's latest prior click ONLY "
+        "if it is at most 1 hour old — older context is stale and the "
+        "row keeps a NULL payload instead (LEFT semantics), which is "
+        "how feature-store lookups enforce freshness SLAs. Same "
+        "one-shuffle union+window walk as the rest of the as-of family "
+        "(operators/asof.py; the tolerance is one extra predicate on "
+        "the carried match, not a second join); oracle is the "
+        "LEFT LATERAL limit-1 spec with the window bound inlined."
+    ),
+    tags=("join", "asof"),
+)
+def join_asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = io.load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=[],
+        how="left",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("asof_ts").alias("click_us"),
+        F.when(F.col("asof_ts").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("matched"),
+    )

@@ -1980,3 +1980,91 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 incremental maintenance (round-10 widening)
+# ---------------------------------------------------------------------------
+
+# cutoff between the "existing dimension" and the "change batch":
+# mid-corpus (fixture spans 2024-01; day 15 splits signups ~half/half)
+_SCD2_CUTOFF_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in epoch µs
+
+
+@register(
+    "scd2_apply_changes",
+    oracle=f"""
+SELECT user_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS feature_k,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       ) AS valid_to_us
+FROM events WHERE event_type = 'signup'
+""",
+    doc=(
+        "Incremental SCD2 maintenance (the MERGE a warehouse runs "
+        "nightly): the existing dimension (signups before 2024-01-15, "
+        "already in SCD2 form) takes a change batch (signups on/after "
+        "the cutoff) WITHOUT rebuilding history — each changed user's "
+        "OPEN row is closed at their first change timestamp, batch "
+        "rows chain among themselves, untouched rows pass through. "
+        "The ORACLE is the full-history rebuild, so the hash check IS "
+        "the maintenance-equals-rebuild theorem on the whole fixture "
+        "— the property that makes incremental dimension loads "
+        "trustworthy. Plan: the dimension and the batch window on the "
+        "same user_id key; the close step is one aggregate (min "
+        "change ts per user) broadcast against the open rows; no "
+        "history rows are rewritten (at 100 TB the closed history is "
+        "the immutable bulk — this plan never touches it)."
+    ),
+    tags=("timeseries", "scd2", "window", "join"),
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("feature_k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # the EXISTING dimension: SCD2 over pre-cutoff signups (what's on
+    # disk before tonight's load)
+    dim = (
+        signups.filter(F.col("ts_us") < _SCD2_CUTOFF_US)
+        .withColumn("valid_to_us", F.lead("ts_us").over(w))
+        .select(
+            "user_id",
+            "feature_k",
+            F.col("ts_us").alias("valid_from_us"),
+            "valid_to_us",
+        )
+    )
+    # tonight's change batch: post-cutoff signups, chained among
+    # themselves (lead within the batch)
+    batch = (
+        signups.filter(F.col("ts_us") >= _SCD2_CUTOFF_US)
+        .withColumn("valid_to_us", F.lead("ts_us").over(w))
+        .select(
+            "user_id",
+            "feature_k",
+            F.col("ts_us").alias("valid_from_us"),
+            "valid_to_us",
+        )
+    )
+    first_change = batch.groupBy("user_id").agg(
+        F.min("valid_from_us").alias("close_at_us")
+    )
+    # MERGE: closed history passes through untouched; open rows of
+    # changed users close at the user's first change ts; open rows of
+    # unchanged users stay open
+    closed_history = dim.filter(F.col("valid_to_us").isNotNull())
+    open_rows = dim.filter(F.col("valid_to_us").isNull()).drop("valid_to_us")
+    merged_open = open_rows.join(first_change, "user_id", "left").select(
+        "user_id",
+        "feature_k",
+        "valid_from_us",
+        F.col("close_at_us").alias("valid_to_us"),
+    )
+    return closed_history.unionByName(merged_open).unionByName(batch)
