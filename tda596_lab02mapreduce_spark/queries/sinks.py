@@ -1060,3 +1060,48 @@ def sink_versioned_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, survived boolean, n_rows long"
     )
+
+
+@register(
+    "sink_xml_roundtrip",
+    oracle="""
+SELECT CAST(n_regionkey AS INT) AS n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       string_agg(n_name, '|' ORDER BY n_name) AS names
+FROM nation
+GROUP BY n_regionkey
+""",
+    doc=(
+        "XML sink + re-scan — Spark 4's NATIVE xml format (spark-xml "
+        "merged upstream in 4.0; rowTag element per record, schema "
+        "declared on read like every schemaless format here). The "
+        "nation table round-trips through <nations><nation>...</> "
+        "files and the aggregate hash-matches the ORIGINAL parquet — "
+        "a dropped/mangled element breaks the count, an "
+        "entity-escaping bug breaks the ordered name concat. "
+        "Completes the format matrix: parquet / orc / csv / json / "
+        "text-kv / binary / zstd codecs / python-custom / versioned "
+        "/ XML, with avro and protobuf as the two env-gated jars."
+    ),
+    tags=("sink", "source"),
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = io.load(spark, sf_dir, "nation")
+    path = _sink_path(sf_dir, "nation_xml")
+    (
+        nation.write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey INT, n_comment STRING")
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names"),
+    )
