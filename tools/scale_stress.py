@@ -181,6 +181,30 @@ QUERIES = [
     "assoc_rules_confidence",
     "audience_overlap_matrix",
     "hampel_outliers_daily",
+    # round-10 band. All honest-linear on this staging: events queries
+    # stay within disjoint user/day replicas, the facts queries grow
+    # baskets BY ORDER (order keys replica-offset, basket sizes
+    # unchanged) against the fixed dimensions, documents queries ride
+    # the disjoint-suffix corpus, and pca rides the sign-flipped
+    # embeddings (the FIT is part of the measured op — dataset_key is
+    # the staging dir, so the probe pays one real fit + serve, the
+    # deploy shape). text_stopword_discovery is deliberately ABSENT:
+    # replica suffixes push every token's per-source doc-frequency
+    # under the 60% threshold, so the 10× result is empty — a
+    # degenerate measurement, not an honest one.
+    # ppr_seeded_related_parts is in GRAPH_QUERIES (densifying here).
+    "split_temporal_holdout",
+    "eb_shrunk_return_rate",
+    "shard_bin_packing",
+    "multimodal_phash_buckets",
+    "frequent_triples_brand",
+    "ab_test_mannwhitney_u",
+    "theilsen_daily_trend",
+    "forecast_mase_daily",
+    "ltv_cohort_curve",
+    "scd2_apply_changes",
+    "join_asof_tolerance_click",
+    "embedding_pca_project",
 ]
 
 # SCALE_BAND=graph (round-10, VERDICT r9 #1): the bipartite iterative
@@ -198,6 +222,7 @@ GRAPH_QUERIES = [
     "kcore_peel_bipartite",
     "community_label_propagation",
     "recsys_item_cosine_topk",
+    "ppr_seeded_related_parts",
 ]
 
 # SCALE_BAND=skew (round-10, VERDICT r9 #6): the user-keyed band under
