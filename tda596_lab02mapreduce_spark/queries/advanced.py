@@ -1352,3 +1352,78 @@ def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy subtree rollup via pointer doubling (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bom_subtree_rollup",
+    oracle="""
+WITH anc AS (
+  -- ancestor chain by INTEGER powers (literal list: 10 ** k is DOUBLE
+  -- in DuckDB and double // is not floor — the theilsen lesson);
+  -- roots are partkey < 10 (self only), so drop the spurious 0 tail
+  -- except for node 0 itself
+  SELECT p_partkey AS node,
+         unnest(list_distinct(list_filter(
+           list_transform([1, 10, 100, 1000, 10000, 100000, 1000000, 10000000],
+                          p -> p_partkey // p),
+           a -> a >= 1 OR a = p_partkey))) AS anc
+  FROM part
+)
+SELECT a.anc AS ancestor,
+       CAST(count(*) AS BIGINT) AS subtree_parts,
+       CAST(SUM(CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS subtree_retail_cents
+FROM anc a JOIN part p ON p.p_partkey = a.node
+GROUP BY 1
+""",
+    doc=(
+        "Bill-of-materials-style SUBTREE rollup over a part hierarchy "
+        "(parent = partkey DIV 10 — a deterministic 6-level tree over "
+        "the catalog): every ancestor's part count and total retail "
+        "cents, self included. The Spark plan is POINTER DOUBLING "
+        "(transitive closure in O(log depth) rounds: A' = A ∘ A, 3 "
+        "rounds cover depth 8) — the parallel-hierarchy technique the "
+        "sequential recursive CTE can't express, and a different "
+        "iterative-graph shape from pagerank/LPA/components (closure "
+        "GROWS per round instead of state being replaced). The oracle "
+        "generates each node's ancestor chain directly (DIV powers), "
+        "so the doubling is proven against the closed form. Per "
+        "round: one anc-keyed equi-self-join + distinct; the rollup "
+        "is one keyed aggregate of integer cents."
+    ),
+    tags=("graph", "agg", "analytics"),
+)
+def bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = io.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    # A0: self-pairs + parent edges (parent = pk DIV 10, roots pk < 10)
+    a = part.select(F.col("p_partkey").alias("node"), F.col("p_partkey").alias("anc")).unionAll(
+        part.filter(F.col("p_partkey") >= 10).select(
+            F.col("p_partkey").alias("node"),
+            F.expr("p_partkey DIV 10").alias("anc"),
+        )
+    )
+    a = a.repartition("anc").localCheckpoint()
+    for _ in range(3):  # 2^3 = 8 >= max depth of the DIV-10 tree
+        a = (
+            a.alias("x")
+            .join(a.alias("y"), F.col("x.anc") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.anc").alias("anc"))
+            .distinct()
+            .localCheckpoint()
+        )
+    return (
+        a.join(part, a.node == part.p_partkey)
+        .groupBy(F.col("anc").alias("ancestor"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("subtree_parts"),
+            F.sum("cents").cast("bigint").alias("subtree_retail_cents"),
+        )
+    )
