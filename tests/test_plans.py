@@ -630,3 +630,34 @@ def test_covariance_is_single_aggregate(spark, sf_correctness):
     plan = plans.formatted_plan(df)
     n_exchanges = plan.count("Exchange ")
     assert n_exchanges <= 1, plan
+
+
+def test_round10_band_plan_shapes(spark, sf_correctness):
+    """Round-10 operators: no cartesian products anywhere, zero
+    partition-less WindowExec nodes, and the blob-bearing phash plan
+    never shuffles bytes (its only exchanges are on the 2-column
+    (media_id, phash16) projection — asserted via exchange count, the
+    blob column cannot survive the mapInPandas output schema)."""
+    for name, max_exchanges in [
+        ("split_temporal_holdout", 4),
+        ("eb_shrunk_return_rate", 7),
+        ("shard_bin_packing", 8),
+        ("text_stopword_discovery", 5),
+        ("frequent_triples_brand", 30),
+        ("embedding_pca_project", 3),
+        ("ab_test_mannwhitney_u", 9),
+        ("theilsen_daily_trend", 12),
+        ("ltv_cohort_curve", 11),
+        ("dataset_mix_allocation", 6),
+        ("forecast_mase_daily", 5),
+        ("multimodal_phash_buckets", 3),
+        ("join_asof_tolerance_click", 3),
+        ("scd2_apply_changes", 8),
+        ("bom_subtree_rollup", 12),
+    ]:
+        df = get(name).spark_fn(spark, sf_correctness)
+        assert not plans.has_operator(df, "CartesianProduct"), name
+        assert plans.partitionless_window_count(df) == 0, name
+        plan = plans.final_plan(df)
+        n_ex = plans.count_nodes(plan, "Exchange")
+        assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges"
