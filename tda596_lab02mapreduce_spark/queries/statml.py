@@ -2986,3 +2986,135 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(2.0)
         ).alias("slope_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch perceptron (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+def _perceptron_oracle(rounds: int) -> str:
+    parts = [
+        """feat AS MATERIALIZED (
+  SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS x1,
+         CAST(month(o_orderdate) AS BIGINT) AS x2,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE -1 END AS y
+  FROM orders
+),
+b0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+              CAST(0 AS BIGINT) AS w2)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""b{i} AS (
+  SELECT b.w0 + COALESCE(SUM(CASE WHEN f.y * (b.w0 + b.w1 * f.x1 + b.w2 * f.x2)
+                                       <= 0 THEN f.y END), 0) AS w0,
+         b.w1 + COALESCE(SUM(CASE WHEN f.y * (b.w0 + b.w1 * f.x1 + b.w2 * f.x2)
+                                       <= 0 THEN f.y * f.x1 END), 0) AS w1,
+         b.w2 + COALESCE(SUM(CASE WHEN f.y * (b.w0 + b.w1 * f.x1 + b.w2 * f.x2)
+                                       <= 0 THEN f.y * f.x2 END), 0) AS w2
+  FROM feat f, b{i - 1} b
+  GROUP BY b.w0, b.w1, b.w2
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT b.w0, b.w1, b.w2,
+       CAST(SUM(CASE WHEN f.y * (b.w0 + b.w1 * f.x1 + b.w2 * f.x2) <= 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_misclassified,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM feat f, b{rounds} b
+GROUP BY b.w0, b.w1, b.w2
+"""
+    )
+
+
+@register(
+    "perceptron_batch_priority",
+    oracle=_perceptron_oracle(4),
+    doc=(
+        "Batch perceptron (fixed 4 rounds, batch-gradient variant: "
+        "each round adds the SUM of y·x over currently-misclassified "
+        "rows — order-free, unlike the sequential online perceptron) "
+        "classifying urgent/high priority from integer features "
+        "(price bucket, order month). Every quantity in the training "
+        "LOOP is a BIGINT (features are integer buckets, learning "
+        "rate 1), so the full 4-round training trajectory replays "
+        "bit-exactly in the unrolled-CTE oracle — a TRAINED MODEL as "
+        "a hash-checked query, the same discipline as the pagerank/"
+        "PPR iterations. Near-chance accuracy on the synthetic "
+        "fixture is the honest expected result (priorities are "
+        "random) — the gate checks the algorithm, not the data. Plan "
+        "per round: one scan of the cached feature projection + a "
+        "1-row broadcast of the weights; at 100 TB this is 4 "
+        "map-side-combinable aggregates."
+    ),
+    tags=("statml", "agg", "ml"),
+)
+def perceptron_batch_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders")
+    feat = orders.select(
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("x1"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint(eager=False)
+    w = (0, 0, 0)
+    beta = None
+    for _ in range(4):
+        if beta is None:
+            beta = spark.createDataFrame([w], "w0 long, w1 long, w2 long")
+        margin = F.col("y") * (
+            F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        )
+        mis = F.when(margin <= 0, F.lit(1)).otherwise(F.lit(0))
+        upd = (
+            feat.crossJoin(F.broadcast(beta))
+            .agg(
+                (F.first("w0") + F.sum(F.when(margin <= 0, F.col("y")).otherwise(F.lit(0))))
+                .cast("bigint")
+                .alias("w0"),
+                (
+                    F.first("w1")
+                    + F.sum(
+                        F.when(margin <= 0, F.col("y") * F.col("x1")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                )
+                .cast("bigint")
+                .alias("w1"),
+                (
+                    F.first("w2")
+                    + F.sum(
+                        F.when(margin <= 0, F.col("y") * F.col("x2")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                )
+                .cast("bigint")
+                .alias("w2"),
+            )
+        )
+        beta = upd.localCheckpoint()
+    margin = F.col("y") * (
+        F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    )
+    return (
+        feat.crossJoin(F.broadcast(beta))
+        .groupBy("w0", "w1", "w2")
+        .agg(
+            F.sum(F.when(margin <= 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_misclassified"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+        .select("w0", "w1", "w2", "n_misclassified", "n_total")
+    )
