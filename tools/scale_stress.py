@@ -289,6 +289,15 @@ BROADCAST_TRANSITION_OK = {
     # plan (same designed regime change as join_interval_overlap,
     # observed two doublings later).
     "dedup_ppjoin_pairs",
+    # crosses at 20× (r10): the 435-row slope table's PLAN-TIME size
+    # estimate is input-proportional (Catalyst can't know the day
+    # grain is 30 groups), so the small_df_rank triangular join plans
+    # as a shuffle (exchanges 11 → 13, hashpartitioning(num,den,s,
+    # da,db) appearing). The side is bounded by days² — horizon-
+    # proportional, NOT forever-broadcastable (a 10-year horizon is
+    # 6.6M pairs), so per the round-10 de-hinting discipline the
+    # regime transition is left to the optimizer rather than forced.
+    "theilsen_daily_trend",
 }
 
 
