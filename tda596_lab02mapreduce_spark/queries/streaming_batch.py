@@ -678,6 +678,130 @@ def stream_interval_join_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_interval_join_fouter",
+    oracle="""
+WITH bound AS (
+  SELECT least(
+           (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'click'),
+           (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 130 MINUTES AS b
+)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       COALESCE(p.user_id, c.user_id) AS user_id
+FROM (SELECT * FROM events
+      WHERE event_type = 'purchase'
+        AND CAST(ts AS TIMESTAMP) < (SELECT b FROM bound)) p
+FULL JOIN (SELECT * FROM events
+           WHERE event_type = 'click'
+             AND CAST(ts AS TIMESTAMP) < (SELECT b FROM bound)) c
+  ON p.user_id = c.user_id
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTES
+""",
+    doc=(
+        "Stream-stream FULL OUTER interval join — completes the "
+        "stream-stream family (inner, left outer, full outer): "
+        "matched attribution pairs PLUS organic purchases (null "
+        "click) PLUS unconverted clicks (null purchase), each "
+        "unmatched row emitted only when the global watermark proves "
+        "its match can no longer arrive. Both sides cut to strictly "
+        "older than min(max_click, max_purchase) - 130 min — the "
+        "louter query's watermark-safe margin applied to BOTH "
+        "eviction directions, so the drained set is exact instead of "
+        "tail-flaky. At 100 TB the interval condition is what bounds "
+        "BOTH sides' state; without it each side buffers forever."
+    ),
+    tags=("streaming", "join"),
+)
+def stream_interval_join_fouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 30 minutes")),
+        "full_outer",
+    )
+    drained = run_available_now(
+        j.select(
+            "purchase_id",
+            "click_id",
+            F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+            "p_ts",
+            "c_ts",
+        ),
+        "q_stream_interval_join_fouter",
+        output_mode="append",
+    )
+    ev_b = io.load(spark, sf_dir, "events")
+    bound = (
+        ev_b.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("mx")
+        )
+        .select((F.col("mx") - F.expr("interval 130 minutes")).alias("b"))
+    )
+    # Exact reconstruction of the oracle's PRE-join cut from the
+    # post-drain rows (simply filtering drained rows is WRONG at the
+    # boundary: a click whose only matching purchases lie in the
+    # unsafe region [b, max] must come back as an UNMATCHED row, not
+    # vanish with its dropped pairs). Three pieces, all keyed:
+    #   pairs   — both timestamps safe;
+    #   orphan purchases — no click at all, p safe (every click
+    #             matching a safe purchase is automatically safe,
+    #             click_ts <= p_ts < b);
+    #   orphan clicks — safe clicks with NO safe pair (anti join on
+    #             click_id against the kept pairs).
+    d = drained.crossJoin(F.broadcast(bound)).localCheckpoint(eager=False)
+    pairs = d.filter(
+        F.col("purchase_id").isNotNull()
+        & F.col("click_id").isNotNull()
+        & (F.col("p_ts") < F.col("b"))
+        & (F.col("c_ts") < F.col("b"))
+    ).select("purchase_id", "click_id", "user_id")
+    orphan_p = d.filter(
+        F.col("click_id").isNull() & (F.col("p_ts") < F.col("b"))
+    ).select("purchase_id", "click_id", "user_id")
+    safe_clicks = (
+        d.filter(F.col("click_id").isNotNull() & (F.col("c_ts") < F.col("b")))
+        .select("click_id", "user_id")
+        .distinct()
+    )
+    orphan_c = safe_clicks.join(
+        pairs.select("click_id"), "click_id", "left_anti"
+    ).select(
+        F.lit(None).cast("long").alias("purchase_id"), "click_id", "user_id"
+    )
+    return pairs.unionByName(orphan_p).unionByName(orphan_c)
+
+
 from tda596_lab02mapreduce_spark.queries.driftstats import PSI_ORACLE as _PSI_ORACLE
 
 
