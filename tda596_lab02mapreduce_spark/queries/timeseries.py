@@ -2068,3 +2068,48 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("close_at_us").alias("valid_to_us"),
     )
     return closed_history.unionByName(merged_open).unionByName(batch)
+
+
+# ---------------------------------------------------------------------------
+# CDC tombstone compaction (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_tombstone_compaction",
+    oracle="""
+SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+FROM (
+  SELECT user_id, event_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc=(
+        "DELETE-aware changelog compaction (the Debezium/Kafka "
+        "log-compaction semantics cdc_latest_per_user omits): "
+        "'error' events stand in for tombstones — a key whose LATEST "
+        "record is a tombstone disappears from the materialized "
+        "table entirely, rather than surfacing its previous value "
+        "(the bug naive 'latest non-delete per key' compactions "
+        "have: they resurrect deleted rows). Same WindowGroupLimit "
+        "top-1 plan as the plain compaction, one user-keyed shuffle; "
+        "the tombstone test is a filter ON THE SURVIVOR, never a "
+        "second pass. 30 of 2000 fixture keys end deleted (probed at "
+        "sf0.01) — the oracle is non-vacuous on both the kept and "
+        "dropped sides."
+    ),
+    tags=("timeseries", "window", "cdc"),
+)
+def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", "event_id", "value", "ts")
+    )
