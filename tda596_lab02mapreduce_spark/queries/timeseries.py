@@ -2113,3 +2113,64 @@ def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
         .select("user_id", "event_id", "value", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching — MATCH_RECOGNIZE-lite (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pattern_vshape_user_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+         lag(CAST(ROUND(value * 100, 0) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+         lag(CAST(ROUND(value * 100, 0) AS BIGINT), 2)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN v2 > v1 AND v1 < v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_vshapes,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM seq
+GROUP BY user_id
+HAVING SUM(CASE WHEN v2 > v1 AND v1 < v THEN 1 ELSE 0 END) >= 3
+""",
+    doc=(
+        "Sequence pattern matching (MATCH_RECOGNIZE / Flink-CEP "
+        "lite): count strict V-shapes (down-then-up triples) in each "
+        "user's event-time-ordered value sequence, keeping users with "
+        ">= 3 — the dip-and-recovery detector fraud/engagement "
+        "pipelines run as a CEP rule. A fixed-length pattern over a "
+        "per-key ordered sequence is exactly two LAG frames in ONE "
+        "user-partitioned window pass (no self-joins, no UDF, no "
+        "state machine needed until patterns get variable-length); "
+        "values compare as integer cents so the pattern predicate "
+        "has no float boundary. One keyed shuffle; the rollup rides "
+        "the same partitioning."
+    ),
+    tags=("timeseries", "window", "cep"),
+)
+def pattern_vshape_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.round(F.col("value") * 100, 0).cast("bigint")
+    seq = ev.select(
+        "user_id",
+        v.alias("v"),
+        F.lag(v, 1).over(w).alias("v1"),
+        F.lag(v, 2).over(w).alias("v2"),
+    )
+    hit = F.when((F.col("v2") > F.col("v1")) & (F.col("v1") < F.col("v")), 1).otherwise(0)
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_vshapes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .filter(F.col("n_vshapes") >= 3)
+    )
