@@ -2174,3 +2174,89 @@ def pattern_vshape_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_vshapes") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing — gaps-and-islands over spans (round-10 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_coalesce_user_spans",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 7200000000 AS e,
+         event_id
+  FROM events WHERE event_type IN ('view', 'click')
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) >= s
+              THEN 0 ELSE 1 END AS is_new
+  FROM iv
+),
+grp AS (
+  SELECT user_id, s, e,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+)
+SELECT user_id, CAST(g AS BIGINT) AS span_id,
+       CAST(min(s) AS BIGINT) AS span_start_us,
+       CAST(max(e) AS BIGINT) AS span_end_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM grp
+GROUP BY user_id, g
+""",
+    doc=(
+        "Interval coalescing (gaps-and-islands over SPANS): each "
+        "view/click opens a 2-hour attention window; overlapping or "
+        "touching windows per user merge into maximal spans — the "
+        "coverage/uptime/exposure primitive (ad exposure stitching, "
+        "SLA uptime, on-call coverage) that point-gap sessionization "
+        "cannot express (an interval can bridge rows whose STARTS are "
+        "far apart). The classic two-window form: a span BREAKS only "
+        "where the running max of all PRIOR ends stays below the next "
+        "start (ROWS ... 1 PRECEDING), then the break flags integrate "
+        "into span ids — both windows ride ONE user-keyed "
+        "partitioning, exact epoch-microsecond integers, no "
+        "self-join, no pairwise overlap test."
+    ),
+    tags=("timeseries", "window"),
+)
+def interval_coalesce_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(7_200_000_000)).alias("e"),
+        "event_id",
+    )
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prior) >= F.col("s"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = flagged.select(
+        "user_id", "s", "e", F.sum("is_new").over(w_run).alias("g")
+    )
+    return grp.groupBy("user_id", F.col("g").cast("bigint").alias("span_id")).agg(
+        F.min("s").cast("bigint").alias("span_start_us"),
+        F.max("e").cast("bigint").alias("span_end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
