@@ -43,6 +43,26 @@ def _as_stream_dir(sf_dir: str, table: str, *, copies: int = 1) -> str:
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     sub = table if copies == 1 else f"{table}_x{copies}"
     d = os.path.join(tempfile.gettempdir(), f"tda596-stream-{key}", sub)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        # multi-file table (e.g. a derived scale staging written with
+        # repartition(N)): a symlink TO THE DIRECTORY is invisible to
+        # FileStreamSource's file listing — the drain silently reads
+        # NOTHING (caught by the round-10 scale probe: an 0.08× "speed
+        # up" that was an empty stream). Link each part file instead,
+        # rebuilding from scratch every call: the staging dir is
+        # rewritten per probe run with fresh part UUIDs, and stale
+        # links would otherwise dangle or double the feed.
+        import glob
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        parts = sorted(glob.glob(os.path.join(src, "*.parquet")))
+        for c in range(copies):
+            for j, p in enumerate(parts):
+                os.symlink(p, os.path.join(d, f"{table}_{c}_{j}.parquet"))
+        return d
     os.makedirs(d, exist_ok=True)
     # copies == 1 keeps the historical single-link name: staged dirs
     # persist in /tmp across sessions, and changing the name would leave
@@ -56,7 +76,7 @@ def _as_stream_dir(sf_dir: str, table: str, *, copies: int = 1) -> str:
         link = os.path.join(d, name)
         if not os.path.islink(link):
             try:
-                os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+                os.symlink(src, link)
             except FileExistsError:
                 pass
     return d

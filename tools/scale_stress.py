@@ -205,6 +205,18 @@ QUERIES = [
     "scd2_apply_changes",
     "join_asof_tolerance_click",
     "embedding_pca_project",
+    # round-10 late wave (same honest-linear arguments as above —
+    # all events/orders-fact queries within disjoint user replicas or
+    # order-grain baskets). bom_subtree_rollup is deliberately ABSENT:
+    # it reads ONLY the unscaled part dimension, so a staging ratio
+    # would measure nothing. stream_interval_join_fouter is included
+    # as the one STREAMING scale datapoint — its measure is the full
+    # AvailableNow drain plus the keyed reconstruction.
+    "cdc_tombstone_compaction",
+    "pattern_vshape_user_value",
+    "interval_coalesce_user_spans",
+    "perceptron_batch_priority",
+    "stream_interval_join_fouter",
 ]
 
 # SCALE_BAND=graph (round-10, VERDICT r9 #1): the bipartite iterative
@@ -298,6 +310,13 @@ BROADCAST_TRANSITION_OK = {
     # 6.6M pairs), so per the round-10 de-hinting discipline the
     # regime transition is left to the optimizer rather than forced.
     "theilsen_daily_trend",
+    # crosses at 10× (r10): the post-drain reconstruction's orphan-
+    # click anti-join (safe clicks vs kept pairs on click_id) outgrows
+    # the broadcast threshold — exchanges 2 → 6 with
+    # hashpartitioning(click_id) appearing. Matched pairs at 100 TB
+    # are never broadcastable, so the keyed anti-join IS the cluster
+    # plan (the dedup_ppjoin_pairs regime change, streaming edition).
+    "stream_interval_join_fouter",
 }
 
 
