@@ -1365,11 +1365,14 @@ def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH anc AS (
   -- ancestor chain by INTEGER powers (literal list: 10 ** k is DOUBLE
   -- in DuckDB and double // is not floor — the theilsen lesson);
+  -- powers up to 10^8 = depth 8 ancestors = 9-digit partkeys, the
+  -- SAME max depth the Spark pointer-doubling covers (2^3 rounds);
   -- roots are partkey < 10 (self only), so drop the spurious 0 tail
   -- except for node 0 itself
   SELECT p_partkey AS node,
          unnest(list_distinct(list_filter(
-           list_transform([1, 10, 100, 1000, 10000, 100000, 1000000, 10000000],
+           list_transform([1, 10, 100, 1000, 10000, 100000, 1000000,
+                           10000000, 100000000],
                           p -> p_partkey // p),
            a -> a >= 1 OR a = p_partkey))) AS anc
   FROM part

@@ -2911,13 +2911,17 @@ FROM rk
         "expression). Plan: the corpus collapses to a DAY-grain "
         "aggregate first (bounded: a year is 365 rows, 66k pairs), so "
         "the pair join and the small_df_rank triangular rank are "
-        "constant-size algebra — the only corpus-sized work is the "
+        "pair join is bounded — but the O(n_pairs^2) triangular rank "
+        "is NOT (a year of days is ~66k slopes -> 4.4e9 comparison "
+        "pairs), so the slope rank uses global_rank_cumsum, the "
+        "range-partitioned two-pass rank whose cost is one sort-"
+        "shuffle of the pair set. The only corpus-sized work is the "
         "daily count scan, map-side combinable."
     ),
     tags=("statml", "agg", "stats", "timeseries"),
 )
 def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tda596_lab02mapreduce_spark.functions.rank import small_df_rank
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
 
     ev = io.load(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -2927,8 +2931,8 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
     b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
-    # (da, db) completes the total order small_df_rank requires; ties
-    # within an identical (s, num, den) triple cannot change which
+    # (da, db) completes the total order global_rank_cumsum requires;
+    # ties within an identical (s, num, den) triple cannot change which
     # fraction VALUES land at the two median positions, so the oracle's
     # (s, num, den) row_number picks the same outputs
     slopes = (
@@ -2944,9 +2948,9 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db",
         )
     )
-    rk = small_df_rank(
+    rk = global_rank_cumsum(
         slopes,
-        [("s", "asc"), ("num", "asc"), ("den", "asc"), ("da", "asc"), ("db", "asc")],
+        [F.col("s"), F.col("num"), F.col("den"), F.col("da"), F.col("db")],
         rank_col="rn",
     )
     n = rk.agg(F.count(F.lit(1)).alias("n"))

@@ -685,16 +685,16 @@ WITH bound AS (
   SELECT least(
            (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'click'),
            (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase')
-         ) - INTERVAL 130 MINUTES AS b
+         ) AS mx
 )
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        COALESCE(p.user_id, c.user_id) AS user_id
 FROM (SELECT * FROM events
       WHERE event_type = 'purchase'
-        AND CAST(ts AS TIMESTAMP) < (SELECT b FROM bound)) p
+        AND CAST(ts AS TIMESTAMP) < (SELECT mx - INTERVAL 130 MINUTES FROM bound)) p
 FULL JOIN (SELECT * FROM events
            WHERE event_type = 'click'
-             AND CAST(ts AS TIMESTAMP) < (SELECT b FROM bound)) c
+             AND CAST(ts AS TIMESTAMP) < (SELECT mx - INTERVAL 160 MINUTES FROM bound)) c
   ON p.user_id = c.user_id
  AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
  AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTES
@@ -705,12 +705,18 @@ FULL JOIN (SELECT * FROM events
         "matched attribution pairs PLUS organic purchases (null "
         "click) PLUS unconverted clicks (null purchase), each "
         "unmatched row emitted only when the global watermark proves "
-        "its match can no longer arrive. Both sides cut to strictly "
-        "older than min(max_click, max_purchase) - 130 min — the "
-        "louter query's watermark-safe margin applied to BOTH "
-        "eviction directions, so the drained set is exact instead of "
-        "tail-flaky. At 100 TB the interval condition is what bounds "
-        "BOTH sides' state; without it each side buffers forever."
+        "its match can no longer arrive. Eviction timing differs PER "
+        "SIDE: an unmatched purchase closes when watermark > p_ts "
+        "(last matching click has c_ts = p_ts) but an unmatched "
+        "click only closes when watermark > c_ts + 30 min (it can "
+        "still match purchases up to c_ts + interval). The cuts "
+        "mirror that: purchases < mx - 130 min (watermark 120 + 10 "
+        "slack) and clicks < mx - 160 min (120 + 30 interval + 10 "
+        "slack), applied identically in the oracle — a symmetric "
+        "-130 cut would silently drop unmatched clicks in the "
+        "[mx-150, mx-130) band the stream never emits. At 100 TB "
+        "the interval condition is what bounds BOTH sides' state; "
+        "without it each side buffers forever."
     ),
     tags=("streaming", "join"),
 )
@@ -766,31 +772,47 @@ def stream_interval_join_fouter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
             ).alias("mx")
         )
-        .select((F.col("mx") - F.expr("interval 130 minutes")).alias("b"))
+        .select(
+            (F.col("mx") - F.expr("interval 130 minutes")).alias("b_p"),
+            (F.col("mx") - F.expr("interval 160 minutes")).alias("b_c"),
+        )
     )
-    # Exact reconstruction of the oracle's PRE-join cut from the
+    # Exact reconstruction of the oracle's PRE-join cuts from the
     # post-drain rows (simply filtering drained rows is WRONG at the
-    # boundary: a click whose only matching purchases lie in the
-    # unsafe region [b, max] must come back as an UNMATCHED row, not
-    # vanish with its dropped pairs). Three pieces, all keyed:
-    #   pairs   — both timestamps safe;
-    #   orphan purchases — no click at all, p safe (every click
-    #             matching a safe purchase is automatically safe,
-    #             click_ts <= p_ts < b);
-    #   orphan clicks — safe clicks with NO safe pair (anti join on
-    #             click_id against the kept pairs).
+    # boundary: a row whose only matches lie in the other side's
+    # unsafe region must come back as an UNMATCHED row, not vanish
+    # with its dropped pairs). The cuts are ASYMMETRIC because the
+    # eviction horizons are: a purchase closes at watermark > p_ts
+    # but a click only at watermark > c_ts + 30 min, so clicks need
+    # the extra interval margin (see the oracle doc). Three pieces,
+    # all keyed:
+    #   pairs   — both timestamps inside their own side's cut;
+    #   orphan purchases — safe purchases with NO kept pair (anti
+    #             join on purchase_id; a safe purchase whose only
+    #             clicks fall in the click-side unsafe band
+    #             [b_c, b_p) appears in drained as matched rows
+    #             only, so a null-click filter would miss it);
+    #   orphan clicks — safe clicks with NO kept pair (anti join on
+    #             click_id).
     d = drained.crossJoin(F.broadcast(bound)).localCheckpoint(eager=False)
     pairs = d.filter(
         F.col("purchase_id").isNotNull()
         & F.col("click_id").isNotNull()
-        & (F.col("p_ts") < F.col("b"))
-        & (F.col("c_ts") < F.col("b"))
+        & (F.col("p_ts") < F.col("b_p"))
+        & (F.col("c_ts") < F.col("b_c"))
     ).select("purchase_id", "click_id", "user_id")
-    orphan_p = d.filter(
-        F.col("click_id").isNull() & (F.col("p_ts") < F.col("b"))
-    ).select("purchase_id", "click_id", "user_id")
+    safe_purchases = (
+        d.filter(F.col("purchase_id").isNotNull() & (F.col("p_ts") < F.col("b_p")))
+        .select("purchase_id", "user_id")
+        .distinct()
+    )
+    orphan_p = safe_purchases.join(
+        pairs.select("purchase_id"), "purchase_id", "left_anti"
+    ).select(
+        "purchase_id", F.lit(None).cast("long").alias("click_id"), "user_id"
+    )
     safe_clicks = (
-        d.filter(F.col("click_id").isNotNull() & (F.col("c_ts") < F.col("b")))
+        d.filter(F.col("click_id").isNotNull() & (F.col("c_ts") < F.col("b_c")))
         .select("click_id", "user_id")
         .distinct()
     )

@@ -2190,7 +2190,7 @@ WITH iv AS (
   FROM events WHERE event_type IN ('view', 'click')
 ),
 flagged AS (
-  SELECT user_id, s, e,
+  SELECT user_id, s, e, event_id,
          CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND 1 PRECEDING) >= s
@@ -2199,7 +2199,7 @@ flagged AS (
 ),
 grp AS (
   SELECT user_id, s, e,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
                            ROWS UNBOUNDED PRECEDING) AS g
   FROM flagged
 )
@@ -2243,13 +2243,19 @@ def interval_coalesce_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "s",
         "e",
+        "event_id",
         F.when(F.max("e").over(w_prior) >= F.col("s"), F.lit(0))
         .otherwise(F.lit(1))
         .alias("is_new"),
     )
+    # Running-sum order MUST match the break-flag window's order
+    # exactly: e = s + const gives (s, e) no tiebreak, and a
+    # duplicate (user_id, ts) pair whose (is_new=1, is_new=0) rows
+    # integrate in the wrong order merges a row into a
+    # non-overlapping earlier span. (s, event_id) is total.
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     grp = flagged.select(
