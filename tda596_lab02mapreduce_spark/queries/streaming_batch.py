@@ -1180,6 +1180,9 @@ def stream_cms_merge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    from tda596_lab02mapreduce_spark.streaming.windows import record_drain
+
+    record_drain("q_stream_cms_merge_users", q)
 
     partials = spark.read.parquet(out)
     return partials.groupBy(

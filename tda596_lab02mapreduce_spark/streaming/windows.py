@@ -86,12 +86,22 @@ def events_stream(spark: SparkSession, sf_dir: str, *, copies: int = 1) -> DataF
     """The events table as a file stream (one-file directory;
     AvailableNow trigger drains it in one run). ``copies=2`` feeds
     every event twice — the duplicated-source shape the streaming
-    dedup queries must collapse."""
-    raw = (
-        spark.readStream.schema(_events_schema(spark, sf_dir))
-        .format("parquet")
-        .load(_as_stream_dir(sf_dir, "events", copies=copies))
+    dedup queries must collapse.
+
+    ``SPARK_GRAFT_STREAM_MAX_FILES`` (scale-probe knob): cap files per
+    micro-batch so a multi-file staging drains in MANY batches instead
+    of one — the shape that exercises cross-batch state carry and
+    watermark eviction. Only honest when the staged part files are
+    time-range-partitioned and mtime-ordered (tools/scale_stress.py's
+    stream staging); the single-file fixtures ignore it (1 file = 1
+    batch either way)."""
+    reader = spark.readStream.schema(_events_schema(spark, sf_dir)).format(
+        "parquet"
     )
+    mft = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    if mft:
+        reader = reader.option("maxFilesPerTrigger", int(mft))
+    raw = reader.load(_as_stream_dir(sf_dir, "events", copies=copies))
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) generation
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -162,6 +172,49 @@ def stream_dedup(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+# Per-drain progress metrics, keyed by query name — written by
+# record_drain after every AvailableNow drain, read by the scale probe
+# (tools/scale_stress.py SCALE_BAND=stream). Batch counts, input rows,
+# and state-store rows/bytes come from the engine's own
+# StreamingQueryProgress, so the probe measures what the state store
+# actually held rather than what the operator docs claim.
+DRAIN_STATS: dict[str, dict] = {}
+
+
+def record_drain(query_name: str, q) -> None:
+    """Summarize a finished StreamingQuery's recentProgress into
+    DRAIN_STATS[query_name]."""
+    import json
+
+    progs = []
+    for p in q.recentProgress:
+        if isinstance(p, dict):
+            progs.append(p)
+        elif isinstance(p, str):
+            progs.append(json.loads(p))
+        else:  # StreamingQueryProgress object
+            j = p.json() if callable(getattr(p, "json", None)) else p.json
+            progs.append(json.loads(j))
+    state_rows = [
+        sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+        for p in progs
+    ]
+    state_mem = [
+        sum(op.get("memoryUsedBytes", 0) for op in p.get("stateOperators", []))
+        for p in progs
+    ]
+    DRAIN_STATS[query_name] = {
+        "n_batches": len(progs),
+        "input_rows": sum(p.get("numInputRows", 0) for p in progs),
+        "batch_ms": sum(
+            p.get("durationMs", {}).get("triggerExecution", 0) for p in progs
+        ),
+        "state_rows_max": max(state_rows, default=0),
+        "state_rows_last": state_rows[-1] if state_rows else 0,
+        "state_mem_max_bytes": max(state_mem, default=0),
+    }
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, *, output_mode: str = "complete"
 ) -> DataFrame:
@@ -179,6 +232,7 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    record_drain(query_name, q)
     return stream_df.sparkSession.table(query_name)
 
 

@@ -237,6 +237,48 @@ GRAPH_QUERIES = [
     "ppr_seeded_related_parts",
 ]
 
+# SCALE_BAND=stream (round-11, VERDICT r10 #1): the stateful streaming
+# band — the one operator family whose 100 TB posture was argued but
+# never measured. Each query below performs a REAL AvailableNow drain
+# (memory sink or foreachBatch) inside its function; the probe times
+# the full drain + batch tail and reads the engine's own
+# StreamingQueryProgress (streaming/windows.py:DRAIN_STATS) for
+# micro-batch count, input rows, and state-store rows/bytes. The 10×
+# staging is TIME-RANGE partitioned with ascending file mtimes and
+# drained under SPARK_GRAFT_STREAM_MAX_FILES=2 (16 parts → 8 batches),
+# so watermarks advance monotonically between micro-batches and
+# eviction actually happens — the tailing-ingest shape, not one giant
+# batch. State-size expectations by operator class: O(users) for the
+# applyInPandasWithState trio and dedup (watermark-bounded), O(open
+# windows × keys) for the watermarked window aggs, O(bins)/O(cells)
+# flat for PSI and CMS (no keyed state store at all for CMS).
+STREAM_QUERIES = [
+    "stream_dedup_ids",
+    "stream_running_user_stats",
+    "stream_ewma_user",
+    "stream_floor_balance_user",
+    "stream_window_topk",
+    "stream_ohlc_hourly",
+    "stream_psi_monitor",
+    "stream_cms_merge_users",
+]
+
+# registered query name → memory-sink/foreachBatch drain names whose
+# DRAIN_STATS entries belong to it
+STREAM_DRAINS = {
+    "stream_dedup_ids": ["q_stream_dedup_ids"],
+    "stream_running_user_stats": ["q_stream_running_user_stats"],
+    "stream_ewma_user": ["q_stream_ewma_user"],
+    "stream_floor_balance_user": ["q_stream_floor_balance"],
+    "stream_window_topk": ["q_stream_window_topk"],
+    "stream_ohlc_hourly": ["q_stream_ohlc_hourly"],
+    "stream_psi_monitor": ["psi_monitor_counts"],
+    "stream_cms_merge_users": ["q_stream_cms_merge_users"],
+}
+
+OUT_STREAM = os.environ.get("SPARK_GRAFT_SCALE_STREAM_DIR", OUT + "-stream")
+
+
 # SCALE_BAND=skew (round-10, VERDICT r9 #6): the user-keyed band under
 # pathological key skew — ONE user carries ~25% of all rows (hot-row
 # selection by md5 parity of the event id, so the hot rows are spread
@@ -490,6 +532,96 @@ def stage_graph(spark) -> None:
     lg.repartition(32).write.parquet(f"{OUT_GRAPH}/lineitem.parquet")
 
 
+def stage_stream(spark) -> None:
+    """Time-ordered 10× events staging for the streaming band: the
+    SAME replica construction as stage() (replica-offset event/user
+    ids, shared time axis — disjoint per-user series, 10× the keys)
+    but written as 16 TIME-RANGE part files with ascending mtimes, so
+    FileStreamSource + maxFilesPerTrigger feeds micro-batches in
+    event-time order: watermarks advance monotonically between batches
+    and state eviction actually happens, like a real tailing ingest.
+    (The main staging's repartition(32) parts each span the WHOLE time
+    axis — a multi-batch drain of those would feed wildly out-of-order
+    data and measure watermark-drop artifacts, not drain behavior.)"""
+    from tda596_lab02mapreduce_spark import io as _io  # noqa: PLC0415
+
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
+    ev = _io.load(spark, SRC, "events")
+    ev10 = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("replica").cast("long") * 100_000_000).alias(
+            "event_id"
+        ),
+        "ts",
+        (F.col("user_id") + F.col("replica").cast("long") * 10_000_000).alias(
+            "user_id"
+        ),
+        "event_type",
+        "value",
+        "props",
+    )
+    shutil.rmtree(OUT_STREAM, ignore_errors=True)
+    ev10.repartitionByRange(16, "ts").write.parquet(f"{OUT_STREAM}/events.parquet")
+    # range partition 0 holds the lowest ts range and writes
+    # part-00000, so alphabetical part order IS time order; pin it for
+    # FileStreamSource (which sorts by modification time) with
+    # strictly ascending mtimes
+    import glob
+    import time as _t
+
+    parts = sorted(glob.glob(f"{OUT_STREAM}/events.parquet/part-*.parquet"))
+    t0 = _t.time() - 7200
+    for i, p in enumerate(parts):
+        os.utime(p, (t0 + i * 60, t0 + i * 60))
+
+
+def measure_stream(spark, sf_dir: str, queries: list[str]) -> dict[str, dict]:
+    """Time each streaming query's FULL run (drain + batch tail) and
+    capture the engine's per-drain progress metrics."""
+    from tda596_lab02mapreduce_spark.streaming import windows as _w
+
+    qs = registry.all_queries()
+    res: dict[str, dict] = {}
+    for name in queries:
+        fn = qs[name]
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
+        best, stats = float("inf"), None
+        for _ in range(REPS):
+            _w.DRAIN_STATS.clear()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best = dt
+                drains = [
+                    _w.DRAIN_STATS[d]
+                    for d in STREAM_DRAINS[name]
+                    if d in _w.DRAIN_STATS
+                ]
+                stats = {
+                    "n_batches": sum(d["n_batches"] for d in drains),
+                    "input_rows": sum(d["input_rows"] for d in drains),
+                    "batch_ms": sum(d["batch_ms"] for d in drains),
+                    "state_rows_max": max(
+                        (d["state_rows_max"] for d in drains), default=0
+                    ),
+                    "state_rows_last": max(
+                        (d["state_rows_last"] for d in drains), default=0
+                    ),
+                    "state_mem_max_mb": round(
+                        max((d["state_mem_max_bytes"] for d in drains), default=0)
+                        / 1e6,
+                        2,
+                    ),
+                }
+        rows_sec = (
+            round(stats["input_rows"] / (stats["batch_ms"] / 1000.0))
+            if stats and stats["batch_ms"]
+            else None
+        )
+        res[name] = {"sec": round(best, 3), "rows_per_sec": rows_sec, **(stats or {})}
+    return res
+
+
 def stage_skew(spark) -> None:
     """Two same-size events stagings under ``OUT_SKEW``: ``uniform/``
     (replica-disjoint user ranges — the existing honest-linear layout)
@@ -631,7 +763,11 @@ def main() -> None:
     # reuses an existing staging dir from a prior run at the same
     # REPLICAS (the derivation is deterministic, so reuse is exact).
     band = os.environ.get("SCALE_BAND", "")
-    queries = {"graph": GRAPH_QUERIES, "skew": SKEW_QUERIES}.get(band, QUERIES)
+    queries = {
+        "graph": GRAPH_QUERIES,
+        "skew": SKEW_QUERIES,
+        "stream": STREAM_QUERIES,
+    }.get(band, QUERIES)
     only = os.environ.get("SCALE_ONLY")
     if only:
         keep = {q.strip() for q in only.split(",") if q.strip()}
@@ -640,6 +776,39 @@ def main() -> None:
             raise ValueError(f"SCALE_ONLY names not in QUERIES: {sorted(unknown)}")
         queries[:] = [q for q in queries if q in keep]
     spark = get_spark(app_name="tda596-scale-stress")
+    if band == "stream":
+        if not (
+            os.environ.get("SCALE_SKIP_STAGE") == "1" and os.path.exists(OUT_STREAM)
+        ):
+            stage_stream(spark)
+        base = measure_stream(spark, SRC, queries)
+        os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = "2"  # 16 parts → 8 batches
+        try:
+            big = measure_stream(spark, OUT_STREAM, queries)
+        finally:
+            del os.environ["SPARK_GRAFT_STREAM_MAX_FILES"]
+        table = {
+            q: {
+                "sf0.1_sec": base[q]["sec"],
+                f"x{REPLICAS}_sec": big[q]["sec"],
+                "ratio": round(big[q]["sec"] / base[q]["sec"], 2),
+                "batches": f'{base[q]["n_batches"]} -> {big[q]["n_batches"]}',
+                "input_rows": f'{base[q]["input_rows"]} -> {big[q]["input_rows"]}',
+                "rows_per_sec": f'{base[q]["rows_per_sec"]} -> {big[q]["rows_per_sec"]}',
+                "state_rows_max": f'{base[q]["state_rows_max"]} -> {big[q]["state_rows_max"]}',
+                "state_rows_last": f'{base[q]["state_rows_last"]} -> {big[q]["state_rows_last"]}',
+                "state_mem_max_mb": f'{base[q]["state_mem_max_mb"]} -> {big[q]["state_mem_max_mb"]}',
+            }
+            for q in queries
+        }
+        print(
+            json.dumps(
+                {"band": "stream", "replicas": REPLICAS, "src": SRC,
+                 "max_files_per_trigger_x10": 2, "queries": table},
+                indent=2,
+            )
+        )
+        return
     if band == "skew":
         if not (os.environ.get("SCALE_SKIP_STAGE") == "1" and os.path.exists(OUT_SKEW)):
             stage_skew(spark)
