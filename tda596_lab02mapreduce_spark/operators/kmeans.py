@@ -117,7 +117,7 @@ def kmeans_fit(
     seed_rows = q.orderBy("__id").limit(k).collect()  # k rows, a model seed
     cents = [[int(v) for v in r["xq"]] for r in seed_rows]
     for _ in range(rounds):
-        dists = [_dist2(F.col("xq"), c).alias(f"d{j}") for j in range(k)]
+        dists = [_dist2(F.col("xq"), cents[j]).alias(f"d{j}") for j in range(k)]
         assigned = q.select("xq", *dists).select(
             "xq",
             F.array_position(
@@ -170,7 +170,7 @@ def kmeans_assign(
     BIGINTs."""
     cents = model["centroids_q"]
     k = len(cents)
-    dists = [_dist2(_xq(vec_col), c).alias(f"d{j}") for j in range(k)]
+    dists = [_dist2(_xq(vec_col), cents[j]).alias(f"d{j}") for j in range(k)]
     darr = F.array(*[F.col(f"d{j}") for j in range(k)])
     return (
         corpus.select(F.col(id_col), *dists)
