@@ -992,3 +992,127 @@ def join_asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler candidate verification (round-11 widening)
+# ---------------------------------------------------------------------------
+
+
+def jaro_winkler_ppm(s1: str, s2: str) -> int:
+    """Jaro-Winkler similarity in EXACT parts-per-million: every step
+    is integer rational arithmetic (half-transposition counts keep t
+    in half-units, the 0.1 prefix weight becomes /10, the 0.7 boost
+    threshold becomes 10*num > 7*den), and the single final rounding
+    is round-half-away on an exact integer quotient — so the value is
+    decided by integers, never by float op order. DuckDB's builtin
+    ``jaro_winkler_similarity`` (the oracle side) follows the same
+    rapidfuzz convention — Winkler boost only when jaro > 0.7, prefix
+    capped at 4 — verified against the textbook vectors and pinned,
+    with a rounding-margin sweep, in tests/test_jaro_winkler.py."""
+    if s1 == s2:
+        return 1_000_000
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, ch in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == ch:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0
+    a = [c for i, c in enumerate(s1) if m1[i]]
+    b = [c for j, c in enumerate(s2) if m2[j]]
+    # transpositions = FLOORED half the mismatched-position count (the
+    # C-implementation convention DuckDB follows — an odd mismatch
+    # count contributes (n-1)/2, verified against the builtin over the
+    # whole fixture candidate set in tests/test_jaro_winkler.py)
+    t = sum(1 for x, y in zip(a, b) if x != y) // 2
+    # jaro = (m/l1 + m/l2 + (m - t)/m) / 3, kept as num/den exactly
+    num = m * m * l2 + m * m * l1 + (m - t) * l1 * l2
+    den = 3 * l1 * l2 * m
+    if 10 * num > 7 * den:  # boost iff jaro > 0.7 (exact compare)
+        p = 0
+        for x, y in zip(s1[:4], s2[:4]):
+            if x != y:
+                break
+            p += 1
+        num, den = 10 * num + p * (den - num), 10 * den
+    return (2 * num * 1_000_000 + den) // (2 * den)  # round half away
+
+
+@register(
+    "join_jaro_winkler_pairs",
+    oracle="""
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(ROUND(jaro_winkler_similarity(a.c_name, b.c_name) * 1000000, 0)
+            AS BIGINT) AS jw_ppm
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE CAST(ROUND(jaro_winkler_similarity(a.c_name, b.c_name) * 1000000, 0)
+           AS BIGINT) >= 960000
+""",
+    doc=(
+        "Jaro-Winkler candidate verification over the nation-blocked "
+        "customer pair set (VERDICT r10 #5 — completes the fuzzy-match "
+        "family: Levenshtein / sorted-neighborhood / J-W, the "
+        "prefix-weighted similarity every entity-resolution stack "
+        "reaches for on person/org names). Spark has no J-W builtin, "
+        "so the verifier is a deterministic integer-ppm mapInArrow "
+        "kernel (jaro_winkler_ppm: exact rational arithmetic, one "
+        "final half-away rounding on an integer quotient — no float "
+        "op-order anywhere); DuckDB's builtin double rounds to the "
+        "same ppm because it is ~1e-15-accurate on an exactly-known "
+        "rational and the fixture margin to every 0.5-ppm boundary is "
+        "property-swept in tests/test_jaro_winkler.py. The quadratic "
+        "verify runs ONLY inside nation equi-join blocks (the "
+        "join_fuzzy_name_match scale contract: candidate generation "
+        "is a hash partition, never corpus x corpus); the >= 0.96 "
+        "threshold filters on the ROUNDED ppm in both engines, so "
+        "membership is decided by the same integer."
+    ),
+    tags=("join", "llm", "udf", "text"),
+)
+def join_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def kernel(batches):
+        for b in batches:
+            na = b.column("name_a").to_pylist()
+            nb = b.column("name_b").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("key_a"),
+                    b.column("key_b"),
+                    pa.array(
+                        [jaro_winkler_ppm(x, y) for x, y in zip(na, nb)],
+                        pa.int64(),
+                    ),
+                ],
+                ["key_a", "key_b", "jw_ppm"],
+            )
+
+    cust = io.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("key_a"),
+        F.col("b.c_custkey").alias("key_b"),
+        F.col("a.c_name").alias("name_a"),
+        F.col("b.c_name").alias("name_b"),
+    )
+    return cand.mapInArrow(
+        kernel, "key_a long, key_b long, jw_ppm long"
+    ).filter(F.col("jw_ppm") >= 960000)

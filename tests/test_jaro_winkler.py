@@ -1,0 +1,59 @@
+"""Jaro-Winkler integer-ppm kernel vs DuckDB's builtin
+(queries/joins.py:jaro_winkler_ppm).
+
+Three layers: the textbook vectors pin the algorithm (matching window,
+floored transpositions, 0.7 boost threshold, prefix cap 4); the
+full-fixture sweep proves ppm-exact agreement with the oracle engine
+on every candidate pair the registered query will ever see; the margin
+sweep proves no fixture value sits near a 0.5-ppm rounding boundary —
+the precondition that lets a double builtin hash-match an exact
+rational kernel.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tda596_lab02mapreduce_spark.queries.joins import jaro_winkler_ppm
+
+TEXTBOOK = [
+    ("MARTHA", "MARHTA", 0.9611111111111111),
+    ("DWAYNE", "DUANE", 0.8400000000000001),
+    ("DIXON", "DICKSONX", 0.8133333333333332),
+    ("ABCDEF", "ABXXXX", 0.5555555555555555),  # jaro <= 0.7: NO boost
+    ("AB", "ABCDEFGHIJ", 0.7866666666666667),
+    ("PREFIX", "PREFIXXXXX", 0.92),  # prefix capped at 4
+    ("CRATE", "TRACE", 0.7333333333333334),  # boost-eligible, prefix 0
+    ("a", "b", 0.0),
+    ("abc", "abc", 1.0),
+]
+
+
+@pytest.mark.parametrize("s1,s2,expected", TEXTBOOK)
+def test_textbook_vectors(s1, s2, expected):
+    assert jaro_winkler_ppm(s1, s2) == round(expected * 1_000_000)
+
+
+def test_fixture_sweep_matches_duckdb_and_margins(sf_correctness):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"'{sf_correctness}/customer.parquet'"
+    )
+    rows = con.execute(
+        """
+        SELECT a.c_name, b.c_name,
+               jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        """
+    ).fetchall()
+    assert len(rows) > 10_000
+    worst_margin = 1.0
+    for na, nb, jw in rows:
+        assert jaro_winkler_ppm(na, nb) == round(jw * 1_000_000), (na, nb)
+        worst_margin = min(worst_margin, abs((jw * 1e6) % 1 - 0.5))
+    # every value is far from a rounding boundary (0.056 observed);
+    # 0.01 ppm-fraction ≈ 5e6 double ULPs of slack at this magnitude
+    assert worst_margin > 0.01
