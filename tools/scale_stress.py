@@ -278,6 +278,36 @@ STREAM_DRAINS = {
 
 OUT_STREAM = os.environ.get("SPARK_GRAFT_SCALE_STREAM_DIR", OUT + "-stream")
 
+# SCALE_BAND=stopword (round-11, VERDICT r10 #6): text_stopword_discovery
+# is deliberately ABSENT from the main linear band because that
+# staging's replica token suffixes push every per-source document
+# frequency under the 60% threshold — an empty result, a degenerate
+# measurement. The honest staging for DF-share operators replicates
+# DOCUMENTS (replica-offset doc_ids) with token text UNCHANGED within
+# each source: per-source document frequencies are then scale-invariant
+# by construction (df and n_docs both scale by REPLICAS, the ppm share
+# is identical), so the 10× run computes the same non-empty stopword
+# list over 10× the rows.
+STOPWORD_QUERIES = ["text_stopword_discovery"]
+
+OUT_STOPWORD = os.environ.get("SPARK_GRAFT_SCALE_STOPWORD_DIR", OUT + "-stopword")
+
+
+def stage_stopword(spark) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
+    out = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("replica").cast("long") * 10_000_000).alias(
+            "doc_id"
+        ),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    shutil.rmtree(OUT_STOPWORD, ignore_errors=True)
+    out.repartition(32).write.parquet(f"{OUT_STOPWORD}/documents.parquet")
+
 
 # SCALE_BAND=skew (round-10, VERDICT r9 #6): the user-keyed band under
 # pathological key skew — ONE user carries ~25% of all rows (hot-row
@@ -767,6 +797,7 @@ def main() -> None:
         "graph": GRAPH_QUERIES,
         "skew": SKEW_QUERIES,
         "stream": STREAM_QUERIES,
+        "stopword": STOPWORD_QUERIES,
     }.get(band, QUERIES)
     only = os.environ.get("SCALE_ONLY")
     if only:
@@ -776,6 +807,47 @@ def main() -> None:
             raise ValueError(f"SCALE_ONLY names not in QUERIES: {sorted(unknown)}")
         queries[:] = [q for q in queries if q in keep]
     spark = get_spark(app_name="tda596-scale-stress")
+    if band == "stopword":
+        if not (
+            os.environ.get("SCALE_SKIP_STAGE") == "1"
+            and os.path.exists(OUT_STOPWORD)
+        ):
+            stage_stopword(spark)
+        base = measure(spark, SRC, queries)
+        big = measure(spark, OUT_STOPWORD, queries)
+        # non-degeneracy: the 10× result must be the SAME stopword list
+        # (df shares are scale-invariant on this staging), not empty
+        qs = registry.all_queries()
+        fn = qs["text_stopword_discovery"]
+        small = {
+            (r["source"], r["token"], r["df_share_ppm"])
+            for r in fn(spark, SRC).collect()
+        }
+        bigset = {
+            (r["source"], r["token"], r["df_share_ppm"])
+            for r in fn(spark, OUT_STOPWORD).collect()
+        }
+        table = {
+            q: {
+                "sf0.1_sec": base[q]["sec"],
+                f"x{REPLICAS}_sec": big[q]["sec"],
+                "ratio": round(big[q]["sec"] / base[q]["sec"], 2),
+                "exchanges_base": base[q]["exchanges"],
+                f"exchanges_x{REPLICAS}": big[q]["exchanges"],
+                "shape_stable": base[q]["keys"] == big[q]["keys"],
+                "result_invariant": small == bigset and len(small) > 0,
+                "n_stopwords": len(small),
+            }
+            for q in queries
+        }
+        print(
+            json.dumps(
+                {"band": "stopword", "replicas": REPLICAS, "src": SRC,
+                 "queries": table},
+                indent=2,
+            )
+        )
+        return
     if band == "stream":
         if not (
             os.environ.get("SCALE_SKIP_STAGE") == "1" and os.path.exists(OUT_STREAM)
