@@ -152,6 +152,15 @@ HEADLINE = [
     "embedding_pca_project",
     "shard_bin_packing",
     "text_stopword_discovery",
+    # round-11 additions: the trained GLM (4-round batch GD + its AUC),
+    # distributed Lloyd's serve, the Jaro-Winkler candidate verifier
+    # (Arrow kernel over nation blocks), and the variable-length CEP
+    # run pattern.
+    "logistic_gd_priority",
+    "roc_auc_logistic_score",
+    "embedding_kmeans_assign",
+    "join_jaro_winkler_pairs",
+    "pattern_decline_recovery_runs",
 ]
 
 

@@ -3375,3 +3375,195 @@ def roc_auc_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation band: CUPED + difference-in-differences (round-11)
+# ---------------------------------------------------------------------------
+#
+# Float discipline shared by both queries: every MOMENT (per-user cent
+# sums, their pooled/variant aggregates, cross products) is an exact
+# DECIMAL(38,0) integer — order-free, AQE-safe; the tail that turns
+# moments into estimates is a handful of double ops written with the
+# IDENTICAL parenthesization in the Spark expression and the oracle,
+# so both engines evaluate the same IEEE sequence on the same
+# bit-identical inputs, and one final 6-dp rounding closes the hash.
+
+
+@register(
+    "ab_cuped_adjusted_means",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS variant,
+         SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS x_c,
+         SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS y_c
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(CAST(x_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x_c AS DECIMAL(38,0)) * CAST(y_c AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x_c AS DECIMAL(38,0)) * CAST(x_c AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxx
+  FROM per_user
+),
+by_variant AS (
+  SELECT variant,
+         CAST(count(*) AS DECIMAL(38,0)) AS nv,
+         CAST(SUM(CAST(x_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxv,
+         CAST(SUM(CAST(y_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syv
+  FROM per_user GROUP BY variant
+)
+SELECT CAST(v.variant AS BIGINT) AS variant,
+       CAST(v.nv AS BIGINT) AS n_users,
+       CAST(ROUND(CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE), 6)
+            AS DOUBLE) AS mean_y_c,
+       CAST(ROUND(
+         CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+         - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+            / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+           * (CAST(v.sxv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+              - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)), 6)
+            AS DOUBLE) AS mean_y_cuped_c
+FROM by_variant v, pooled p
+""",
+    doc=(
+        "CUPED variance-reduced A/B means (Deng et al. 2013, the "
+        "standard experimentation trick): per-user PRE-period spend "
+        "is the covariate, theta = cov(X,Y)/var(X) fitted POOLED "
+        "across variants, and each variant's experiment-period mean "
+        "is adjusted by -theta*(mean_x_v - mean_x). Variant = "
+        "user_id % 2 (a deterministic hash split), pre/exp cut at "
+        "Jan 15. All moments are exact DECIMAL(38,0) integer sums of "
+        "cents (order-free); theta and the adjustment are one "
+        "fixed-parenthesization double expression rounded 6 dp — the "
+        "identical IEEE sequence in both engines. Plan: one "
+        "user-keyed aggregate (the only corpus-sized shuffle), then "
+        "a 2-row variant rollup x a broadcast 1-row pooled-moment "
+        "frame — the same shape at 100 TB."
+    ),
+    tags=("statml", "stats", "agg"),
+)
+def ab_cuped_adjusted_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("x_c"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("y_c"),
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "x_c", "y_c"
+    ).localCheckpoint(eager=False)
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x_c").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_c").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x_c") * F.col("y_c")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x_c") * F.col("x_c")).cast("decimal(38,0)").alias("sxx"),
+    )
+    by_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nv"),
+        F.sum("x_c").cast("decimal(38,0)").alias("sxv"),
+        F.sum("y_c").cast("decimal(38,0)").alias("syv"),
+    )
+    j = by_variant.crossJoin(F.broadcast(pooled))
+    mean_y = F.col("syv").cast("double") / F.col("nv").cast("double")
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    adj = mean_y - theta * (
+        F.col("sxv").cast("double") / F.col("nv").cast("double")
+        - F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    return j.select(
+        F.col("variant").cast("bigint").alias("variant"),
+        F.col("nv").cast("bigint").alias("n_users"),
+        F.round(mean_y, 6).alias("mean_y_c"),
+        F.round(adj, 6).alias("mean_y_cuped_c"),
+    )
+
+
+@register(
+    "ab_diff_in_diff",
+    oracle="""
+WITH cells AS (
+  SELECT user_id % 2 AS variant,
+         CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+              THEN 0 ELSE 1 END AS period,
+         CAST(count(*) AS DECIMAL(38,0)) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DECIMAL(38,0))
+           AS s_c
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(MAX(CASE WHEN variant = 1 AND period = 1 THEN n_events END)
+            AS BIGINT) AS n_treat_post,
+       CAST(ROUND(
+         (MAX(CASE WHEN variant = 1 AND period = 1
+                   THEN CAST(s_c AS DOUBLE) / CAST(n_events AS DOUBLE) END)
+          - MAX(CASE WHEN variant = 1 AND period = 0
+                     THEN CAST(s_c AS DOUBLE) / CAST(n_events AS DOUBLE) END))
+         - (MAX(CASE WHEN variant = 0 AND period = 1
+                     THEN CAST(s_c AS DOUBLE) / CAST(n_events AS DOUBLE) END)
+            - MAX(CASE WHEN variant = 0 AND period = 0
+                       THEN CAST(s_c AS DOUBLE) / CAST(n_events AS DOUBLE) END)),
+         6) AS DOUBLE) AS did_c
+FROM cells
+""",
+    doc=(
+        "Difference-in-differences estimator: (treat_post − treat_pre) "
+        "− (ctrl_post − ctrl_pre) of mean event value in cents, "
+        "variant = user_id % 2, period cut at Jan 15 — the causal "
+        "panel estimator experimentation teams run when assignment "
+        "isn't randomized per-exposure. The corpus reduces to FOUR "
+        "(variant, period) cells of exact decimal sums in one "
+        "map-side-combinable aggregate; the estimator is a "
+        "fixed-order double expression over the four cell means, "
+        "rounded 6 dp. At 100 TB this is the cheapest query in the "
+        "band: one scan, 4 rows of state."
+    ),
+    tags=("statml", "stats", "agg"),
+)
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("ts") < cut, F.lit(0)).otherwise(F.lit(1)).alias("period"),
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_events"),
+        F.sum(cents).cast("decimal(38,0)").alias("s_c"),
+    )
+
+    def cell_mean(v: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("variant") == v) & (F.col("period") == p),
+                F.col("s_c").cast("double") / F.col("n_events").cast("double"),
+            )
+        )
+
+    return cells.agg(
+        F.max(
+            F.when(
+                (F.col("variant") == 1) & (F.col("period") == 1),
+                F.col("n_events"),
+            )
+        )
+        .cast("bigint")
+        .alias("n_treat_post"),
+        F.round(
+            (cell_mean(1, 1) - cell_mean(1, 0))
+            - (cell_mean(0, 1) - cell_mean(0, 0)),
+            6,
+        ).alias("did_c"),
+    )
