@@ -1211,3 +1211,88 @@ def dataset_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization onto a reference distribution (round-11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_quantile_normalize",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY CAST(ROUND(value * 100, 0) AS BIGINT),
+                            event_id) AS rn,
+         count(*) OVER () AS n
+  FROM events
+),
+ref AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS ref_cents,
+         row_number() OVER (ORDER BY CAST(ROUND(o_totalprice * 100, 0)
+                                          AS BIGINT), o_orderkey) AS rrn,
+         count(*) OVER () AS n_ref
+  FROM orders
+)
+SELECT e.event_id, e.cents,
+       CAST(r.ref_cents AS BIGINT) AS norm_cents
+FROM ev e JOIN ref r
+  ON r.rrn = (e.rn * (SELECT MAX(n_ref) FROM ref) + e.n - 1) // e.n
+""",
+    doc=(
+        "Quantile normalization: map every event value onto the "
+        "REFERENCE distribution (order total prices) by rank — the "
+        "value at quantile q of the source becomes the value at "
+        "quantile q of the reference (norm = ref value at rank "
+        "ceil(rn * n_ref / n), exact integer arithmetic). The "
+        "batch-effect/feature-alignment primitive (microarray QN, "
+        "score calibration across heterogeneous sources) that a "
+        "mean/variance rescale (feature_scale_normalize) cannot "
+        "express — it matches the WHOLE shape, not two moments. "
+        "Spark-first: BOTH global ranks come from "
+        "functions.rank.global_rank_cumsum (range-partitioned, "
+        "deterministic value-stripe buckets — no partition-less "
+        "window on either side), and 'value at target rank' is an "
+        "EQUI-join on the rank integer, so the plan is two "
+        "distributed rank passes + one keyed join — every stage "
+        "partitions, nothing funnels."
+    ),
+    tags=("trainprep", "stats", "window", "join"),
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import global_rank_cumsum
+
+    ev = io.load(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
+    ranked = global_rank_cumsum(
+        ev,
+        [F.col("cents"), F.col("event_id")],
+        rank_col="rn",
+        bucket_expr=F.floor(F.col("cents") / F.lit(2048)),
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    ref = io.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("ref_cents"),
+    )
+    ref_ranked = global_rank_cumsum(
+        ref,
+        [F.col("ref_cents"), F.col("o_orderkey")],
+        rank_col="rrn",
+        bucket_expr=F.floor(F.col("ref_cents") / F.lit(1 << 20)),
+    ).select("rrn", "ref_cents")
+    n_ref = ref_ranked.agg(F.count(F.lit(1)).alias("n_ref"))
+    tr = (
+        ranked.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n_ref))
+        .select(
+            "event_id",
+            "cents",
+            F.expr("(rn * n_ref + n - 1) DIV n").alias("target_rank"),
+        )
+    )
+    return tr.join(ref_ranked, tr.target_rank == ref_ranked.rrn).select(
+        "event_id", "cents", F.col("ref_cents").cast("bigint").alias("norm_cents")
+    )
