@@ -222,6 +222,14 @@ def kmeans_centroids(
     iteration's plan flat — a lazy chained lineage re-executes all
     prior iterations and grows superlinearly.
     Returns a k-row DataFrame (cell: int, centroid: array<double>).
+
+    Float caveat: centroid means are double folds, so the fitted
+    model is fold-order-sensitive (the serving ORACLE replays the
+    committed sidecar, so correctness is unaffected — refit stability
+    is the only exposure). operators/kmeans.py (round 11) is the
+    fully-integer alternative: quantized inputs, exact BIGINT
+    distances, truncating-integer centroid updates — bit-stable
+    refits, hash-checked assignment (embedding_kmeans_assign).
     """
     spark = points.sparkSession
     if train_fraction is not None and train_fraction < 1.0:

@@ -849,3 +849,82 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df_share_ppm") >= 600000)
         .select("source", "token", "df_docs", "n_docs", "df_share_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-p (nucleus) vocabulary mass cut (round-11 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_top_p_cut",
+    oracle=r"""
+WITH tok AS (
+  SELECT source, unnest(list_filter(
+           string_split_regex(text, '[^\p{L}]+'), t -> t <> '')) AS token
+  FROM documents
+),
+cnts AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM cnts GROUP BY 1),
+cum AS (
+  SELECT source, token, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY cnt DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM cnts
+)
+SELECT c.source, c.token, c.cnt, c.cum, t.total
+FROM cum c JOIN tot t USING (source)
+WHERE 10 * (c.cum - c.cnt) < 9 * t.total
+""",
+    doc=(
+        "Top-p (nucleus) vocabulary cut per source: the smallest "
+        "count-descending prefix of the token distribution whose "
+        "cumulative mass reaches 90% — keep a token iff the mass "
+        "BEFORE it is under the cut (10*(cum-cnt) < 9*total, all "
+        "exact BIGINTs, (cnt desc, token) total order). The "
+        "vocabulary-truncation / nucleus primitive LLM data work "
+        "uses to size tokenizers and clip heavy tails — "
+        "distribution-shape-aware where vocab_encode_topk's fixed k "
+        "is not. The per-source cumulative runs through "
+        "functions.rank.grouped_rank_cumsum (range-partitioned local "
+        "ranks, a -cnt stripe bucket — monotone along the DESC "
+        "order), because a plain source-keyed window caps "
+        "parallelism at the source count: 3 sources = 3 tasks "
+        "forever on a 100 TB corpus whose per-source vocabulary is "
+        "millions of tokens. One (source, token) count shuffle + the "
+        "bucketed cumsum + a broadcast join of per-source totals."
+    ),
+    tags=("text", "llm", "agg", "window"),
+)
+def vocab_top_p_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.functions.rank import grouped_rank_cumsum
+
+    docs = io.load(spark, sf_dir, "documents")
+    cnts = (
+        docs.select("source", F.explode(tokens_nonempty("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cum = grouped_rank_cumsum(
+        cnts,
+        ["source"],
+        [F.col("cnt").desc(), F.col("token")],
+        [("cum", "cnt")],
+        rank_col="__tp_rn",
+        bucket_expr=F.floor(-F.col("cnt") / F.lit(64)),
+    )
+    tot = cnts.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        cum.join(F.broadcast(tot), "source")
+        .filter(10 * (F.col("cum") - F.col("cnt")) < 9 * F.col("total"))
+        .select(
+            "source",
+            "token",
+            "cnt",
+            F.col("cum").cast("bigint").alias("cum"),
+            "total",
+        )
+    )
