@@ -184,3 +184,67 @@ def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.join(F.broadcast(counts), "phash16").select(
         "media_id", "phash16", "bucket_n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Blob chunk manifest (round-11 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "blob_chunk_manifest",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS media_id, text,
+         CAST(length(text) AS BIGINT) AS blen
+  FROM documents
+),
+idx AS (
+  SELECT media_id, text, blen,
+         unnest(range((blen + 127) // 128)) AS chunk_idx
+  FROM d
+)
+SELECT media_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(length(substring(text, CAST(chunk_idx * 128 + 1 AS BIGINT), 128))
+            AS BIGINT) AS chunk_bytes,
+       md5(substring(text, CAST(chunk_idx * 128 + 1 AS BIGINT), 128))
+         AS chunk_md5
+FROM idx
+""",
+    doc=(
+        "Blob chunk manifest: split every media payload into "
+        "fixed-size byte chunks and emit (chunk index, byte length, "
+        "md5) per chunk — the upload/transfer planning table every "
+        "object-store ingest of large media computes (multipart "
+        "upload parts, content-addressed chunk dedup, resumable "
+        "transfer verification). MAP-ONLY on the blob side: a "
+        "sequence-explode of chunk indexes + substring on the BINARY "
+        "column + per-chunk md5, zero shuffles — the blob never "
+        "rides an exchange (the multimodal band contract). Chunk "
+        "size is 128 bytes, fixture-scaled (real parts are MBs; the "
+        "plan is size-independent). The fixture blobs are ASCII "
+        "text bytes (octet_length == length asserted over the whole "
+        "corpus), so the DuckDB oracle chunks the same bytes with "
+        "string substring and matches the binary md5 exactly."
+    ),
+    tags=("multimodal", "llm", "text"),
+)
+def blob_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.media_table_from_documents(io.load(spark, sf_dir, "documents"))
+    chunks = media.select(
+        "media_id",
+        "blob",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.length("blob") + 127) / 128).cast("bigint") - 1,
+            )
+        ).alias("chunk_idx"),
+    )
+    piece = F.expr("substring(blob, CAST(chunk_idx * 128 + 1 AS INT), 128)")
+    return chunks.select(
+        "media_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.length(piece).cast("bigint").alias("chunk_bytes"),
+        F.md5(piece).alias("chunk_md5"),
+    )
