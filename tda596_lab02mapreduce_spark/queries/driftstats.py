@@ -1411,3 +1411,109 @@ def forecast_mase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mase_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation (round-11 widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xcorr_click_purchase_leadlag",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np
+  FROM events GROUP BY 1
+),
+shifts AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS shift),
+pairs AS (
+  SELECT s.shift, a.nc AS x, b.np AS y
+  FROM shifts s
+  JOIN daily a ON true
+  JOIN daily b ON b.d = a.d + s.shift
+),
+mom AS (
+  SELECT shift,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM pairs GROUP BY shift
+)
+SELECT CAST(shift AS BIGINT) AS shift_days,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(ROUND(
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            AS DOUBLE) AS xcorr
+FROM mom
+""",
+    doc=(
+        "Lead-lag cross-correlation of daily click vs purchase "
+        "volume at shifts -3..+3 days — the 'does activity X LEAD "
+        "metric Y' diagnostic (marketing-mix, capacity planning, "
+        "leading-indicator discovery) that same-day rolling "
+        "correlation (rolling_corr) cannot answer. All moments are "
+        "exact DECIMAL(38,0) sums over the day-grain pairs; the "
+        "Pearson tail is one fixed-parenthesization double "
+        "expression (sqrt is exactly-rounded IEEE, not libm-"
+        "approximated) rounded 6 dp. Plan: the corpus collapses to "
+        "ONE day-grain aggregate (map-side combinable — the only "
+        "corpus-sized work); the 7-shift alignment join and moment "
+        "rollup are calendar-bounded algebra."
+    ),
+    tags=("stats", "timeseries", "agg", "drift"),
+)
+def xcorr_click_purchase_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.col("ts").cast("long") / F.lit(86400)).cast("bigint").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+    ).localCheckpoint(eager=False)
+    shifts = F.broadcast(
+        spark.createDataFrame([(s,) for s in range(-3, 4)], "shift int")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("nc").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("np").alias("y"))
+    pairs = (
+        a.crossJoin(shifts)
+        .join(b, F.col("db") == F.col("da") + F.col("shift"))
+        .select("shift", "x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = pairs.groupBy("shift").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    r = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        )
+    )
+    return mom.select(
+        F.col("shift").cast("bigint").alias("shift_days"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(r, 6).alias("xcorr"),
+    )
