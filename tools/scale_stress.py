@@ -217,6 +217,27 @@ QUERIES = [
     "interval_coalesce_user_spans",
     "perceptron_batch_priority",
     "stream_interval_join_fouter",
+    # round-11 wave. All honest-linear on this staging: the GLM pair
+    # and quantile-normalize ride 10× orders/events facts; CUPED/DiD
+    # and the CEP run pattern ride disjoint-user events replicas;
+    # kmeans rides the sign-flipped embeddings (fit+serve measured,
+    # dataset_key = staging dir — the pca/ivf probe shape); top-p and
+    # the chunk manifest ride the suffixed documents (vocabulary and
+    # byte volume both grow ~linearly; the per-source top-p set
+    # becomes the replica-interleaved union — same prefix mass).
+    # join_jaro_winkler_pairs is deliberately ABSENT: it reads only
+    # the UNSCALED customer dimension (the join_sorted_neighborhood
+    # rule — a row here would time identical inputs at both scales).
+    "logistic_gd_priority",
+    "roc_auc_logistic_score",
+    "embedding_kmeans_assign",
+    "pattern_decline_recovery_runs",
+    "feature_quantile_normalize",
+    "ab_cuped_adjusted_means",
+    "ab_diff_in_diff",
+    "vocab_top_p_cut",
+    "blob_chunk_manifest",
+    "xcorr_click_purchase_leadlag",
 ]
 
 # SCALE_BAND=graph (round-10, VERDICT r9 #1): the bipartite iterative
