@@ -412,3 +412,71 @@ def test_exactly_once_across_process_restart(spark, sf_smoke, tmp_path):
     assert sorted(map(tuple, sink.collect())) == sorted(
         map(tuple, oracle.collect())
     )
+
+
+def test_fouter_interval_join_boundary_band_clicks(spark, tmp_path):
+    """Regression for the round-10 ADVICE-high finding: an unmatched
+    CLICK is only emitted once the global watermark passes
+    c_ts + 30 min, so clicks in [mx-150, mx-130) are NEVER emitted by
+    the stream; a symmetric -130 cut on both sides silently dropped
+    them whenever a fixture placed clicks there (the shipped fixtures
+    happened to have none — this fixture PLANTS them). The asymmetric
+    cuts (purchases mx-130, clicks mx-160) must make the drained
+    reconstruction equal the oracle's FULL OUTER join exactly."""
+    import datetime as dt
+
+    import duckdb
+
+    from tda596_lab02mapreduce_spark.registry import registry
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        # old, safely-drained pairs and orphans
+        ev(1, 1, "click", 0),
+        ev(2, 1, "purchase", 10),      # matched pair
+        ev(3, 2, "purchase", 20),      # organic purchase (no click)
+        ev(4, 3, "click", 30),         # unconverted click
+        # the poison band: mx = 1000; clicks in [850, 870) sit inside a
+        # symmetric -130 cut (ts < 870) but the stream never emits them
+        # as unmatched (their eviction horizon is c_ts + 30 > watermark)
+        # — the OLD cut diverged from the oracle exactly here; the
+        # asymmetric cut excludes the band from BOTH sides
+        ev(5, 4, "click", 855),        # unmatched, in [mx-150, mx-130)
+        ev(6, 5, "click", 860),        # matched to an UNSAFE purchase only
+        ev(7, 5, "purchase", 880),     # purchase in the unsafe region
+        # a deep unmatched click well below the mx-160 click cut: MUST
+        # surface as an orphan row (the eviction path itself works)
+        ev(10, 7, "click", 700),
+        # watermark anchors
+        ev(8, 6, "click", 1000),
+        ev(9, 6, "purchase", 1000),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    q = registry()["stream_interval_join_fouter"]
+    got = sorted(
+        tuple((v is None, str(v)) for v in r)
+        for r in q.spark_fn(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple((v is None, str(v)) for v in r)
+        for r in con.execute(q.oracle_text()).fetchall()
+    )
+    assert got == want
+    # the safe unmatched click surfaced as an orphan row...
+    assert ((True, "None"), (False, "10"), (False, "7")) in set(got)
+    # ...and the band clicks are consistently absent from BOTH sides
+    # (the old symmetric cut kept them in the oracle only)
+    clicks_out = {c for _, c, _ in got}
+    assert (False, "5") not in clicks_out and (False, "6") not in clicks_out
