@@ -57,3 +57,32 @@ def test_fixture_sweep_matches_duckdb_and_margins(sf_correctness):
     # every value is far from a rounding boundary (0.056 observed);
     # 0.01 ppm-fraction ≈ 5e6 double ULPs of slack at this magnitude
     assert worst_margin > 0.01
+
+
+def test_batch_kernel_equals_scalar_reference():
+    """The vectorized numpy kernel (jaro_winkler_ppm_batch — the one
+    the registered query actually runs) must equal the scalar
+    reference on textbook vectors, random ASCII of varied lengths,
+    empties, equal strings, and the non-ASCII fallback path."""
+    import random
+
+    from tda596_lab02mapreduce_spark.queries.joins import (
+        jaro_winkler_ppm_batch,
+    )
+
+    rng = random.Random(7)
+    pairs = list(TEXTBOOK_PAIRS := [(a, b) for a, b, _ in TEXTBOOK])
+    pairs += [("", "x"), ("x", ""), ("", ""), ("é-unicode", "e-unicode")]
+    alph = "abcde0123"
+    for _ in range(2000):
+        pairs.append(
+            (
+                "".join(rng.choice(alph) for _ in range(rng.randint(1, 25))),
+                "".join(rng.choice(alph) for _ in range(rng.randint(1, 25))),
+            )
+        )
+    na = [p[0] for p in pairs]
+    nb = [p[1] for p in pairs]
+    got = jaro_winkler_ppm_batch(na, nb)
+    for a, b, g in zip(na, nb, got):
+        assert int(g) == jaro_winkler_ppm(a, b), (a, b)
