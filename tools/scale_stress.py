@@ -403,12 +403,15 @@ BROADCAST_TRANSITION_OK = {
     # 6.6M pairs), so per the round-10 de-hinting discipline the
     # regime transition is left to the optimizer rather than forced.
     "theilsen_daily_trend",
-    # crosses at 10× (r10): the post-drain reconstruction's orphan-
-    # click anti-join (safe clicks vs kept pairs on click_id) outgrows
-    # the broadcast threshold — exchanges 2 → 6 with
-    # hashpartitioning(click_id) appearing. Matched pairs at 100 TB
-    # are never broadcastable, so the keyed anti-join IS the cluster
-    # plan (the dedup_ppjoin_pairs regime change, streaming edition).
+    # crosses at 10× (r10): the post-drain reconstruction's orphan
+    # anti-joins (safe clicks/purchases vs kept pairs) outgrow the
+    # broadcast threshold and the keyed exchanges appear. Matched
+    # pairs at 100 TB are never broadcastable, so the keyed anti-join
+    # IS the cluster plan (the dedup_ppjoin_pairs regime change,
+    # streaming edition). r11 re-measure after the asymmetric-cut fix
+    # added the purchase-side anti-join: 12 → 10 exchanges with
+    # IDENTICAL key sets (AQE broadcast-converts two at 10×) — key-set
+    # stability is what the guard checks.
     "stream_interval_join_fouter",
 }
 
