@@ -1080,3 +1080,143 @@ def ppr_seeded_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_seed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (round-11 widening)
+# ---------------------------------------------------------------------------
+
+
+def _bfs_oracle(rounds: int) -> str:
+    parts = [
+        """cb0 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cb AS MATERIALIZED (
+  SELECT ck, unnest(list_sort(list(pk))[1:128]) AS pk FROM cb0 GROUP BY ck
+),
+pc AS MATERIALIZED (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM cb a JOIN cb b ON a.ck = b.ck AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= 5
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pc UNION ALL SELECT pb, pa FROM pc
+),
+deg AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+),
+seeds AS (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 5),
+d0 AS MATERIALIZED (
+  SELECT d.id,
+         CAST(CASE WHEN s.id IS NOT NULL THEN 0 END AS BIGINT) AS dist
+  FROM deg d LEFT JOIN seeds s USING (id)
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT d.id, COALESCE(d.dist, m.mind + 1) AS dist
+  FROM d{i - 1} d
+  LEFT JOIN (SELECT e.dst AS id, MIN(p.dist) AS mind
+             FROM d{i - 1} p JOIN e ON e.src = p.id
+             WHERE p.dist IS NOT NULL GROUP BY e.dst) m USING (id)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS part_id, CAST(dist AS BIGINT) AS hops
+FROM d{rounds} WHERE dist IS NOT NULL
+"""
+    )
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_bfs_oracle(4),
+    doc=(
+        "BFS hop distance from the 5 highest-degree parts over the "
+        "co-purchase graph (the LPA/PPR edge source) — the MIN-PLUS "
+        "semiring member that completes the iterative-graph family "
+        "(pagerank/PPR propagate SUMS, LPA argmax-labels, HITS "
+        "alternates normalized sums, BOM doubling grows a closure; "
+        "none yields a DISTANCE). 4 rounds = hops <= 4, the "
+        "neighborhood radius a related-items UI actually renders. "
+        "BFS monotonicity makes the update a COALESCE (a node's "
+        "first-reached round IS its final distance — no re-relaxation "
+        "like general Bellman-Ford), so state stays (id, nullable "
+        "dist) and the unrolled MATERIALIZED-CTE oracle replays the "
+        "rounds exactly: all-integer, no tie-break surface at all. "
+        "Plan per round: reached-frontier ⋈ pre-partitioned edges + "
+        "one dst-keyed MIN + a left join back to state, "
+        "localCheckpoint per round — the LPA plan with MIN for "
+        "argmax."
+    ),
+    tags=("graph", "analytics", "agg", "join"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rounds = 4
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    per_cust = cb.groupBy("ck").agg(
+        F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
+    )
+    capped = per_cust.select("ck", F.explode("pks").alias("pk"))
+    capped = capped.repartition("ck").localCheckpoint(eager=False)
+    pc = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    e = (
+        pc.selectExpr("pa AS src", "pb AS dst")
+        .unionAll(pc.selectExpr("pb AS src", "pa AS dst"))
+        .repartition("src")
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(5)
+        .select(F.col("src").alias("id"), F.lit(0).cast("bigint").alias("s_dist"))
+    )
+    state = (
+        deg.select(F.col("src").alias("id"))
+        .join(F.broadcast(seeds), "id", "left")
+        .select("id", F.col("s_dist").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        m = (
+            e.join(
+                state.filter(F.col("dist").isNotNull()).select(
+                    F.col("id").alias("src"), "dist"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.min("dist") + 1).alias("mind"))
+        )
+        state = (
+            state.join(m, "id", "left")
+            .select("id", F.coalesce(F.col("dist"), F.col("mind")).alias("dist"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return state.filter(F.col("dist").isNotNull()).select(
+        F.col("id").alias("part_id"), F.col("dist").cast("bigint").alias("hops")
+    )
