@@ -60,6 +60,18 @@ def _sidecar_path(key: tuple) -> str:
     )
 
 
+def _trunc_div(s: int, n: int) -> int:
+    """Exact truncating (toward-zero) integer division on Python ints.
+
+    Python's ``/`` is IEEE double division — for |s| > 2^53 the quotient
+    rounds before trunc and the "everything integer" fit contract breaks.
+    Floor-div on the absolute value with the sign re-applied is exact at
+    any magnitude and matches C/Go/SQL integer-division semantics.
+    """
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
 def _xq(vec_col: str) -> Column:
     return F.transform(
         F.col(vec_col).cast("array<double>"),
@@ -110,8 +122,6 @@ def kmeans_fit(
             _KMEANS_MODEL_CACHE[key] = model
             return model
 
-    import math
-
     q = corpus.select(F.col(id_col).alias("__id"), _xq(vec_col).alias("xq"))
     q = q.localCheckpoint(eager=False)
     seed_rows = q.orderBy("__id").limit(k).collect()  # k rows, a model seed
@@ -140,10 +150,11 @@ def kmeans_fit(
         for r in sums:
             j = int(r["c1"]) - 1
             n = int(r["n"])
-            # truncating integer division, sign-stable via math.trunc
-            new_cents[j] = [
-                int(math.trunc(int(r[f"s{i}"]) / n)) for i in range(dim)
-            ]
+            # EXACT truncating integer division on Python ints (sign-stable):
+            # float `/` before trunc loses exactness once |sum| > 2^53
+            # (clusters beyond ~2^32 rows at 2^21-scale coords), breaking
+            # the bit-stable integer-refit contract at 100 TB.
+            new_cents[j] = [_trunc_div(int(r[f"s{i}"]), n) for i in range(dim)]
         cents = new_cents
     model = {"centroids_q": cents, "k": k, "rounds": rounds, "dim": dim}
     if dataset_key is not None:

@@ -1070,17 +1070,25 @@ def jaro_winkler_ppm_batch(names_a, names_b):
         idx = np.asarray(idxs)
         if l1 == 0 or l2 == 0:
             continue  # ppm 0
-        if not (_all_ascii(names_a, idxs) and _all_ascii(names_b, idxs)):
-            # non-ASCII fallback: scalar reference per row (byte grids
-            # would mis-index multi-byte codepoints)
+        if max(l1, l2) > 2048:
+            # int64 overflow guard: after the boost 2*num*1e6 can reach
+            # ~84e6*L^3, which exceeds int64 near L ≈ 4800 — route the
+            # rare very-long strings to the arbitrary-precision scalar
+            # reference (Python ints never overflow).
             for i in idxs:
                 out[i] = jaro_winkler_ppm(names_a[i], names_b[i])
             continue
+        # UTF-32 codepoint grids: one uint32 per Python character for ANY
+        # string (ASCII or not), so non-ASCII text rides the same
+        # vectorized sweeps instead of a per-row scalar fallback (the
+        # r11 93-s regression risk on non-ASCII-majority data).
         A = np.frombuffer(
-            "".join(names_a[i] for i in idxs).encode("utf-8"), dtype=np.uint8
+            "".join(names_a[i] for i in idxs).encode("utf-32-le"),
+            dtype=np.uint32,
         ).reshape(len(idxs), l1)
         B = np.frombuffer(
-            "".join(names_b[i] for i in idxs).encode("utf-8"), dtype=np.uint8
+            "".join(names_b[i] for i in idxs).encode("utf-32-le"),
+            dtype=np.uint32,
         ).reshape(len(idxs), l2)
         g = len(idxs)
         w = max(l1, l2) // 2 - 1
@@ -1101,8 +1109,8 @@ def jaro_winkler_ppm_batch(names_a, names_b):
         if mm > 0:
             ka = np.where(matchedA, np.cumsum(matchedA, axis=1) - 1, -1)
             kb = np.where(matchedB, np.cumsum(matchedB, axis=1) - 1, -1)
-            seq_a = np.zeros((g, mm), dtype=np.uint8)
-            seq_b = np.zeros((g, mm), dtype=np.uint8)
+            seq_a = np.zeros((g, mm), dtype=np.uint32)
+            seq_b = np.zeros((g, mm), dtype=np.uint32)
             rows_a, cols_a = np.nonzero(matchedA)
             seq_a[rows_a, ka[rows_a, cols_a]] = A[rows_a, cols_a]
             rows_b, cols_b = np.nonzero(matchedB)
@@ -1126,10 +1134,6 @@ def jaro_winkler_ppm_batch(names_a, names_b):
         ppm = np.where(m == 0, 0, ppm)
         out[idx] = ppm
     return out
-
-
-def _all_ascii(names, idxs) -> bool:
-    return all(names[i].isascii() for i in idxs)
 
 
 @register(

@@ -231,7 +231,11 @@ FROM idx
 )
 def blob_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.media_table_from_documents(io.load(spark, sf_dir, "documents"))
-    chunks = media.select(
+    # Empty blobs must emit ZERO chunks. Spark's sequence(0, -1) silently
+    # infers step -1 and yields [0, -1] (two spurious rows, one with a
+    # negative substring start) whereas the oracle's range(0) is empty —
+    # same hazard guarded at textprep/trainprep sequence sites.
+    chunks = media.filter(F.length("blob") > 0).select(
         "media_id",
         "blob",
         F.explode(

@@ -19,6 +19,35 @@ from tda596_lab02mapreduce_spark.operators.kmeans import (
 )
 
 
+def test_trunc_div_exact_beyond_double_precision():
+    """The centroid update must divide EXACTLY at any magnitude.
+    float `/` before trunc (the r11 form) rounds the quotient once
+    |sum| > 2^53 — these synthetic sums pin the failure and the fix."""
+    from tda596_lab02mapreduce_spark.operators.kmeans import _trunc_div
+
+    # s = n*q + r with |s| >> 2^53: float division lands on the wrong
+    # integer for at least one of these; exact int division cannot.
+    cases = [
+        ((1 << 60) + 1, 3),
+        ((1 << 60) - 1, 7),
+        (-((1 << 60) + 1), 3),
+        ((1 << 62) + (1 << 20) + 1, (1 << 20) + 3),
+        (-((1 << 62) + 12345), 997),
+        (10**18 + 1, 10**9),
+    ]
+    for s, n in cases:
+        q = _trunc_div(s, n)
+        # exact trunc semantics: |q| = |s| // n, sign follows s
+        assert abs(q) == abs(s) // n, (s, n)
+        assert q == 0 or (q > 0) == (s > 0), (s, n)
+    # teeth: a case where the OLD float-division form is provably wrong —
+    # float(2^53 + 1) rounds to 2^53 (odd integers above 2^53 are not
+    # representable), so trunc(s / 1) loses the +1; exact division keeps it
+    s = (1 << 53) + 1
+    assert int(int(s) / 1) == (1 << 53)  # the r11 bug, pinned
+    assert _trunc_div(s, 1) == s  # the fix
+
+
 def test_kmeans_nondegenerate_and_deterministic(spark, sf_correctness):
     emb = io.load(spark, sf_correctness, "embeddings")
     n = emb.count()

@@ -168,3 +168,34 @@ def test_resize_oracle_fixture_precondition(spark):
             | (F.octet_length("text") != F.length("text"))
         ).count()
         assert bad == 0, f"{sf}: documents.text has empty or non-ASCII rows"
+
+
+def test_blob_chunk_manifest_empty_blob_emits_no_rows(spark):
+    """ADVICE r11 (medium): Spark's sequence(0, -1) silently infers
+    step -1 and yields [0, -1] — an empty blob would emit two spurious
+    chunk rows (one with a negative substring start) while the DuckDB
+    oracle's range(0) emits none. The query filters empty blobs before
+    the explode; pin that with a synthetic empty document."""
+    from tda596_lab02mapreduce_spark.queries.multimodal import (
+        blob_chunk_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "", 0), (2, "x" * 300, 300)],
+        "doc_id long, text string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = blob_chunk_manifest(spark, d).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert 1 not in by_id  # empty blob: ZERO chunks, not [0, -1]
+    assert sorted(r.chunk_idx for r in by_id[2]) == [0, 1, 2]
+    assert [r.chunk_bytes for r in sorted(by_id[2], key=lambda r: r.chunk_idx)] == [
+        128,
+        128,
+        44,
+    ]
