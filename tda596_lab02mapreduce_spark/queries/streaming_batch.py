@@ -1188,3 +1188,157 @@ def stream_cms_merge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy(
         F.col("r").cast("bigint").alias("r"), F.col("bucket").cast("bigint").alias("bucket")
     ).agg(F.sum("mass").cast("bigint").alias("mass"))
+
+
+@register(
+    "stream_user_spans_ttl",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 86400000000
+                 THEN 1 ELSE 0 END AS new_span
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+spans AS (
+  SELECT user_id, ts_us, cents,
+         SUM(new_span) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM marked
+),
+agg AS (
+  SELECT user_id, span_id,
+         min(ts_us) AS span_start_us,
+         max(ts_us) AS span_last_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM spans GROUP BY user_id, span_id
+),
+wm AS (
+  SELECT max(ts_us) // 1000 - 7200000 AS wm_ms FROM e
+)
+SELECT user_id, span_start_us, span_last_us, n_events, sum_cents
+FROM agg, wm
+WHERE span_id < (SELECT max(span_id) FROM agg a2
+                 WHERE a2.user_id = agg.user_id)
+   OR span_last_us // 1000 + 86400000 < wm_ms
+""",
+    doc=(
+        "Per-user activity spans with TTL state EXPIRY — the "
+        "GroupStateTimeout operator the r11 verdict asked for "
+        "(streaming/stateful.py:user_spans_ttl): keyed state that does "
+        "not live forever. A span closes (emits one row, frees its "
+        "state) when the user's next event arrives > 1 day after the "
+        "span's last event (update-close) or when the event-time "
+        "watermark passes last+TTL (EventTimeTimeout fire + "
+        "state.remove — silent keys EXPIRE, so end-of-drain state is "
+        "O(keys active within the TTL+delay horizon), not O(all keys "
+        "ever seen — the 100 TB churning-key posture the NoTimeout "
+        "trio could not claim). Oracle = gaps-and-islands sessions "
+        "(gap > TTL, µs-exact) restricted to the retention horizon: a "
+        "session is emitted iff a later session of the same user "
+        "exists OR last_ms + TTL_ms < final_watermark_ms (Spark fires "
+        "timeouts strictly below the ms-truncated watermark — pinned "
+        "empirically; max(ts) is ms-truncated the same way). Counts "
+        "and integer cent sums are order-insensitive, so the drained "
+        "output hash-matches exactly; spans still open at the final "
+        "watermark stay in state, un-emitted, in both engines."
+    ),
+    tags=("streaming", "stateful", "udf", "ttl"),
+)
+def stream_user_spans_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.streaming.stateful import user_spans_ttl
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    cents = events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    drained = run_available_now(
+        user_spans_ttl(cents), "q_stream_user_spans_ttl", output_mode="update"
+    )
+    return drained.select(
+        "user_id", "span_start_us", "span_last_us", "n_events", "sum_cents"
+    )
+
+
+@register(
+    "stream_ohlc_hourly_append",
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) * 1000000) AS HUGEINT)
+           * 1000000000 + event_id % 1000000000 AS okey
+  FROM events
+),
+wm AS (
+  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) // 1000 - 7200000 AS wm_ms
+  FROM events
+)
+SELECT user_id, hour,
+       arg_min(cents, okey) AS open_c,
+       max(cents) AS high_c,
+       min(cents) AS low_c,
+       arg_max(cents, okey) AS close_c,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM pts, wm
+WHERE epoch_us(hour + INTERVAL 1 HOUR) // 1000 <= wm_ms
+GROUP BY user_id, hour
+""",
+    doc=(
+        "APPEND-mode twin of stream_ohlc_hourly — the eviction proof "
+        "for the aggregation family (r11 verdict #1b): complete mode "
+        "materializes every candle ever opened (the one contracted-"
+        "linear state term, 976 MB at 20x), append mode emits a candle "
+        "exactly once when the watermark closes it and EVICTS its "
+        "state, so end-of-drain state is O(users x OPEN hours) — "
+        "bounded by the watermark horizon, not the stream length. "
+        "Emission contract (pinned empirically): a window is final "
+        "iff window_end_ms <= final_watermark_ms (equality EMITS; the "
+        "watermark is max(ts) ms-truncated minus the 2h delay), so "
+        "the oracle is the batch OHLC restricted to closed hours. "
+        "Candles still open at the final watermark are withheld in "
+        "both engines — the same retention-horizon restriction as "
+        "stream_user_spans_ttl."
+    ),
+    tags=("streaming", "timeseries", "agg", "ttl"),
+)
+def stream_ohlc_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.queries.timeseries import ohlc_cents_okey
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    cents, okey, aggs = ohlc_cents_okey(ev)
+    pts = ev.select("user_id", "ts", cents.alias("cents"), okey.alias("okey"))
+    agg = (
+        pts.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(*aggs)
+        .select(
+            "user_id",
+            F.col("w.start").alias("hour"),
+            "open_c",
+            "high_c",
+            "low_c",
+            "close_c",
+            "n_events",
+        )
+    )
+    return run_available_now(
+        agg, "q_stream_ohlc_hourly_append", output_mode="append"
+    )

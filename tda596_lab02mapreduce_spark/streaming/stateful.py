@@ -201,6 +201,114 @@ def ewma_user_value(events_cents: DataFrame, *, watermark: str = "1 hour") -> Da
     )
 
 
+SPANS_TTL_US = 24 * 3600 * 1_000_000  # 1 day of key silence closes a span
+SPANS_TTL_MS = SPANS_TTL_US // 1000
+SPANS_WATERMARK_MS = 2 * 3600 * 1000  # "2 hours" delay, ms-exact
+
+
+def user_spans_ttl(events_cents: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Per-user activity SPANS with TTL state expiry — the
+    GroupStateTimeout operator the r11 verdict asked for (the
+    applyInPandasWithState trio held state forever by NoTimeout
+    contract; at 100 TB with churning keys that state grows without
+    bound). State is one open span per user; a span CLOSES — emitting
+    one output row and freeing the state — through either door:
+
+    - update-close: the user's next event arrives more than TTL (1 day,
+      µs-exact) after the span's last event, or
+    - timeout-close: the event-time watermark passes
+      ``last_event_ms + TTL_ms`` (GroupStateTimeout.EventTimeTimeout;
+      Spark fires strictly when ``timeoutTimestamp < watermark``, both
+      ms-truncated — pinned empirically and mirrored in the oracle), at
+      which point ``state.remove()`` drops the key. Silent keys
+      therefore EXPIRE: end-of-drain state is O(users active within the
+      TTL+delay horizon), not O(all users ever seen).
+
+    Both doors emit the identical row (span start/last in exact µs,
+    order-insensitive count + integer cent sum), so the drained output
+    is deterministic and hash-checkable: emitted spans = gaps-and-
+    islands sessions (gap > TTL) that are either followed by a later
+    span of the same user or whose ``last_ms + TTL_ms`` lies strictly
+    below the final watermark. Spans still open at the final watermark
+    stay IN STATE and un-emitted — exactly the retention-horizon
+    restriction the oracle applies.
+
+    Ordering contract (same as ewma_user_value): rows sort by
+    (ts, event_id) within a micro-batch; cross-batch feeds must be
+    time-ordered (the scale staging's range-partitioned ascending-mtime
+    discipline) or a beyond-watermark straggler may split a span.
+    ``events_cents`` must carry ``cents`` = Spark-side
+    round(value*100) BIGINT and ``ts``."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, s = state.get
+            state.remove()  # the expiry: silent key's state is GONE
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "span_start_us": [start_us],
+                    "span_last_us": [last_us],
+                    "n_events": [n],
+                    "sum_cents": [s],
+                }
+            )
+            return
+        if state.exists:
+            start_us, last_us, n, s = state.get
+        else:
+            start_us = last_us = None
+            n, s = 0, 0
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns -> µs
+        out: dict[str, list] = {
+            "user_id": [],
+            "span_start_us": [],
+            "span_last_us": [],
+            "n_events": [],
+            "sum_cents": [],
+        }
+        for t, c in zip(ts_us, pdf["cents"]):
+            if last_us is not None and t - last_us > SPANS_TTL_US:
+                out["user_id"].append(user_id)
+                out["span_start_us"].append(start_us)
+                out["span_last_us"].append(last_us)
+                out["n_events"].append(n)
+                out["sum_cents"].append(s)
+                start_us, n, s = t, 0, 0
+            elif last_us is None:
+                start_us = t
+            last_us = max(last_us, t) if last_us is not None else t
+            n += 1
+            s += int(c)
+        state.update((start_us, last_us, n, s))
+        # re-arm the event-time timeout: fires when the watermark passes
+        # last_ms + TTL_ms. Guard below current watermark (possible only
+        # for beyond-watermark stragglers) — Spark rejects timeouts in
+        # the past; +1 defers the fire to the next batch, same row.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_us // 1000 + SPANS_TTL_MS, wm + 1))
+        yield pd.DataFrame(out)
+
+    return (
+        events_cents.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, span_start_us long, span_last_us long, "
+                "n_events long, sum_cents long"
+            ),
+            stateStructType="start long, last long, n long, s long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def floor_balance_user(events_deltas: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of ``inventory_floor_balance``: the floored
     running balance b_t = max(0, b_{t-1} + x_t) as a stateful

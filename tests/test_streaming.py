@@ -480,3 +480,103 @@ def test_fouter_interval_join_boundary_band_clicks(spark, tmp_path):
     # (the old symmetric cut kept them in the oracle only)
     clicks_out = {c for _, c, _ in got}
     assert (False, "5") not in clicks_out and (False, "6") not in clicks_out
+
+
+def test_user_spans_ttl_state_expires(spark, sf_correctness):
+    """The r11 verdict #1a contract, measured with the engine's own
+    state-store metrics: after the drain, keys silent for more than
+    TTL+delay have NO state rows (EventTimeTimeout fired and
+    state.remove() ran), active keys hold exactly one open span, and
+    the emitted row count equals sessions-minus-open-spans. The hash
+    gate proves the VALUES; this pins the EXPIRY."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark.queries.streaming_batch import (
+        stream_user_spans_ttl,
+    )
+    from tda596_lab02mapreduce_spark.streaming.stateful import (
+        SPANS_TTL_MS,
+        SPANS_TTL_US,
+        SPANS_WATERMARK_MS,
+    )
+    from tda596_lab02mapreduce_spark.streaming.windows import DRAIN_STATS
+
+    out_rows = stream_user_spans_ttl(spark, sf_correctness).count()
+    stats = DRAIN_STATS["q_stream_user_spans_ttl"]
+
+    ev = io.load(spark, sf_correctness, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    wm_ms = (
+        ev.agg(F.max("ts_us")).collect()[0][0] // 1000 - SPANS_WATERMARK_MS
+    )
+    per_user = ev.groupBy("user_id").agg(F.max("ts_us").alias("last_us"))
+    n_users = per_user.count()
+    n_expired = per_user.filter(
+        F.col("last_us") / 1000 + SPANS_TTL_MS < wm_ms
+    ).count()
+    # batch sessionization: total spans (gap > TTL starts a new one)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    total_spans = (
+        ev.withColumn("prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_span",
+            (
+                F.col("prev").isNull()
+                | (F.col("ts_us") - F.col("prev") > SPANS_TTL_US)
+            ).cast("long"),
+        )
+        .agg(F.sum("new_span"))
+        .collect()[0][0]
+    )
+
+    # expiry measured: silent keys dropped from the store...
+    assert stats["state_rows_last"] == n_users - n_expired
+    assert n_expired > 0  # the fixture genuinely exercises the timeout
+    assert stats["state_rows_max"] == n_users
+    # ...and the output is sessions minus the still-open spans
+    assert out_rows == total_spans - (n_users - n_expired)
+
+
+def test_ohlc_append_state_bounded_vs_complete(spark, sf_correctness):
+    """The r11 verdict #1b contract: append-mode OHLC evicts closed
+    candles, so end-of-drain state is O(users x OPEN hours) — the
+    candles the final watermark has not closed — while complete mode
+    retains every candle ever opened (the contracted-linear term).
+    Both measured from StreamingQueryProgress, not prose."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark.queries.streaming_batch import (
+        stream_ohlc_hourly,
+        stream_ohlc_hourly_append,
+    )
+    from tda596_lab02mapreduce_spark.streaming.windows import DRAIN_STATS
+
+    n_append = stream_ohlc_hourly_append(spark, sf_correctness).count()
+    n_complete = stream_ohlc_hourly(spark, sf_correctness).count()
+    s_append = DRAIN_STATS["q_stream_ohlc_hourly_append"]
+    s_complete = DRAIN_STATS["q_stream_ohlc_hourly"]
+
+    ev = io.load(spark, sf_correctness, "events").select(
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    wm_ms = ev.agg(F.max("ts_us")).collect()[0][0] // 1000 - 7_200_000
+    candles = ev.select(
+        "user_id", (F.col("ts_us") - F.col("ts_us") % 3_600_000_000).alias("h")
+    ).distinct()
+    n_candles = candles.count()
+    n_open = candles.filter(
+        (F.col("h") / 1000 + 3_600_000) > wm_ms
+    ).count()
+
+    # complete mode: the store holds EVERY candle at drain end
+    assert s_complete["state_rows_last"] == n_candles
+    # append mode: closed candles were EMITTED (+evicted); only the
+    # watermark-open tail remains in state
+    assert s_append["state_rows_last"] == n_open
+    assert n_open < n_candles / 50  # bounded by horizon, not history
+    assert n_append == n_candles - n_open
+    assert n_complete == n_candles
