@@ -949,6 +949,63 @@ FROM p{rounds}
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-purchase part-pair edges (count >= 5 customers),
+    shared by PPR and BFS. Pairs are emitted ROW-LOCALLY from each
+    customer's sorted capped part array (the copurchase_brand_pairs
+    shape) instead of a capped⋈capped self-join: the join built
+    per-task hash maps over the full pair fan-out and OOM'd a bare 1g
+    session at sf0.1 (r11 verdict #3); the nested-transform explode
+    streams pairs out of each row with O(cap²) per-row work.
+
+    Memory contract (the bare-1g fix, measured): the pair stream is
+    ~n_customers × C(cap,2) rows (13.1M at sf0.1), and on a 1 GB G1
+    heap the killers are HUMONGOUS allocations — ≥512 KB buffers on
+    1 MB G1 regions (32 concurrent shuffle-sorter pages on the write
+    side, 32 growing aggregate maps on the reduce side) thrash the
+    GCLocker until the JVM throws spurious OOM. So (a) the
+    pair-EMISSION stage is bounded to defaultParallelism/4 concurrent
+    writers, and (b) the pair COUNT aggregates after an explicit wide
+    hash repartition (64×parallelism partitions — AQE never coalesces
+    an explicit count) so each reduce task's map holds a sub-region-
+    size slice. Verified end-to-end on a bare 1g local[32] session at
+    sf0.1. Returned edges are repartition(src)-ed and persist()-ed —
+    callers unpersist()."""
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    per_cust = cb.groupBy("ck").agg(
+        F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
+    )
+    par = spark.sparkContext.defaultParallelism
+    pairs = per_cust.repartition(max(8, par // 4)).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(pks, (x, i) -> "
+                "transform(slice(pks, i + 2, size(pks)), "
+                "y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    )
+    pc = (
+        pairs.select("p.pa", "p.pb")
+        .repartition(max(256, 64 * par), F.col("pa"), F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    return (
+        pc.selectExpr("pa AS src", "pb AS dst")
+        .unionAll(pc.selectExpr("pb AS src", "pa AS dst"))
+        .repartition("src")
+        .persist()
+    )
+
+
 @register(
     "ppr_seeded_related_parts",
     oracle=_ppr_oracle(6),
@@ -974,34 +1031,7 @@ FROM p{rounds}
 )
 def ppr_seeded_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = 6
-    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cb = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    per_cust = cb.groupBy("ck").agg(
-        F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
-    )
-    capped = per_cust.select("ck", F.explode("pks").alias("pk"))
-    capped = capped.repartition("ck").localCheckpoint(eager=False)
-    pc = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 5)
-    )
-    e = (
-        pc.selectExpr("pa AS src", "pb AS dst")
-        .unionAll(pc.selectExpr("pb AS src", "pa AS dst"))
-        .repartition("src")
-        .persist()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     nv = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     seeds = (
@@ -1160,34 +1190,7 @@ FROM d{rounds} WHERE dist IS NOT NULL
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = 4
-    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cb = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    per_cust = cb.groupBy("ck").agg(
-        F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
-    )
-    capped = per_cust.select("ck", F.explode("pks").alias("pk"))
-    capped = capped.repartition("ck").localCheckpoint(eager=False)
-    pc = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 5)
-    )
-    e = (
-        pc.selectExpr("pa AS src", "pb AS dst")
-        .unionAll(pc.selectExpr("pb AS src", "pa AS dst"))
-        .repartition("src")
-        .persist()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     seeds = (
         deg.orderBy(F.desc("deg"), F.asc("src"))
