@@ -1296,3 +1296,190 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.join(ref_ranked, tr.target_rank == ref_ranked.rrn).select(
         "event_id", "cents", F.col("ref_cents").cast("bigint").alias("norm_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the full multi-round merge trajectory
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the fixed-round BPE trainer
+    (the logistic-GD discipline applied to the tokenizer). Each word is
+    encoded as fixed-width '#'-prefixed 7-digit codepoint ids, so plain
+    replace('#L#R' -> '#M') applies a merge with exact greedy
+    left-to-right non-overlapping semantics in BOTH engines (runs of
+    identical symbols merge floor(k/2) times, the classic BPE rule) and
+    token boundaries can never misalign or share delimiters."""
+    parts = [
+        rf"""wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT {_TOK_SQL} AS word FROM documents) t
+  WHERE word <> '' GROUP BY word
+),
+enc0 AS MATERIALIZED (
+  SELECT array_to_string(
+           list_transform(range(1, length(word) + 1),
+             i -> '#' || lpad(CAST(unicode(substr(word, i, 1)) AS VARCHAR),
+                              7, '0')),
+           '') AS enc,
+         freq
+  FROM wf
+),
+sym0 AS MATERIALIZED (
+  SELECT DISTINCT lpad(CAST(unicode(c) AS VARCHAR), 7, '0') AS id, c AS s
+  FROM (SELECT unnest(list_transform(range(1, length(word) + 1),
+                                     i -> substr(word, i, 1))) AS c
+        FROM wf) t
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        mid = str(2000000 + r)  # 7 digits, above any Unicode codepoint
+        parts.append(
+            f"""pairs{r} AS MATERIALIZED (
+  SELECT l, r2, CAST(SUM(freq) AS BIGINT) AS c
+  FROM (
+    SELECT ids[i] AS l, ids[i + 1] AS r2, freq
+    FROM (SELECT list_filter(string_split(enc, '#'), x -> x <> '') AS ids,
+                 freq
+          FROM enc{r - 1}) t,
+         (SELECT unnest(range(1, len(ids))) AS i)
+  ) p
+  GROUP BY l, r2
+),
+top{r} AS MATERIALIZED (
+  SELECT p.l AS lid, p.r2 AS rid, sl.s AS ls, sr.s AS rs, p.c AS cnt
+  FROM pairs{r} p
+  JOIN sym{r - 1} sl ON p.l = sl.id
+  JOIN sym{r - 1} sr ON p.r2 = sr.id
+  ORDER BY p.c DESC, sl.s, sr.s LIMIT 1
+),
+enc{r} AS MATERIALIZED (
+  SELECT replace(enc, '#' || t.lid || '#' || t.rid, '#{mid}') AS enc, freq
+  FROM enc{r - 1}, top{r} t
+),
+sym{r} AS MATERIALIZED (
+  SELECT * FROM sym{r - 1}
+  UNION ALL SELECT '{mid}', ls || rs FROM top{r}
+)"""
+        )
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, ls AS left_sym, rs AS right_sym, "
+        f"ls || rs AS merged_sym, cnt AS pair_count FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(_BPE_ROUNDS),
+    doc=(
+        "BPE tokenizer training, the FULL fixed-3-round merge "
+        "trajectory (r11 verdict #5 — bpe_top_merges computes one "
+        "round's candidates; a trainer must APPLY the top merge, "
+        "re-segment, and recount). Round r: count adjacent symbol "
+        "pairs over the word-frequency table (work proportional to "
+        "the VOCABULARY, not the corpus — the real-BPE batching), "
+        "pick the (count DESC, left, right lexical) top merge, apply "
+        "it to every word, repeat. Exactness: words are encoded as "
+        "fixed-width '#'-prefixed 7-digit codepoint ids, merged "
+        "symbols get ids 2000001+r (above any codepoint), so plain "
+        "replace() IS the greedy left-to-right non-overlapping BPE "
+        "merge in both engines — runs of identical symbols merge "
+        "floor(k/2) times, boundaries can never misalign, and every "
+        "quantity is an integer count or a byte-compared string: the "
+        "whole trajectory hash-matches the unrolled MATERIALIZED-CTE "
+        "oracle (the logistic-GD discipline on the tokenizer; the "
+        "trained-artifact family now covers GLM, k-means, and BPE). "
+        "Plan: per round one vocab-sized pair count + a 1-row top-1 "
+        "broadcast into a map-only replace — zero driver-side "
+        "decisions, zero UDFs."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
+    wf = (
+        docs.select(F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pad = lambda c: F.lpad(c.cast("string"), 7, "0")  # noqa: E731
+    enc = wf.select(
+        F.expr(
+            "array_join(transform(split(word, ''), "
+            "c -> concat('#', lpad(cast(ascii(c) as string), 7, '0'))), '')"
+        ).alias("enc"),
+        "freq",
+    )
+    syms = (
+        wf.select(F.explode(F.split("word", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .select(pad(F.expr("ascii(c)")).alias("id"), F.col("c").alias("s"))
+    )
+    tops = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        mid = str(2000000 + r)
+        ids = enc.select(
+            F.expr("filter(split(enc, '#'), x -> x <> '')").alias("ids"),
+            "freq",
+        ).filter(F.size("ids") >= 2)
+        pairs = (
+            ids.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(ids, 1, size(ids) - 1), "
+                        "(x, i) -> struct(x AS l, element_at(ids, i + 2) AS r2))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r2").alias("r2"))
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+        )
+        sl = syms.select(F.col("id").alias("l"), F.col("s").alias("ls"))
+        sr = syms.select(F.col("id").alias("r2"), F.col("s").alias("rs"))
+        top = (
+            pairs.join(F.broadcast(sl), "l")
+            .join(F.broadcast(sr), "r2")
+            .orderBy(F.desc("c"), "ls", "rs")
+            .limit(1)
+            .select(
+                F.col("l").alias("lid"),
+                F.col("r2").alias("rid"),
+                "ls",
+                "rs",
+                F.col("c").alias("cnt"),
+            )
+            .localCheckpoint()  # 1 row — pins the round's decision
+        )
+        tops.append(
+            top.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("ls").alias("left_sym"),
+                F.col("rs").alias("right_sym"),
+                F.concat("ls", "rs").alias("merged_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        enc = (
+            enc.crossJoin(F.broadcast(top))
+            .select(
+                F.expr(
+                    f"replace(enc, concat('#', lid, '#', rid), '#{mid}')"
+                ).alias("enc"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+        syms = syms.unionAll(
+            top.select(F.lit(mid).alias("id"), F.concat("ls", "rs").alias("s"))
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out

@@ -392,3 +392,39 @@ def test_mix_allocation_budget_conserved(spark, sf_correctness):
     assert budget - 3 <= tgt_sum <= budget
     for r in rows:
         assert r["epochs_milli"] == (1000 * r["target_tokens"]) // r["n_tokens"]
+
+
+def test_bpe_train_merges_applies_merges_and_handles_runs(spark, tmp_path):
+    """The trainer must actually APPLY each round's merge: build a
+    corpus where round 2's best pair contains round 1's merged symbol,
+    and where a run of identical symbols merges floor(k/2) times
+    (greedy left-to-right, the classic BPE rule). A counts-only
+    implementation that never re-segments fails both."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark.queries.trainprep import (
+        bpe_train_merges,
+    )
+
+    # 'abab' x10: round 1 merges (a,b)->ab (count 20: 2 per word).
+    # After applying, words are [ab, ab] so round 2's top pair is
+    # (ab, ab) -> abab with count 10 — only reachable by re-segmenting.
+    # 'cccc' x3 pins the run rule: (c,c) counts floor(4/2)*3=6... but
+    # pair COUNTING over 'c c c c' sees 3 adjacencies x3 = 9 < 20.
+    docs = spark.createDataFrame(
+        [(i, "abab", 4) for i in range(10)]
+        + [(100 + i, "cccc", 4) for i in range(3)],
+        "doc_id long, text string, n_chars long",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        int(r["round"]): (r["left_sym"], r["right_sym"], int(r["pair_count"]))
+        for r in bpe_train_merges(spark, str(tmp_path)).collect()
+    }
+    assert rows[1] == ("a", "b", 20)
+    # round 2: words are now [ab, ab] — the merged SYMBOL pairs with
+    # itself (count 10); (c,c) has 9 by the greedy adjacency count
+    assert rows[2] == ("ab", "ab", 10)
+    # round 3: 'abab' is one symbol; only the c-run remains. After
+    # merging (c,c) greedily each 'cccc' is [cc, cc]
+    assert rows[3] == ("c", "c", 9)
