@@ -3642,3 +3642,113 @@ def calibration_logistic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience intersection at SKETCH scale (theta/KMV, round-12 widening)
+# ---------------------------------------------------------------------------
+
+_AUD_K = 1024
+_AUD_SPACE = 1 << 60  # 15 md5 hex digits
+
+
+@register(
+    "audience_overlap_sketch",
+    oracle=None,
+    doc=(
+        "Theta/KMV-sketch audience INTERSECTION estimate (r11 verdict "
+        "#6): the HLL/CMS/bitmap family covers distinct counts and "
+        "point frequencies but no mergeable set-intersection; this is "
+        "the sketch a 100 TB overlap report uses instead of "
+        "audience_overlap_matrix's exact user-day self-join (the "
+        "exact twin, same segment definition). Per event type the "
+        "sketch is the k=1024 smallest 60-bit md5 hashes of the "
+        "user-day keys — mergeable by construction (union of mins); "
+        "theta = the k-th smallest (or the full space when the "
+        "segment fits, where the estimate degrades gracefully to "
+        "EXACT). Pair estimate: count common hashes below "
+        "min(theta_a, theta_b), scale by SPACE/theta — the standard "
+        "theta-sketch a-not-b/intersection estimator. Each sketch is "
+        "built distributed: a broadcast count prunes to the ~8k "
+        "expected survivors per type before the type-partitioned "
+        "rank, so no window ever sees a full segment. NO oracle by "
+        "contract (the estimate is sampling-dependent); the sweep "
+        "bound-checks it against the exact DuckDB intersection "
+        "(tools/sweep_config_free.py BOUND_CHECKS) with a stated "
+        "3-sigma-style bound, the r11 sketch discipline."
+    ),
+    tags=("analytics", "agg", "sketch"),
+)
+def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = io.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    )
+    item = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.date_format("day", "yyyy-MM-dd"),
+    )
+    hashed = (
+        ev.select(
+            "event_type",
+            F.conv(F.substring(F.md5(item), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()  # distinct (type, user-day-hash) = the segment sets
+    )
+    n_t = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # pre-prune to ~8k expected smallest per type so the per-type rank
+    # never sees a full segment (the 100 TB path: one count + one
+    # filter; 16x margin over k makes a short sample impossible)
+    thr = n_t.select(
+        "event_type",
+        F.when(F.col("n") <= 8 * _AUD_K, F.lit(_AUD_SPACE))
+        .otherwise(
+            (F.lit(float(_AUD_SPACE)) / F.col("n") * (8 * _AUD_K))
+            .cast("long")
+        )
+        .alias("thr"),
+    )
+    surv = hashed.join(F.broadcast(thr), "event_type").filter(
+        F.col("h") < F.col("thr")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = surv.select(
+        "event_type", "h", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _AUD_K)
+    theta = ranked.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < _AUD_K, F.lit(_AUD_SPACE))
+        .otherwise(F.max(F.when(F.col("rn") == _AUD_K, F.col("h"))))
+        .alias("theta")
+    )
+    sample = (
+        ranked.join(F.broadcast(theta), "event_type")
+        .filter(F.col("h") < F.col("theta"))
+        .select("event_type", "h")
+    )
+    sa = sample.select(F.col("event_type").alias("type_a"), "h")
+    sb = sample.select(F.col("event_type").alias("type_b"), "h")
+    ta = theta.select(F.col("event_type").alias("type_a"), F.col("theta").alias("th_a"))
+    tb = theta.select(F.col("event_type").alias("type_b"), F.col("theta").alias("th_b"))
+    common = (
+        sa.join(sb, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .filter(F.col("h") < F.least("th_a", "th_b"))
+        .groupBy("type_a", "type_b", "th_a", "th_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return common.select(
+        F.concat_ws(":", "type_a", "type_b").alias("pair_key"),
+        F.expr(
+            f"CAST((CAST(common AS DECIMAL(38,0)) * {_AUD_SPACE}) "
+            "div CAST(least(th_a, th_b) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("est_both"),
+        F.col("common").cast("bigint").alias("sample_common"),
+    )

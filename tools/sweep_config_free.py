@@ -94,7 +94,35 @@ def _check_gk(srows, erows):
     return ok, "each quantile within the ±2/10000 rank window of exact"
 
 
+def _check_aud(srows, erows):
+    # (pair_key, est_both, sample_common) vs exact (pair_key, n_both)
+    ex = {str(r[0]): r for r in erows}
+    worst = 0.0
+    for r in srows:
+        e = ex[str(r[0])]
+        worst = max(worst, abs(r[1] - e[1]) / e[1])
+    return worst <= 0.16, (
+        f"worst_rel_err={worst:.4f} "
+        "(bound 0.16 ≈ 3/sqrt(sample_common≈340) at k=1024; "
+        "measured 0.061 sf0.01 / 0.072 sf0.1)"
+    )
+
+
 BOUND_CHECKS = {
+    "audience_overlap_sketch": (
+        """WITH ut AS (
+             SELECT DISTINCT user_id,
+                    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                    event_type
+             FROM events)
+           SELECT a.event_type || ':' || b.event_type AS pair_key,
+                  CAST(count(*) AS BIGINT) AS n_both
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id AND a.day = b.day
+            AND a.event_type < b.event_type
+           GROUP BY 1""",
+        _check_aud,
+    ),
     "approx_count_distinct": (
         """SELECT l_returnflag,
                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS ep,
