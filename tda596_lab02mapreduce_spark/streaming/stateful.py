@@ -3,9 +3,12 @@ per-key mutable state across micro-batches.
 
 Two API generations are covered:
 
-- ``running_user_stats``: applyInPandasWithState (GroupState) — runs
-  everywhere, registered as the hash-checked
-  ``stream_running_user_stats`` query.
+- applyInPandasWithState (GroupState): ``running_user_stats`` /
+  ``ewma_user_value`` / ``floor_balance_user`` (NoTimeout — state
+  lives for the stream's lifetime, correct for running aggregates
+  over a bounded key set) and ``user_spans_ttl``
+  (GroupStateTimeout.EventTimeTimeout — keyed state that EXPIRES
+  after TTL of key silence, the churning-key 100 TB posture).
 - ``user_envelope_tws``: the Spark 4 transformWithStateInPandas
   StatefulProcessor API (named ValueState handles, RocksDB-backed).
   Its Python state protocol is protobuf-based, and this container
