@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tda596_lab02mapreduce_spark import registry
 from tda596_lab02mapreduce_spark.session import get_spark
 
+# The first 19 HEADLINE entries are the round-1 anchor subset
+# (BASELINE.md:34-60, anchor total 22.365 s at sf0.1). Their subset sum
+# + ratio are emitted in the bench artifact each round so the 2× gate
+# is computable from BENCH_r{N}.json alone (VERDICT r11 next-round #8).
+R1_ANCHOR_N = 19
+R1_ANCHOR_TOTAL_SEC = 22.365
+
 HEADLINE = [
     "wordcount",
     "inverted_index",
@@ -161,6 +168,14 @@ HEADLINE = [
     "embedding_kmeans_assign",
     "join_jaro_winkler_pairs",
     "pattern_decline_recovery_runs",
+    # round-12 additions: the 3-round BPE trainer (iterative top-1
+    # broadcast + map-only replace), the theta-sketch audience
+    # intersection, and the two streaming state-eviction proofs (TTL
+    # spans, append-mode OHLC — each times a REAL AvailableNow drain).
+    "bpe_train_merges",
+    "audience_overlap_sketch",
+    "stream_user_spans_ttl",
+    "stream_ohlc_hourly_append",
 ]
 
 
@@ -190,12 +205,21 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    anchor_total = round(
+        sum(timings[q] for q in HEADLINE[:R1_ANCHOR_N] if q in timings), 3
+    )
     result = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "anchor_subset_total": anchor_total,
+        "anchor_subset_n": R1_ANCHOR_N,
+        "anchor_r1_total": R1_ANCHOR_TOTAL_SEC,
+        "anchor_ratio": round(anchor_total / R1_ANCHOR_TOTAL_SEC, 3)
+        if sf_val == 0.1
+        else None,  # the anchor was measured at sf0.1 only
     }
     # Full per-query map goes to a FILE (the r8 driver record had
     # "parsed": null because the 64-query single-line JSON outran the
@@ -213,6 +237,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "anchor_subset_total": anchor_total,
+        "anchor_ratio": result["anchor_ratio"],
         "queries_file": "bench_queries.json",
     }
     print(json.dumps(summary))

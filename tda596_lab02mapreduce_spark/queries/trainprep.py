@@ -1298,21 +1298,22 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# BPE tokenizer training: the full multi-round merge trajectory
+# BPE tokenizer training: the full multi-round merge trajectory + serve
 # ---------------------------------------------------------------------------
 
 _BPE_ROUNDS = 3
 
 
-def _bpe_train_oracle(rounds: int) -> str:
+def _bpe_oracle_parts(rounds: int) -> str:
     """Unrolled MATERIALIZED-CTE replay of the fixed-round BPE trainer
     (the logistic-GD discipline applied to the tokenizer). Each word is
     encoded as fixed-width '#'-prefixed 7-digit codepoint ids, so plain
     replace('#L#R' -> '#M') applies a merge with exact greedy
     left-to-right non-overlapping semantics in BOTH engines (runs of
     identical symbols merge floor(k/2) times, the classic BPE rule) and
-    token boundaries can never misalign or share delimiters."""
+    token boundaries can never misalign or share delimiters. Every
+    enc{r} CTE keeps the word column, so serve-side consumers can join
+    the final segmentation back to per-source word streams."""
     parts = [
         rf"""wf AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -1320,7 +1321,8 @@ def _bpe_train_oracle(rounds: int) -> str:
   WHERE word <> '' GROUP BY word
 ),
 enc0 AS MATERIALIZED (
-  SELECT array_to_string(
+  SELECT word,
+         array_to_string(
            list_transform(range(1, length(word) + 1),
              i -> '#' || lpad(CAST(unicode(substr(word, i, 1)) AS VARCHAR),
                               7, '0')),
@@ -1357,7 +1359,8 @@ top{r} AS MATERIALIZED (
   ORDER BY p.c DESC, sl.s, sr.s LIMIT 1
 ),
 enc{r} AS MATERIALIZED (
-  SELECT replace(enc, '#' || t.lid || '#' || t.rid, '#{mid}') AS enc, freq
+  SELECT word, replace(enc, '#' || t.lid || '#' || t.rid, '#{mid}') AS enc,
+         freq
   FROM enc{r - 1}, top{r} t
 ),
 sym{r} AS MATERIALIZED (
@@ -1365,42 +1368,49 @@ sym{r} AS MATERIALIZED (
   UNION ALL SELECT '{mid}', ls || rs FROM top{r}
 )"""
         )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_train_oracle(rounds: int) -> str:
     finals = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, ls AS left_sym, rs AS right_sym, "
         f"ls || rs AS merged_sym, cnt AS pair_count FROM top{r}"
         for r in range(1, rounds + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + finals
+    return _bpe_oracle_parts(rounds) + "\n" + finals
 
 
-@register(
-    "bpe_train_merges",
-    oracle=_bpe_train_oracle(_BPE_ROUNDS),
-    doc=(
-        "BPE tokenizer training, the FULL fixed-3-round merge "
-        "trajectory (r11 verdict #5 — bpe_top_merges computes one "
-        "round's candidates; a trainer must APPLY the top merge, "
-        "re-segment, and recount). Round r: count adjacent symbol "
-        "pairs over the word-frequency table (work proportional to "
-        "the VOCABULARY, not the corpus — the real-BPE batching), "
-        "pick the (count DESC, left, right lexical) top merge, apply "
-        "it to every word, repeat. Exactness: words are encoded as "
-        "fixed-width '#'-prefixed 7-digit codepoint ids, merged "
-        "symbols get ids 2000001+r (above any codepoint), so plain "
-        "replace() IS the greedy left-to-right non-overlapping BPE "
-        "merge in both engines — runs of identical symbols merge "
-        "floor(k/2) times, boundaries can never misalign, and every "
-        "quantity is an integer count or a byte-compared string: the "
-        "whole trajectory hash-matches the unrolled MATERIALIZED-CTE "
-        "oracle (the logistic-GD discipline on the tokenizer; the "
-        "trained-artifact family now covers GLM, k-means, and BPE). "
-        "Plan: per round one vocab-sized pair count + a 1-row top-1 "
-        "broadcast into a map-only replace — zero driver-side "
-        "decisions, zero UDFs."
-    ),
-    tags=("text", "llm", "agg"),
+def _bpe_encode_oracle(rounds: int) -> str:
+    return (
+        _bpe_oracle_parts(rounds)
+        + f""",
+ntok AS MATERIALIZED (
+  SELECT word,
+         CAST(length(enc) - length(replace(enc, '#', '')) AS BIGINT) AS n_tok
+  FROM enc{rounds}
+),
+wfs AS MATERIALIZED (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, {_TOK_SQL} AS word FROM documents) t
+  WHERE word <> '' GROUP BY source, word
 )
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT source,
+       CAST(SUM(freq) AS BIGINT) AS total_words,
+       CAST(SUM(freq * n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(freq * length(word)) AS BIGINT) AS total_chars,
+       CAST(CAST(1000000 AS HUGEINT) * SUM(freq * length(word))
+            // SUM(freq * n_tok) AS BIGINT) AS chars_per_token_ppm
+FROM wfs JOIN ntok USING (word)
+GROUP BY source"""
+    )
+
+
+def _bpe_train_frames(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared fixed-round BPE trainer: returns (one 1-row merge DF per
+    round with columns round/left_sym/right_sym/merged_sym/pair_count,
+    the final per-word segmentation (word, enc, freq))."""
     docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
     wf = (
         docs.select(F.explode(tokens_nonempty("text")).alias("word"))
@@ -1409,6 +1419,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pad = lambda c: F.lpad(c.cast("string"), 7, "0")  # noqa: E731
     enc = wf.select(
+        "word",
         F.expr(
             "array_join(transform(split(word, ''), "
             "c -> concat('#', lpad(cast(ascii(c) as string), 7, '0'))), '')"
@@ -1422,7 +1433,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(pad(F.expr("ascii(c)")).alias("id"), F.col("c").alias("s"))
     )
     tops = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         mid = str(2000000 + r)
         ids = enc.select(
             F.expr("filter(split(enc, '#'), x -> x <> '')").alias("ids"),
@@ -1469,6 +1480,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc = (
             enc.crossJoin(F.broadcast(top))
             .select(
+                "word",
                 F.expr(
                     f"replace(enc, concat('#', lid, '#', rid), '#{mid}')"
                 ).alias("enc"),
@@ -1479,7 +1491,86 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         syms = syms.unionAll(
             top.select(F.lit(mid).alias("id"), F.concat("ls", "rs").alias("s"))
         )
+    return tops, enc
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(_BPE_ROUNDS),
+    doc=(
+        "BPE tokenizer training, the FULL fixed-3-round merge "
+        "trajectory (r11 verdict #5 — bpe_top_merges computes one "
+        "round's candidates; a trainer must APPLY the top merge, "
+        "re-segment, and recount). Round r: count adjacent symbol "
+        "pairs over the word-frequency table (work proportional to "
+        "the VOCABULARY, not the corpus — the real-BPE batching), "
+        "pick the (count DESC, left, right lexical) top merge, apply "
+        "it to every word, repeat. Exactness: words are encoded as "
+        "fixed-width '#'-prefixed 7-digit codepoint ids, merged "
+        "symbols get ids 2000001+r (above any codepoint), so plain "
+        "replace() IS the greedy left-to-right non-overlapping BPE "
+        "merge in both engines — runs of identical symbols merge "
+        "floor(k/2) times, boundaries can never misalign, and every "
+        "quantity is an integer count or a byte-compared string: the "
+        "whole trajectory hash-matches the unrolled MATERIALIZED-CTE "
+        "oracle (the logistic-GD discipline on the tokenizer; the "
+        "trained-artifact family now covers GLM, k-means, and BPE). "
+        "Plan: per round one vocab-sized pair count + a 1-row top-1 "
+        "broadcast into a map-only replace — zero driver-side "
+        "decisions, zero UDFs."
+    ),
+    tags=("text", "llm", "agg"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tops, _ = _bpe_train_frames(spark, sf_dir, _BPE_ROUNDS)
     out = tops[0]
     for t in tops[1:]:
         out = out.unionAll(t)
     return out
+
+
+@register(
+    "bpe_encode_token_stats",
+    oracle=_bpe_encode_oracle(_BPE_ROUNDS),
+    doc=(
+        "BPE SERVE: encode the corpus with the 3 trained merges and "
+        "report per-source token statistics — total words, total BPE "
+        "tokens, total chars, and chars-per-token in exact integer "
+        "ppm (the compression-rate table a tokenizer report leads "
+        "with; the serve half of bpe_train_merges, completing the "
+        "fit/serve symmetry the kmeans and PCA bands follow). The "
+        "trained per-WORD segmentation (token count = '#' marker "
+        "count in the final encoding) joins the per-source word "
+        "frequency table — the corpus is touched twice total (one "
+        "global word count for training, one per-source count for "
+        "serving); the join probes the vocabulary-sized map, never "
+        "the token stream. All integers; the ppm is one exact "
+        "HUGEINT/decimal floor-division in both engines."
+    ),
+    tags=("text", "llm", "agg", "join"),
+)
+def bpe_encode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, enc = _bpe_train_frames(spark, sf_dir, _BPE_ROUNDS)
+    ntok = enc.select(
+        "word",
+        (
+            F.length("enc") - F.length(F.regexp_replace("enc", "#", ""))
+        ).cast("bigint").alias("n_tok"),
+    )
+    docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
+    wfs = (
+        docs.select("source", F.explode(tokens_nonempty("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    joined = wfs.join(ntok, "word")
+    return joined.groupBy("source").agg(
+        F.sum("freq").cast("bigint").alias("total_words"),
+        F.sum(F.col("freq") * F.col("n_tok")).cast("bigint").alias("total_tokens"),
+        F.sum(F.col("freq") * F.length("word")).cast("bigint").alias("total_chars"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * "
+            "CAST(SUM(freq * length(word)) AS DECIMAL(38,0))) "
+            "div CAST(SUM(freq * n_tok) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("chars_per_token_ppm"),
+    )

@@ -280,6 +280,10 @@ STREAM_QUERIES = [
     "stream_floor_balance_user",
     "stream_window_topk",
     "stream_ohlc_hourly",
+    "stream_ohlc_hourly_append",  # r12: eviction twin — state must stay
+    # O(users × OPEN hours) while complete mode grows linearly
+    "stream_user_spans_ttl",  # r12: EventTimeTimeout expiry — state
+    # must track the TTL+delay horizon, not the key universe
     "stream_psi_monitor",
     "stream_cms_merge_users",
 ]
@@ -293,6 +297,8 @@ STREAM_DRAINS = {
     "stream_floor_balance_user": ["q_stream_floor_balance"],
     "stream_window_topk": ["q_stream_window_topk"],
     "stream_ohlc_hourly": ["q_stream_ohlc_hourly"],
+    "stream_ohlc_hourly_append": ["q_stream_ohlc_hourly_append"],
+    "stream_user_spans_ttl": ["q_stream_user_spans_ttl"],
     "stream_psi_monitor": ["psi_monitor_counts"],
     "stream_cms_merge_users": ["q_stream_cms_merge_users"],
 }
@@ -636,6 +642,7 @@ def measure_stream(spark, sf_dir: str, queries: list[str]) -> dict[str, dict]:
     qs = registry.all_queries()
     res: dict[str, dict] = {}
     for name in queries:
+        print(f"[scale] measuring {name} @ {sf_dir}", file=sys.stderr, flush=True)
         fn = qs[name]
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
         best, stats = float("inf"), None
@@ -777,6 +784,7 @@ def measure(spark, sf_dir: str, queries: list[str] | None = None) -> dict[str, d
     qs = registry.all_queries()
     res: dict[str, dict] = {}
     for name in queries if queries is not None else QUERIES:
+        print(f"[scale] measuring {name} @ {sf_dir}", file=sys.stderr, flush=True)
         fn = qs[name]
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
         best = float("inf")
