@@ -2440,3 +2440,51 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = io.load(spark, sf_dir, "embeddings")
     model = kmeans_fit(emb, dataset_key=sf_dir)
     return kmeans_assign(emb, model)
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes (round-12 widening) — see operators/naive_bayes.py
+# ---------------------------------------------------------------------------
+
+
+def _nb_oracle():
+    from tda596_lab02mapreduce_spark.operators.naive_bayes import (
+        naive_bayes_oracle_sql,
+    )
+
+    return naive_bayes_oracle_sql("/root/testdata/sf0.01")
+
+
+@register(
+    "naive_bayes_lang_confusion",
+    oracle=_nb_oracle,
+    doc=(
+        "Multinomial Naive Bayes language classifier served as a "
+        "confusion matrix — the GENERATIVE member of the trained-model "
+        "family (logistic GD = discriminative, kmeans = clustering, "
+        "BPE = tokenizer). FIT is one distributed vocabulary-bounded "
+        "BIGINT count aggregate; the driver quantizes Laplace-smoothed "
+        "log-probabilities ONCE to integer micro-units and commits the "
+        "V-by-C sidecar under .models/, so no transcendental ever "
+        "evaluates inside either engine (the ln-ulp cross-engine "
+        "exposure is removed at the source, same discipline as the "
+        "kmeans centroid table). SERVE: tokenize -> broadcast-join the "
+        "155-row weight table -> one doc-grain aggregate -> argmax via "
+        "min(struct(-score, class)) — a single document-keyed shuffle, "
+        "no windows, map-only otherwise; the oracle replays the "
+        "literal sidecar. Near-chance accuracy is the honest expected "
+        "result on the synthetic fixture (see logistic_gd_priority); "
+        "non-degeneracy (every class predicted for some doc, scores "
+        "vary) is pinned in tests/test_naive_bayes.py."
+    ),
+    tags=("llm", "statml", "ml", "agg"),
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.naive_bayes import (
+        naive_bayes_confusion,
+        naive_bayes_fit,
+    )
+
+    docs = io.load(spark, sf_dir, "documents")
+    model = naive_bayes_fit(docs, dataset_key=sf_dir)
+    return naive_bayes_confusion(docs, model)
