@@ -2488,3 +2488,45 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load(spark, sf_dir, "documents")
     model = naive_bayes_fit(docs, dataset_key=sf_dir)
     return naive_bayes_confusion(docs, model)
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked DBSCAN (round-12 widening) — see operators/dbscan.py
+# ---------------------------------------------------------------------------
+
+
+def _dbscan_oracle():
+    from tda596_lab02mapreduce_spark.operators.dbscan import DBSCAN_ORACLE
+
+    return DBSCAN_ORACLE
+
+
+@register(
+    "dbscan_embedding_clusters",
+    oracle=_dbscan_oracle,
+    doc=(
+        "Grid-blocked distributed DBSCAN over the embedding 2-D "
+        "projection (eps = 0.02 quantized to 20971 integer units, "
+        "minPts = 5) — the DENSITY member of the clustering family. "
+        "Candidates come from an EQUI-join on eps-sized grid cells "
+        "(each point explodes into its 3x3 neighbor-cell keys — 9 rows "
+        "per point, never a cross join; any eps-pair provably shares a "
+        "neighborhood), distances are exact BIGINT squares of the "
+        "2^20-quantized coordinates, core = neighbor count >= minPts "
+        "(self included), clusters = Kiveris-star components over "
+        "core-core eps-edges, borders take the MINIMUM core-neighbor "
+        "label (the deterministic parallel-DBSCAN convention), noise = "
+        "-1. The oracle replays the spec brute-force: O(n^2) pairs + "
+        "WITH RECURSIVE reachability — so the hash proves the grid "
+        "blocking is EXACTLY lossless, not just similar. Fixture "
+        "geometry is one isotropic blob; the 16 clusters/91 borders/"
+        "201 noise found at sf0.01 are genuine local density "
+        "fluctuations (see logistic_gd_priority's degeneracy note)."
+    ),
+    tags=("llm", "similarity", "ml", "join"),
+)
+def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.dbscan import dbscan_roles
+
+    emb = io.load(spark, sf_dir, "embeddings")
+    return dbscan_roles(emb)
