@@ -949,9 +949,15 @@ FROM p{rounds}
     )
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, *, with_weight: bool = False
+) -> DataFrame:
     """Symmetric co-purchase part-pair edges (count >= 5 customers),
-    shared by PPR and BFS. Pairs are emitted ROW-LOCALLY from each
+    shared by PPR, BFS, and weighted SSSP. With ``with_weight`` the
+    edges carry ``w = (1000000 + c - 1) div c`` (integer ceil of
+    1e6/count — stronger ties are cheaper; exact BIGINT division, both
+    engines truncate positives identically).
+    Pairs are emitted ROW-LOCALLY from each
     customer's sorted capped part array (the copurchase_brand_pairs
     shape) instead of a capped⋈capped self-join: the join built
     per-task hash maps over the full pair fan-out and OOM'd a bare 1g
@@ -998,6 +1004,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 5)
     )
+    if with_weight:
+        pc = pc.withColumn("w", F.expr("(1000000 + c - 1) div c").cast("bigint"))
+        return (
+            pc.selectExpr("pa AS src", "pb AS dst", "w")
+            .unionAll(pc.selectExpr("pb AS src", "pa AS dst", "w"))
+            .repartition("src")
+            .persist()
+        )
     return (
         pc.selectExpr("pa AS src", "pb AS dst")
         .unionAll(pc.selectExpr("pb AS src", "pa AS dst"))
@@ -1222,4 +1236,132 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unpersist()
     return state.filter(F.col("dist").isNotNull()).select(
         F.col("id").alias("part_id"), F.col("dist").cast("bigint").alias("hops")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted cheapest path (round-12 widening)
+# ---------------------------------------------------------------------------
+
+_SSSP_INF = 10**15  # sentinel "unreached"; max real path cost <= 4 * 200000
+
+
+def _sssp_oracle(rounds: int) -> str:
+    parts = [
+        f"""cb0 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cb AS MATERIALIZED (
+  SELECT ck, unnest(list_sort(list(pk))[1:128]) AS pk FROM cb0 GROUP BY ck
+),
+pc AS MATERIALIZED (
+  SELECT a.pk AS pa, b.pk AS pb, count(*) AS c
+  FROM cb a JOIN cb b ON a.ck = b.ck AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= 5
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst, (1000000 + c - 1) // c AS w FROM pc
+  UNION ALL SELECT pb, pa, (1000000 + c - 1) // c FROM pc
+),
+deg AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+),
+seeds AS (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 5),
+d0 AS MATERIALIZED (
+  SELECT d.id,
+         CAST(CASE WHEN s.id IS NOT NULL THEN 0 ELSE {_SSSP_INF} END
+              AS BIGINT) AS dist
+  FROM deg d LEFT JOIN seeds s USING (id)
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT d.id, LEAST(d.dist, COALESCE(m.mind, {_SSSP_INF})) AS dist
+  FROM d{i - 1} d
+  LEFT JOIN (SELECT e.dst AS id, MIN(p.dist + e.w) AS mind
+             FROM d{i - 1} p JOIN e ON e.src = p.id
+             WHERE p.dist < {_SSSP_INF} GROUP BY e.dst) m USING (id)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS part_id, CAST(dist AS BIGINT) AS cost_u
+FROM d{rounds} WHERE dist < {_SSSP_INF}
+"""
+    )
+
+
+@register(
+    "graph_weighted_cheapest",
+    oracle=_sssp_oracle(4),
+    doc=(
+        "Bounded-round Bellman-Ford cheapest path from the 5 highest-"
+        "degree parts over the WEIGHTED co-purchase graph — edge cost "
+        "= integer-ceil(1e6 / co-purchase-count), so strong ties are "
+        "cheap and the distance is an affinity metric, not a hop "
+        "count. Unlike BFS (graph_bfs_hops) the update must RE-RELAX: "
+        "a 2-edge path through strong ties can undercut a direct weak "
+        "edge found earlier, so state is LEAST(old, best-new-offer) "
+        "per round instead of first-reached COALESCE — the genuine "
+        "min-plus semiring with non-unit weights. 4 rounds = optimal "
+        "over paths of <= 4 edges (the bounded-horizon contract; "
+        "Bellman-Ford's full fixpoint is |V|-1 rounds — at 100 TB you "
+        "run the same loop to convergence-detection via a count of "
+        "improved rows). All-integer: BIGINT costs, exact integer "
+        "ceil-division weights, an UNREACHED sentinel of 1e15 instead "
+        "of nullable state (LEAST/COALESCE shapes identical in both "
+        "engines), zero tie-break surface. Plan per round: frontier "
+        "join on pre-partitioned weighted edges + one dst-keyed MIN + "
+        "a left join back, localCheckpoint each round — the BFS plan "
+        "with (dist + w) relaxation."
+    ),
+    tags=("graph", "analytics", "agg", "join"),
+)
+def graph_weighted_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rounds = 4
+    e = _copurchase_edges(spark, sf_dir, with_weight=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(5)
+        .select(F.col("src").alias("id"), F.lit(0).cast("bigint").alias("s_dist"))
+    )
+    state = (
+        deg.select(F.col("src").alias("id"))
+        .join(F.broadcast(seeds), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("s_dist"), F.lit(_SSSP_INF)).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        m = (
+            e.join(
+                state.filter(F.col("dist") < _SSSP_INF).select(
+                    F.col("id").alias("src"), "dist"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("mind"))
+        )
+        state = (
+            state.join(m, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("mind"), F.lit(_SSSP_INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return state.filter(F.col("dist") < _SSSP_INF).select(
+        F.col("id").alias("part_id"), F.col("dist").cast("bigint").alias("cost_u")
     )
