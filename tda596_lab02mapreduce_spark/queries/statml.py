@@ -3916,3 +3916,154 @@ def bootstrap_ci_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi_cents",
         "b_replicas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction (round 12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conformal_priority_coverage",
+    oracle="WITH "
+    + _logistic_ctes(4)
+    + """,
+feat2 AS (
+  SELECT o_orderkey AS okey,
+         CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS x1,
+         CAST(month(o_orderdate) AS BIGINT) AS x2,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+sc AS (
+  SELECT f.okey, f.y, p,
+         CASE WHEN f.y = 1 THEN 1.0 - p ELSE p END AS s,
+         CAST('0x' || substr(md5(CAST(f.okey AS VARCHAR)), 1, 8) AS BIGINT)
+           % 2 AS fold
+  FROM (
+    SELECT f0.*, 0.5 + 0.5 * ((CAST(b.w0 + b.w1 * f0.x1 + b.w2 * f0.x2
+                                    AS DOUBLE) / 1000000.0)
+             / (1.0 + abs(CAST(b.w0 + b.w1 * f0.x1 + b.w2 * f0.x2
+                               AS DOUBLE) / 1000000.0))) AS p
+    FROM feat2 f0, b4 b
+  ) f
+),
+cal AS (SELECT s FROM sc WHERE fold = 0),
+hist AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM cal GROUP BY s),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+              (9 * (count(*) + 1) + 9) // 10 AS k
+       FROM cal),
+cum AS (
+  SELECT a.s, SUM(b.n) AS c FROM hist a JOIN hist b ON b.s <= a.s GROUP BY a.s
+),
+qv AS (
+  SELECT MIN(cum.s) AS q, MIN(kk.n_cal) AS n_cal
+  FROM cum, kk WHERE cum.c >= kk.k
+)
+SELECT MIN(qv.n_cal) AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       MIN(qv.q) AS q_nonconf,
+       CAST(SUM(CASE WHEN t.s <= qv.q THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       CAST(SUM((CASE WHEN 1.0 - t.p <= qv.q THEN 1 ELSE 0 END)
+              + (CASE WHEN t.p <= qv.q THEN 1 ELSE 0 END)) AS BIGINT)
+         AS set_size_sum
+FROM (SELECT y, p, s FROM sc WHERE fold = 1) t, qv
+""",
+    doc=(
+        "Split-conformal prediction sets for the TRAINED logistic "
+        "model (alpha = 0.1): nonconformity = 1 - p(true class) on a "
+        "deterministic md5 calibration fold, conformal quantile q = "
+        "the ceil(0.9*(n_cal+1))-th smallest calibration score (the "
+        "finite-sample marginal-coverage correction), test prediction "
+        "set = {classes whose nonconformity <= q}; reports coverage "
+        "and total set size as exact BIGINT counts. The distribution-"
+        "free eval band's fourth member (AUC = ranking, calibration = "
+        "probability, PR = operating point, conformal = COVERAGE "
+        "GUARANTEE). Exactness: p is the rational sigmoid over the "
+        "BIGINT trained weights (bit-identical), and the quantile "
+        "needs NO global sort — the score domain is bounded by "
+        "construction (<=|x1 buckets|x|months|x 2 distinct scores), so "
+        "a <=288-row histogram + triangular cumsum (the small_df_rank "
+        "discipline) yields the exact order statistic with zero "
+        "partition-less windows; at 100 TB the histogram stays "
+        "domain-bounded while rows grow. The training-on-all-rows "
+        "resubstitution caveat is the fixture precedent "
+        "(logistic_gd_priority); a production split trains on a third "
+        "disjoint fold — identical algebra. Coverage >= the 0.9 "
+        "contract is pinned in tests/test_conformal.py."
+    ),
+    tags=("statml", "ml", "agg"),
+)
+def conformal_priority_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, beta = _logistic_train(spark, sf_dir, rounds=4)
+    orders = io.load(spark, sf_dir, "orders")
+    feat2 = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("x1"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("bigint")
+        .alias("y"),
+    )
+    z = (
+        F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    ).cast("double") / F.lit(1000000.0)
+    p = F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
+    fold = (
+        F.conv(F.substring(F.md5(F.col("okey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(2)
+    )
+    sc = (
+        feat2.crossJoin(F.broadcast(beta))
+        .select(
+            "okey",
+            "y",
+            p.alias("p"),
+            fold.alias("fold"),
+        )
+        .select(
+            "okey",
+            "y",
+            "p",
+            "fold",
+            F.when(F.col("y") == 1, F.lit(1.0) - F.col("p"))
+            .otherwise(F.col("p"))
+            .alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cal = sc.filter(F.col("fold") == 0)
+    hist = cal.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    kk = cal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.expr("(9 * (count(1) + 1) + 9) div 10").cast("bigint").alias("k"),
+    )
+    a, b = hist.alias("a"), hist.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.s") <= F.col("a.s"))
+        .groupBy(F.col("a.s").alias("s"))
+        .agg(F.sum(F.col("b.n")).alias("c"))
+    )
+    qv = (
+        cum.crossJoin(F.broadcast(kk))
+        .filter(F.col("c") >= F.col("k"))
+        .agg(F.min("s").alias("q"), F.min("n_cal").alias("n_cal"))
+    )
+    test = sc.filter(F.col("fold") == 1)
+    one = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    return test.crossJoin(F.broadcast(qv)).agg(
+        F.min("n_cal").alias("n_cal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.min("q").alias("q_nonconf"),
+        F.sum(one(F.col("s") <= F.col("q"))).cast("bigint").alias("n_covered"),
+        F.sum(
+            one(F.lit(1.0) - F.col("p") <= F.col("q"))
+            + one(F.col("p") <= F.col("q"))
+        )
+        .cast("bigint")
+        .alias("set_size_sum"),
+    )

@@ -1,0 +1,63 @@
+"""Split-conformal semantics (statml.py:conformal_priority_coverage).
+
+The hash gate proves cross-engine equality; these pin the STATISTICAL
+contract a hash can't — the finite-sample marginal coverage guarantee
+(coverage >= 1 - alpha on the test fold), the quantile definition
+against an independent Python recompute, and non-degeneracy (the
+prediction sets are not all-classes-always)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from tda596_lab02mapreduce_spark import io
+from tda596_lab02mapreduce_spark.queries.statml import (
+    _logistic_train,
+    conformal_priority_coverage,
+)
+
+
+def _md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_conformal_coverage_guarantee(spark, sf_correctness):
+    row = conformal_priority_coverage(spark, sf_correctness).collect()[0]
+    n_test, n_cov = int(row["n_test"]), int(row["n_covered"])
+    # split-conformal marginal validity: P(y in set) >= 1 - alpha.
+    # The guarantee is in expectation over splits; on this fixed fold
+    # allow one-sigma slack below 0.9 (binomial sd ~ 0.004 at n~7500).
+    assert n_cov / n_test >= 0.9 - 2 * math.sqrt(0.09 / n_test)
+    # non-degenerate: sets are not all {0,1} (which would trivially
+    # cover); average set size must be strictly below 2
+    assert int(row["set_size_sum"]) < 2 * n_test
+    # folds partition the orders table
+    orders = io.load(spark, sf_correctness, "orders").count()
+    assert int(row["n_cal"]) + n_test == orders
+
+
+def test_conformal_quantile_matches_python(spark, sf_correctness):
+    """Recompute q = ceil(0.9*(n_cal+1))-th smallest calibration
+    nonconformity in plain Python from the same trained weights."""
+    feat, beta = _logistic_train(spark, sf_correctness, rounds=4)
+    w = beta.collect()[0]
+    orders = io.load(spark, sf_correctness, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    ).collect()
+    cal_s = []
+    for r in orders:
+        x1 = math.floor(r["o_totalprice"] / 50000)
+        x2 = r["o_orderdate"].month
+        y = 1 if r["o_orderpriority"] in ("1-URGENT", "2-HIGH") else 0
+        if _md5_32(str(r["o_orderkey"])) % 2 != 0:
+            continue
+        z = (w["w0"] + w["w1"] * x1 + w["w2"] * x2) / 1000000.0
+        p = 0.5 + 0.5 * (z / (1.0 + abs(z)))
+        cal_s.append(1.0 - p if y == 1 else p)
+    cal_s.sort()
+    k = (9 * (len(cal_s) + 1) + 9) // 10
+    expect_q = cal_s[k - 1]
+    row = conformal_priority_coverage(spark, sf_correctness).collect()[0]
+    assert row["q_nonconf"] == expect_q
+    assert int(row["n_cal"]) == len(cal_s)
