@@ -3755,170 +3755,6 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Poisson-bootstrap confidence intervals (round 12)
-# ---------------------------------------------------------------------------
-
-# Frozen micro-unit tail thresholds of Poisson(1): T_k = floor(1e6 *
-# P(X >= k)) for k = 1..9 (P(X >= 10) < 1.3e-7 rounds to 0 at the 1e-6
-# grid — weights cap at 9 by contract).  Computed once offline
-# (math.exp / math.factorial) and FROZEN as literals so both engines
-# compare the same integers and no transcendental evaluates anywhere.
-_POIS1_TAIL_U = (632120, 264241, 80301, 18988, 3659, 594, 83, 10, 1)
-
-_BOOT_B = 200  # replicas; ranks 5 / 196 = the symmetric 95% percentile CI
-
-
-def _boot_w_sql(draw: str) -> str:
-    return " + ".join(
-        f"(CASE WHEN {draw} < {t} THEN 1 ELSE 0 END)" for t in _POIS1_TAIL_U
-    )
-
-
-@register(
-    "bootstrap_ci_order_revenue",
-    oracle=f"""
-WITH base AS (
-  SELECT o_orderpriority AS pri, o_orderkey AS okey,
-         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
-  FROM orders
-),
-rep AS (SELECT pri, okey, x, t.r FROM base, range({_BOOT_B}) t(r)),
-d AS (
-  SELECT pri, r, x,
-         CAST('0x' || substr(md5(CAST(okey AS VARCHAR) || ':'
-                                 || CAST(r AS VARCHAR)), 1, 8) AS BIGINT)
-           % 1000000 AS draw
-  FROM rep
-),
-wt AS (SELECT pri, r, x, {_boot_w_sql('draw')} AS w FROM d),
-m AS (
-  SELECT pri, r, CAST(SUM(w * x) AS BIGINT) AS swx,
-         CAST(SUM(w) AS BIGINT) AS sw
-  FROM wt WHERE w > 0 GROUP BY 1, 2
-),
-mm AS (
-  SELECT pri, r, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_r
-  FROM m WHERE sw > 0
-),
-rk AS (
-  SELECT pri, mean_r,
-         row_number() OVER (PARTITION BY pri ORDER BY mean_r, r) AS rn
-  FROM mm
-),
-ci AS (
-  SELECT pri, MIN(CASE WHEN rn = 5 THEN mean_r END) AS ci_lo_cents,
-         MIN(CASE WHEN rn = 196 THEN mean_r END) AS ci_hi_cents,
-         CAST(count(*) AS BIGINT) AS b_replicas
-  FROM rk GROUP BY 1
-),
-pt AS (
-  SELECT pri, CAST(count(*) AS BIGINT) AS n_orders,
-         CAST(SUM(x) AS DOUBLE) / count(*) AS mean_cents
-  FROM base GROUP BY 1
-)
-SELECT pt.pri AS priority, n_orders, mean_cents,
-       ci_lo_cents, ci_hi_cents, b_replicas
-FROM pt JOIN ci ON ci.pri = pt.pri
-""",
-    doc=(
-        "Poisson-bootstrap 95% CI for mean order revenue per priority "
-        "— the SCALABLE uncertainty primitive (Chamandy et al., the "
-        "Google large-scale bootstrap): classical resampling needs the "
-        "whole dataset per replica, but Poisson(1) weights are per-ROW "
-        "independent draws, so all B=200 replicas stream through ONE "
-        "scan. Each (row, replica) weight is a portable md5 draw in "
-        "[0, 1e6) compared against FROZEN micro-unit Poisson tail "
-        "thresholds (literals in both engines — no transcendental, no "
-        "RNG state); per-replica means are exact BIGINT sums with one "
-        "identically-shaped double division; the CI is exact order "
-        "statistics (ranks 5/196) over the B replica means, a window "
-        "over a 200-row-per-group frame that is BOUNDED BY B at any "
-        "data scale. Plan: explode x200 folds into map-side combine "
-        "(shuffle carries only groups x B partials); at 100 TB this is "
-        "one pass + a B-bounded reduce — the reason Poisson beats "
-        "multinomial bootstrap in a cluster. Weight distribution, CI "
-        "coverage sanity, and the frozen thresholds are pinned in "
-        "tests/test_bootstrap.py."
-    ),
-    tags=("statml", "agg", "ml"),
-)
-def bootstrap_ci_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    orders = io.load(spark, sf_dir, "orders")
-    base = orders.select(
-        F.col("o_orderpriority").alias("pri"),
-        F.col("o_orderkey").alias("okey"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x"),
-    )
-    rep = base.select(
-        "pri",
-        "okey",
-        "x",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
-    )
-    draw = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("okey").cast("string"),
-                    F.lit(":"),
-                    F.col("r").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long") % F.lit(1000000)
-    w = None
-    for t in _POIS1_TAIL_U:
-        term = F.when(draw < F.lit(t), F.lit(1)).otherwise(F.lit(0))
-        w = term if w is None else w + term
-    means = (
-        rep.withColumn("w", w)
-        .filter(F.col("w") > 0)
-        .groupBy("pri", "r")
-        .agg(
-            F.sum(F.col("w") * F.col("x")).cast("bigint").alias("swx"),
-            F.sum("w").cast("bigint").alias("sw"),
-        )
-        .filter(F.col("sw") > 0)
-        .withColumn(
-            "mean_r", F.col("swx").cast("double") / F.col("sw").cast("double")
-        )
-    )
-    # 200 rows per priority — bounded by B (not by data size) at any scale
-    rn = F.row_number().over(Window.partitionBy("pri").orderBy("mean_r", "r"))
-    ci = (
-        means.withColumn("rn", rn)
-        .groupBy("pri")
-        .agg(
-            F.min(F.when(F.col("rn") == 5, F.col("mean_r"))).alias(
-                "ci_lo_cents"
-            ),
-            F.min(F.when(F.col("rn") == 196, F.col("mean_r"))).alias(
-                "ci_hi_cents"
-            ),
-            F.count(F.lit(1)).cast("bigint").alias("b_replicas"),
-        )
-    )
-    pt = base.groupBy("pri").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
-    )
-    return pt.join(ci, "pri").select(
-        F.col("pri").alias("priority"),
-        "n_orders",
-        "mean_cents",
-        "ci_lo_cents",
-        "ci_hi_cents",
-        "b_replicas",
-    )
-
-
-# ---------------------------------------------------------------------------
 # Split-conformal prediction (round 12)
 # ---------------------------------------------------------------------------
 
