@@ -176,6 +176,15 @@ HEADLINE = [
     "audience_overlap_sketch",
     "stream_user_spans_ttl",
     "stream_ohlc_hourly_append",
+    # round-12 second wave: the NB fit+serve (sidecar discipline), the
+    # grid-blocked DBSCAN (candidate equi-join + star components), the
+    # weighted Bellman-Ford (4 relaxation rounds over the co-purchase
+    # edges), and the conformal coverage report (trained GLM + bounded
+    # histogram quantile).
+    "naive_bayes_lang_confusion",
+    "dbscan_embedding_clusters",
+    "graph_weighted_cheapest",
+    "conformal_priority_coverage",
 ]
 
 

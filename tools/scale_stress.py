@@ -238,6 +238,22 @@ QUERIES = [
     "vocab_top_p_cut",
     "blob_chunk_manifest",
     "xcorr_click_purchase_leadlag",
+    # round-12 wave. naive_bayes rides the suffixed documents (token
+    # stream grows linearly; the staged vocabulary is 10× — 310 tokens
+    # × 5 classes — so the fit's collect stays model-sized and the
+    # broadcast weight table grows with VOCAB, not rows; fit+serve
+    # measured, dataset_key = staging dir). conformal rides 10× orders
+    # (score grain linear; the quantile histogram stays domain-bounded
+    # — the operator's whole scale claim). bpe_encode_token_stats
+    # rides the suffixed corpus (train+encode measured; the merge
+    # table stays 3 rows). dbscan_embedding_clusters is deliberately
+    # ABSENT here: the sign-flip embedding staging OVERLAYS replicas
+    # in the dims-(0,1) plane (4 sign patterns across 10 replicas ⇒
+    # ~2.5× planar density ⇒ superlinear pair fan-out) — it gets its
+    # own translated staging, SCALE_BAND=dbscan.
+    "naive_bayes_lang_confusion",
+    "conformal_priority_coverage",
+    "bpe_encode_token_stats",
 ]
 
 # SCALE_BAND=graph (round-10, VERDICT r9 #1): the bipartite iterative
@@ -256,6 +272,15 @@ GRAPH_QUERIES = [
     "community_label_propagation",
     "recsys_item_cosine_topk",
     "ppr_seeded_related_parts",
+    # round-12: the two min-plus members (unit-weight BFS, weighted
+    # Bellman-Ford). Same edge source as PPR — disjoint isomorphic
+    # copies; the 5 global seeds all land in ONE replica (identical
+    # degree profiles, id tiebreak picks the lowest-offset copy), so
+    # the reached set stays ~constant while each round's frontier ⋈
+    # edges join scans the full 10× edge list — the honest expectation
+    # is edge-scan-dominated ~linear growth with constant output.
+    "graph_bfs_hops",
+    "graph_weighted_cheapest",
 ]
 
 # SCALE_BAND=stream (round-11, VERDICT r10 #1): the stateful streaming
@@ -318,6 +343,40 @@ OUT_STREAM = os.environ.get("SPARK_GRAFT_SCALE_STREAM_DIR", OUT + "-stream")
 STOPWORD_QUERIES = ["text_stopword_discovery"]
 
 OUT_STOPWORD = os.environ.get("SPARK_GRAFT_SCALE_STOPWORD_DIR", OUT + "-stopword")
+
+
+# SCALE_BAND=dbscan (round-12): dbscan_embedding_clusters is
+# deliberately ABSENT from the main linear band because the sign-flip
+# embedding staging OVERLAYS replicas in the dims-(0,1) plane (only 4
+# sign patterns exist for 2 dims, so 10 replicas stack ~2.5 deep —
+# planar density ×2.5 and the grid join's pair fan-out superlinear:
+# that measures the staging, not the operator). The honest staging for
+# a PLANAR operator translates dims 0 and 1 by +4.0·replica — far
+# beyond both the ±0.5 coordinate spread and eps=0.02 — so the point
+# set is 10 disjoint planar copies (the float32 add rounds, so
+# within-replica geometry matches base up to 1-ulp cell boundaries;
+# density is identical, exact cluster ids are not asserted). Expected:
+# ~linear candidate pairs, stable plan shape, 10× grid cells.
+DBSCAN_QUERIES = ["dbscan_embedding_clusters"]
+
+OUT_DBSCAN = os.environ.get("SPARK_GRAFT_SCALE_DBSCAN_DIR", OUT + "-dbscan")
+
+
+def stage_dbscan(spark) -> None:
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
+    out = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("replica").cast("long") * 10_000_000).alias(
+            "vec_id"
+        ),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(CASE WHEN i < 2 "
+            "THEN x + 4.0 * replica ELSE x END AS FLOAT))"
+        ).alias("embedding"),
+        "label",
+    )
+    shutil.rmtree(OUT_DBSCAN, ignore_errors=True)
+    out.repartition(32).write.parquet(f"{OUT_DBSCAN}/embeddings.parquet")
 
 
 def stage_stopword(spark) -> None:
@@ -830,6 +889,7 @@ def main() -> None:
         "skew": SKEW_QUERIES,
         "stream": STREAM_QUERIES,
         "stopword": STOPWORD_QUERIES,
+        "dbscan": DBSCAN_QUERIES,
     }.get(band, QUERIES)
     only = os.environ.get("SCALE_ONLY")
     if only:
@@ -875,6 +935,46 @@ def main() -> None:
         print(
             json.dumps(
                 {"band": "stopword", "replicas": REPLICAS, "src": SRC,
+                 "queries": table},
+                indent=2,
+            )
+        )
+        return
+    if band == "dbscan":
+        if not (
+            os.environ.get("SCALE_SKIP_STAGE") == "1"
+            and os.path.exists(OUT_DBSCAN)
+        ):
+            stage_dbscan(spark)
+        base = measure(spark, SRC, queries)
+        big = measure(spark, OUT_DBSCAN, queries)
+        # non-degeneracy: the 10× staging must keep replicas planar-
+        # disjoint — total labelled rows grow exactly ×REPLICAS, and
+        # the per-role mix stays within a loose band of the base
+        qs = registry.all_queries()
+        fn = qs["dbscan_embedding_clusters"]
+        small = {r["role"]: r["n"] for r in fn(spark, SRC)
+                 .groupBy("role").count().withColumnRenamed("count", "n").collect()}
+        bigc = {r["role"]: r["n"] for r in fn(spark, OUT_DBSCAN)
+                .groupBy("role").count().withColumnRenamed("count", "n").collect()}
+        table = {
+            q: {
+                "sf0.1_sec": base[q]["sec"],
+                f"x{REPLICAS}_sec": big[q]["sec"],
+                "ratio": round(big[q]["sec"] / base[q]["sec"], 2),
+                "exchanges_base": base[q]["exchanges"],
+                f"exchanges_x{REPLICAS}": big[q]["exchanges"],
+                "shape_stable": base[q]["keys"] == big[q]["keys"],
+                "roles_base": small,
+                f"roles_x{REPLICAS}": bigc,
+                "rows_exactly_linear": sum(bigc.values())
+                == REPLICAS * sum(small.values()),
+            }
+            for q in queries
+        }
+        print(
+            json.dumps(
+                {"band": "dbscan", "replicas": REPLICAS, "src": SRC,
                  "queries": table},
                 indent=2,
             )
