@@ -1430,3 +1430,63 @@ def bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("subtree_retail_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE (round 12) — Spark 4.x WITH RECURSIVE
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recursive_cte_bom_depth",
+    oracle="""
+WITH RECURSIVE chain(node, anc, depth) AS (
+  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+  UNION ALL
+  SELECT node, anc // 10, depth + 1 FROM chain WHERE anc >= 10
+)
+SELECT node AS part_id,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       CAST(MIN(CASE WHEN anc < 10 THEN anc END) AS BIGINT) AS root_id
+FROM chain
+GROUP BY node
+""",
+    doc=(
+        "Per-part depth and root ancestor in the DIV-10 BOM tree via "
+        "the engine's NATIVE recursive CTE — Spark 4.x's WITH "
+        "RECURSIVE (UnionLoop iterative execution), the ANSI SQL "
+        "surface the reference's mrsql-style consumers would reach "
+        "for first. Complements (does not duplicate) "
+        "bom_subtree_rollup: the doubling row computes SUBTREE "
+        "rollups in O(log depth) self-join rounds — the parallel "
+        "shape for deep hierarchies; this row walks each node's "
+        "ancestor CHAIN with the sequential per-level recursion and "
+        "outputs what the rollup doesn't (per-node depth + root id). "
+        "Both engines run the recursion natively (only the integer-"
+        "division token differs: DIV vs //); each level is a filter "
+        "+ project of the previous — total rows <= depth * |part|, "
+        "terminating at the single-digit roots. At 100 TB the "
+        "iteration count is the tree DEPTH (7 here), not data size, "
+        "but each level materializes a full intermediate — the "
+        "documented reason the pointer-doubling twin exists. Depth "
+        "distribution and digit-count equivalence pinned in "
+        "tests/test_recursive_cte.py."
+    ),
+    tags=("sql", "analytics", "agg"),
+)
+def recursive_cte_bom_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io.register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+WITH RECURSIVE chain(node, anc, depth) AS (
+  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+  UNION ALL
+  SELECT node, anc DIV 10, depth + 1 FROM chain WHERE anc >= 10
+)
+SELECT node AS part_id,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       CAST(MIN(CASE WHEN anc < 10 THEN anc END) AS BIGINT) AS root_id
+FROM chain
+GROUP BY node
+"""
+    )
