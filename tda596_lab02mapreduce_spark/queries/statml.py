@@ -3264,6 +3264,12 @@ def _logistic_train(spark: SparkSession, sf_dir: str, *, rounds: int = 4):
         .cast("bigint")
         .alias("y"),
     ).localCheckpoint(eager=False)
+    return feat, _logistic_fit(spark, feat, rounds=rounds)
+
+
+def _logistic_fit(spark: SparkSession, feat: DataFrame, *, rounds: int = 4):
+    """The GD loop on a given (x1, x2, y) frame — factored out so the
+    k-fold CV query can train per held-out fold on the same algebra."""
     beta = spark.createDataFrame([(0, 0, 0)], "w0 long, w1 long, w2 long")
     for _ in range(rounds):
         z = (
@@ -3290,7 +3296,7 @@ def _logistic_train(spark: SparkSession, sf_dir: str, *, rounds: int = 4):
             )
             .localCheckpoint()
         )
-    return feat, beta
+    return beta
 
 
 @register(
@@ -4056,3 +4062,151 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         emd.alias("emd"),
         (emd > F.lit(_TCLOSE_T)).alias("violates_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation of the logistic trainer (round 12)
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+
+def _logistic_cv_oracle(rounds: int = 4, folds: int = _CV_FOLDS) -> str:
+    """Unrolled CTE oracle: ONE fold-tagged feature CTE, then per fold
+    an independent {rounds}-round GD trajectory on the complement and
+    an accuracy row on the held-out fold — the _logistic_ctes shape
+    replicated k times (the BPE/logistic unrolling discipline)."""
+    zf = "CAST(b.w0 + b.w1 * f.x1 + b.w2 * f.x2 AS DOUBLE) / 1000000.0"
+    blocks = [
+        """featk AS MATERIALIZED (
+  SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS x1,
+         CAST(month(o_orderdate) AS BIGINT) AS x2,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % {folds} AS fold
+  FROM orders
+)""".replace("{folds}", str(folds))
+    ]
+    for k in range(folds):
+        blocks.append(
+            f"""tr{k} AS MATERIALIZED (
+  SELECT x1, x2, y FROM featk WHERE fold <> {k}
+)"""
+        )
+        blocks.append(
+            f"""b{k}_0 AS (SELECT CAST(0 AS BIGINT) AS w0,
+                    CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)"""
+        )
+        for i in range(1, rounds + 1):
+            blocks.append(
+                f"""b{k}_{i} AS (
+  SELECT bw0 + CAST(ROUND(CAST(SUM(c) AS DOUBLE) / (8.0 * count(*)), 0)
+               AS BIGINT) AS w0,
+         bw1 + CAST(ROUND(CAST(SUM(c * x1) AS DOUBLE) / (8.0 * count(*)), 0)
+               AS BIGINT) AS w1,
+         bw2 + CAST(ROUND(CAST(SUM(c * x2) AS DOUBLE) / (8.0 * count(*)), 0)
+               AS BIGINT) AS w2
+  FROM (
+    SELECT f.x1, f.x2, b.w0 AS bw0, b.w1 AS bw1, b.w2 AS bw2,
+           CAST(ROUND((CAST(f.y AS DOUBLE)
+                 - (0.5 + 0.5 * (({zf})
+                     / (1.0 + abs({zf}))))) * 1000000.0, 0)
+                AS BIGINT) AS c
+    FROM tr{k} f, b{k}_{i - 1} b
+  ) t
+  GROUP BY bw0, bw1, bw2
+)"""
+            )
+    evals = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS fold,
+       b.w0 AS w0_us, b.w1 AS w1_us, b.w2 AS w2_us,
+       CAST(SUM(CASE WHEN (CASE WHEN b.w0 + b.w1 * f.x1 + b.w2 * f.x2 >= 0
+                                THEN 1 ELSE 0 END) = f.y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(count(*) AS BIGINT) AS n_test
+FROM featk f, b{k}_{rounds} b
+WHERE f.fold = {k}
+GROUP BY b.w0, b.w1, b.w2"""
+        for k in range(folds)
+    )
+    return "WITH " + ",\n".join(blocks) + "\n" + evals
+
+
+@register(
+    "cv_logistic_fold_accuracy",
+    oracle=_logistic_cv_oracle(),
+    doc=(
+        "5-fold cross-validation of the logistic GD trainer: fold = "
+        "portable md5(o_orderkey) % 5, each fold's model trained on "
+        "the 4/5 complement by the SAME fixed-round integer-micro-unit "
+        "GD (statml.py:_logistic_fit) and scored on the held-out fold "
+        "with the exact z >= 0 integer decision — the model-selection "
+        "protocol every real training pipeline runs, now with all FIVE "
+        "trajectories hash-replayed by a 5x-unrolled CTE oracle (the "
+        "logistic/BPE unrolling discipline, 20 GD rounds total). "
+        "Per-fold weights differ (different 12k-row subsets), so the "
+        "output pins genuinely distinct trainings, not one model "
+        "copied five times. Plan: ONE cached fold-tagged feature scan; "
+        "per fold per round one map-side-combinable aggregate of 3 "
+        "BIGINTs over the filtered cache + a 1-row broadcast — k*r "
+        "cheap passes, the honest CV cost, embarrassingly parallel "
+        "across folds on a real cluster. Near-chance accuracy is the "
+        "expected fixture result (see logistic_gd_priority); fold "
+        "disjointness + weight diversity pinned in "
+        "tests/test_cv_logistic.py."
+    ),
+    tags=("statml", "ml", "agg"),
+)
+def cv_logistic_fold_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.load(spark, sf_dir, "orders")
+    feat = orders.select(
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("x1"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("bigint")
+        .alias("y"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CV_FOLDS
+        ).alias("fold"),
+    ).localCheckpoint(eager=False)
+    out = None
+    for k in range(_CV_FOLDS):
+        beta = _logistic_fit(
+            spark, feat.filter(F.col("fold") != k), rounds=4
+        )
+        z_us = (
+            F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        )
+        pred = F.when(z_us >= 0, F.lit(1)).otherwise(F.lit(0))
+        ev = (
+            feat.filter(F.col("fold") == k)
+            .crossJoin(F.broadcast(beta))
+            .groupBy(
+                F.col("w0").alias("w0_us"),
+                F.col("w1").alias("w1_us"),
+                F.col("w2").alias("w2_us"),
+            )
+            .agg(
+                F.sum(F.when(pred == F.col("y"), F.lit(1)).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("n_correct"),
+                F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("fold"),
+                "w0_us",
+                "w1_us",
+                "w2_us",
+                "n_correct",
+                "n_test",
+            )
+        )
+        out = ev if out is None else out.unionByName(ev)
+    return out
