@@ -72,6 +72,18 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
+
+def correctness_sf_dir() -> str:
+    """The fixture dir a lazily-resolved ORACLE should target: the
+    model-sidecar oracles (kmeans/PCA/IVF/PQ/NB) embed a FITTED model
+    for one specific dataset, so their SQL must be generated for the
+    same dir the harness is comparing at — SPARK_GRAFT_SF_DIR when the
+    local harnesses (tools/check_subset.py, tools/sweep_config_free.py)
+    set it, else the driver's fixed correctness dir. Resolved at
+    oracle_sql() time, never at import."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> None:

@@ -154,7 +154,7 @@ def dbscan_roles(
         .select("pid", F.lit("noise").alias("role"),
                 F.lit(-1).cast("bigint").alias("cluster_id"))
     )
-    return labelled.unionByName(noise_rows).withColumnRenamed("pid", "vec_id")
+    return labelled.unionByName(noise_rows).withColumnRenamed("pid", id_col)
 
 
 DBSCAN_ORACLE = f"""

@@ -208,13 +208,19 @@ def naive_bayes_oracle_sql(
         )
     with open(path) as f:
         model = json.load(f)
+
+    def q(s: str) -> str:
+        # SQL string-literal escape: a token/class containing an
+        # apostrophe ("don't") must not break the generated VALUES
+        return "'" + str(s).replace("'", "''") + "'"
+
     wrows = ",\n".join(
-        f"('{t}', '{c}', {int(model['weights_u'][t][c])})"
+        f"({q(t)}, {q(c)}, {int(model['weights_u'][t][c])})"
         for t in model["vocab"]
         for c in model["classes"]
     )
     prows = ",\n".join(
-        f"('{c}', {int(model['priors_u'][c])})" for c in model["classes"]
+        f"({q(c)}, {int(model['priors_u'][c])})" for c in model["classes"]
     )
     return f"""
 WITH w(t, c, w_u) AS (VALUES

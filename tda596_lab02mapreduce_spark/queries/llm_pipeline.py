@@ -499,7 +499,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmin-L2 assignment, probe-cell selection, cosine, top-k — is
     # bit-deterministic left-fold arithmetic (the similarity_lsh_topk
     # discipline).  Recall@k vs brute force stays pytest-checked.
-    oracle=lambda: sim.ivf_oracle_sql(),
+    oracle=lambda: sim.ivf_oracle_sql(io.correctness_sf_dir()),
     doc=(
         "IVF-Flat approximate cosine top-5: k-means coarse quantizer "
         "(DataFrame-native Lloyd, operators/similarity.py:kmeans_centroids) "
@@ -1930,7 +1930,7 @@ def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and encoding/ADC/refine are deterministic (numpy's ≤8-element
     # folds degenerate to the same sequential left fold DuckDB's
     # list_reduce computes).  Recall@5 floor stays pytest-checked.
-    oracle=lambda: sim.pq_oracle_sql(),
+    oracle=lambda: sim.pq_oracle_sql(io.correctness_sf_dir()),
     doc=(
         "Product-quantization ANN top-5 with an exact refine stage "
         "(Jégou et al. TPAMI'11 + Faiss IndexRefine shape, "
@@ -2364,7 +2364,7 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pca_oracle():
     from tda596_lab02mapreduce_spark.operators.pca import pca_oracle_sql
 
-    return pca_oracle_sql("/root/testdata/sf0.01")
+    return pca_oracle_sql(io.correctness_sf_dir())
 
 
 @register(
@@ -2405,7 +2405,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_oracle():
     from tda596_lab02mapreduce_spark.operators.kmeans import kmeans_oracle_sql
 
-    return kmeans_oracle_sql("/root/testdata/sf0.01")
+    return kmeans_oracle_sql(io.correctness_sf_dir())
 
 
 @register(
@@ -2452,7 +2452,7 @@ def _nb_oracle():
         naive_bayes_oracle_sql,
     )
 
-    return naive_bayes_oracle_sql("/root/testdata/sf0.01")
+    return naive_bayes_oracle_sql(io.correctness_sf_dir())
 
 
 @register(

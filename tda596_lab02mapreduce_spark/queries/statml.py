@@ -3800,8 +3800,13 @@ cum AS (
   SELECT a.s, SUM(b.n) AS c FROM hist a JOIN hist b ON b.s <= a.s GROUP BY a.s
 ),
 qv AS (
-  SELECT MIN(cum.s) AS q, MIN(kk.n_cal) AS n_cal
-  FROM cum, kk WHERE cum.c >= kk.k
+  -- split-conformal small-n contract: when k = ceil(0.9*(n_cal+1))
+  -- exceeds n_cal (calibration fold < 9 rows) the conformal quantile
+  -- is +infinity — predict ALL classes, coverage 100% — not zero
+  SELECT COALESCE(MIN(CASE WHEN cum.c >= kk.k THEN cum.s END),
+                  CAST('Infinity' AS DOUBLE)) AS q,
+         MIN(kk.n_cal) AS n_cal
+  FROM cum, kk
 )
 SELECT MIN(qv.n_cal) AS n_cal,
        CAST(count(*) AS BIGINT) AS n_test,
@@ -3890,10 +3895,15 @@ def conformal_priority_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("s"))
         .agg(F.sum(F.col("b.n")).alias("c"))
     )
-    qv = (
-        cum.crossJoin(F.broadcast(kk))
-        .filter(F.col("c") >= F.col("k"))
-        .agg(F.min("s").alias("q"), F.min("n_cal").alias("n_cal"))
+    # small-n contract: k > n_cal (calibration fold < 9 rows) means the
+    # conformal quantile is +infinity — predict ALL classes, coverage
+    # 100% — not an empty qv that would invert coverage to zero
+    qv = cum.crossJoin(F.broadcast(kk)).agg(
+        F.coalesce(
+            F.min(F.when(F.col("c") >= F.col("k"), F.col("s"))),
+            F.lit(float("inf")),
+        ).alias("q"),
+        F.min("n_cal").alias("n_cal"),
     )
     test = sc.filter(F.col("fold") == 1)
     one = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0))  # noqa: E731

@@ -61,3 +61,29 @@ def test_conformal_quantile_matches_python(spark, sf_correctness):
     row = conformal_priority_coverage(spark, sf_correctness).collect()[0]
     assert row["q_nonconf"] == expect_q
     assert int(row["n_cal"]) == len(cal_s)
+
+
+def test_conformal_small_calibration_predicts_all(spark, tmp_path):
+    """k = ceil(0.9*(n_cal+1)) > n_cal whenever n_cal < 9: the conformal
+    quantile is +infinity by contract — every class predicted, coverage
+    100% — NOT the inverted zero-coverage an empty quantile row would
+    silently produce (both engines would agree on the wrong answer, so
+    only this constructed case can catch it)."""
+    import datetime
+
+    rows = [
+        (k, 50000.0 * (k + 1), datetime.datetime(2024, 1 + k % 12, 3),
+         "1-URGENT" if k % 3 == 0 else "5-LOW")
+        for k in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = conformal_priority_coverage(spark, str(tmp_path)).collect()[0]
+    assert int(out["n_cal"]) < 9
+    assert out["q_nonconf"] == float("inf")
+    assert int(out["n_covered"]) == int(out["n_test"])  # 100% coverage
+    assert int(out["set_size_sum"]) == 2 * int(out["n_test"])  # all classes

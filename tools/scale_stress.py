@@ -967,8 +967,14 @@ def main() -> None:
                 "shape_stable": base[q]["keys"] == big[q]["keys"],
                 "roles_base": small,
                 f"roles_x{REPLICAS}": bigc,
-                "rows_exactly_linear": sum(bigc.values())
-                == REPLICAS * sum(small.values()),
+                # PER-ROLE exactness is the real overlay detector: total
+                # rows always equal REPLICAS x base (DBSCAN labels every
+                # point), but an overlaying staging shifts the
+                # core/border/noise mix
+                "roles_exactly_linear": all(
+                    bigc.get(r, 0) == REPLICAS * small.get(r, 0)
+                    for r in set(small) | set(bigc)
+                ),
             }
             for q in queries
         }
