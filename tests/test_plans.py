@@ -661,3 +661,29 @@ def test_round10_band_plan_shapes(spark, sf_correctness):
         plan = plans.final_plan(df)
         n_ex = plans.count_nodes(plan, "Exchange")
         assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges"
+
+
+def test_naive_bayes_weight_join_broadcasts(spark, sf_correctness):
+    """The V×C weight table must reach the token stream as a broadcast
+    (model-sized), never a shuffle join — the NB serve's scale claim."""
+    df = get("naive_bayes_lang_confusion").spark_fn(spark, sf_correctness)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_dbscan_grid_join_no_cartesian(spark, sf_correctness):
+    """The eps-neighborhood must be an EQUI-join on grid-cell keys —
+    an accidental cartesian here is the O(n²) self-join the grid
+    blocking exists to avoid."""
+    df = get("dbscan_embedding_clusters").spark_fn(spark, sf_correctness)
+    assert not plans.has_operator(df, "CartesianProduct")
+    assert not plans.has_operator(df, "BroadcastNestedLoopJoin")
+
+
+def test_conformal_no_partitionless_window_and_no_cartesian(spark, sf_correctness):
+    """The conformal quantile must come from the bounded histogram +
+    triangular join — never a global sort or a partition-less window;
+    the qv/kk 1-row sides ride broadcasts (not cartesians over data)."""
+    df = get("conformal_priority_coverage").spark_fn(spark, sf_correctness)
+    assert plans.partitionless_window_count(df) == 0
+    assert not plans.has_operator(df, "CartesianProduct")
