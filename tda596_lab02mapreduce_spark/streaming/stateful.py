@@ -287,13 +287,29 @@ def user_spans_ttl(events_cents: DataFrame, *, watermark: str = "2 hours") -> Da
             last_us = max(last_us, t) if last_us is not None else t
             n += 1
             s += int(c)
-        state.update((start_us, last_us, n, s))
-        # re-arm the event-time timeout: fires when the watermark passes
-        # last_ms + TTL_ms. Guard below current watermark (possible only
-        # for beyond-watermark stragglers) — Spark rejects timeouts in
-        # the past; +1 defers the fire to the next batch, same row.
+        due_ms = last_us // 1000 + SPANS_TTL_MS
         wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(last_us // 1000 + SPANS_TTL_MS, wm + 1))
+        if due_ms < wm:
+            # A beyond-watermark straggler left the span ALREADY
+            # expiry-due (watermark passed last+TTL before we could
+            # arm the timeout). Re-arming at wm+1 would fire only if a
+            # LATER batch advances the watermark — at drain end none
+            # does, and the span would stay in state while the oracle's
+            # final-watermark cut (due_ms < wm, strict) emits it. So
+            # close it through the update door NOW: same row either way.
+            out["user_id"].append(user_id)
+            out["span_start_us"].append(start_us)
+            out["span_last_us"].append(last_us)
+            out["n_events"].append(n)
+            out["sum_cents"].append(s)
+            state.remove()
+        else:
+            state.update((start_us, last_us, n, s))
+            # re-arm the event-time timeout: fires when the watermark
+            # passes last_ms + TTL_ms (strictly). due_ms == wm is not
+            # yet due — arm at wm+1 so it fires only once the
+            # watermark moves past, matching the oracle's strict cut.
+            state.setTimeoutTimestamp(max(due_ms, wm + 1))
         yield pd.DataFrame(out)
 
     return (

@@ -580,3 +580,52 @@ def test_ohlc_append_state_bounded_vs_complete(spark, sf_correctness):
     assert n_open < n_candles / 50  # bounded by horizon, not history
     assert n_append == n_candles - n_open
     assert n_complete == n_candles
+
+
+def test_user_spans_ttl_straggler_due_at_drain_end(spark, tmp_path, monkeypatch):
+    """A beyond-watermark straggler whose span is ALREADY expiry-due
+    when it arrives in the FINAL micro-batch must still emit: the
+    timeout re-arm alone can never fire for it (no later batch advances
+    the watermark), so the update door has to close it immediately.
+    Two-file staged drain: batch 1 = user 900001 at noon (watermark →
+    10:00), batch 2 = user 900002's lone event two days earlier
+    (due = last + 1 day < watermark at processing time)."""
+    import datetime
+    import os
+    import shutil
+
+    from tda596_lab02mapreduce_spark.queries.streaming_batch import (
+        stream_user_spans_ttl,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, value double",
+        )
+
+    t_late = datetime.datetime(2024, 6, 10, 12, 0, 0)
+    t_old = datetime.datetime(2024, 6, 8, 0, 0, 0)
+    b1 = mk([(1, t_late, 900001, 1.0)])
+    b2 = mk([(2, t_old, 900002, 2.0)])
+
+    ev_dir = tmp_path / "events.parquet"
+    ev_dir.mkdir()
+    for i, df in enumerate((b1, b2), start=1):
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = ev_dir / f"part-{i:04d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES", "1")
+    out = {
+        r["user_id"]: r
+        for r in stream_user_spans_ttl(spark, str(tmp_path)).collect()
+    }
+    # user 900002's already-due span emitted despite arriving in the
+    # final batch; user 900001's span is still open (not due) — held
+    assert 900002 in out and 900001 not in out
+    r = out[900002]
+    assert int(r["n_events"]) == 1 and int(r["sum_cents"]) == 200

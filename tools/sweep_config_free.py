@@ -95,16 +95,30 @@ def _check_gk(srows, erows):
 
 
 def _check_aud(srows, erows):
-    # (pair_key, est_both, sample_common) vs exact (pair_key, n_both)
-    ex = {str(r[0]): r for r in erows}
+    # (pair_key, est_both, sample_common) vs exact
+    # (pair_key, n_both, n_a, n_b). TWO-SIDED: iterate the EXACT pairs,
+    # not the sketch rows — a pair the sketch never emitted (zero
+    # common sampled hashes) must still be accounted for, since its
+    # estimate is implicitly 0. Absence is statistically legitimate
+    # only when the expected common-sample count is small:
+    # E[common] ~= n_both * k / |A∪B| <= n_both * k / max(n_a, n_b),
+    # so an absent pair passes only if n_both <= 3 * (n_a + n_b) / k
+    # (>= 3-sigma headroom on |A∪B|/k resolution); otherwise a missing
+    # row is a REAL >bound miss and fails.
+    est = {str(r[0]): r[1] for r in srows}
     worst = 0.0
-    for r in srows:
-        e = ex[str(r[0])]
-        worst = max(worst, abs(r[1] - e[1]) / e[1])
-    return worst <= 0.16, (
-        f"worst_rel_err={worst:.4f} "
-        "(bound 0.16 ≈ 3/sqrt(sample_common≈340) at k=1024; "
-        "measured 0.061 sf0.01 / 0.072 sf0.1)"
+    missing_bad = []
+    for e in erows:
+        key, n_both, n_a, n_b = str(e[0]), e[1], e[2], e[3]
+        if key in est:
+            worst = max(worst, abs(est[key] - n_both) / n_both)
+        elif n_both > 3.0 * (n_a + n_b) / 1024.0:
+            missing_bad.append((key, n_both))
+    ok = worst <= 0.16 and not missing_bad
+    return ok, (
+        f"worst_rel_err={worst:.4f} over ALL {len(erows)} exact pairs "
+        f"(bound 0.16 ≈ 3/sqrt(sample_common≈340) at k=1024; "
+        f"absent-pair floor 3(nA+nB)/k; inexcusably_missing={missing_bad})"
     )
 
 
@@ -114,12 +128,18 @@ BOUND_CHECKS = {
              SELECT DISTINCT user_id,
                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
                     event_type
-             FROM events)
+             FROM events),
+           seg AS (
+             SELECT event_type, CAST(count(*) AS BIGINT) AS n_seg
+             FROM ut GROUP BY 1)
            SELECT a.event_type || ':' || b.event_type AS pair_key,
-                  CAST(count(*) AS BIGINT) AS n_both
+                  CAST(count(*) AS BIGINT) AS n_both,
+                  MIN(sa.n_seg) AS n_a, MIN(sb.n_seg) AS n_b
            FROM ut a JOIN ut b
              ON a.user_id = b.user_id AND a.day = b.day
             AND a.event_type < b.event_type
+           JOIN seg sa ON sa.event_type = a.event_type
+           JOIN seg sb ON sb.event_type = b.event_type
            GROUP BY 1""",
         _check_aud,
     ),
