@@ -81,7 +81,7 @@ def correctness_sf_dir() -> str:
     local harnesses (tools/check_subset.py, tools/sweep_config_free.py)
     set it, else the driver's fixed correctness dir. Resolved at
     oracle_sql() time, never at import."""
-    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    return sf_dir_from_env("/root/testdata/sf0.01")
 
 
 def register_views(

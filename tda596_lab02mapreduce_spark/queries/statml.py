@@ -3807,7 +3807,7 @@ qv AS (
   -- is +infinity — predict ALL classes, coverage 100% — not zero
   SELECT COALESCE(MIN(CASE WHEN cum.c >= kk.k THEN cum.s END),
                   CAST('Infinity' AS DOUBLE)) AS q,
-         MIN(kk.n_cal) AS n_cal
+         COALESCE(MIN(kk.n_cal), CAST(0 AS BIGINT)) AS n_cal
   FROM cum, kk
 )
 SELECT MIN(qv.n_cal) AS n_cal,
@@ -3905,7 +3905,9 @@ def conformal_priority_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("c") >= F.col("k"), F.col("s"))),
             F.lit(float("inf")),
         ).alias("q"),
-        F.min("n_cal").alias("n_cal"),
+        # empty calibration fold -> empty cross join -> NULL min; the
+        # contract is n_cal = 0 (and q = +inf), not NULL
+        F.coalesce(F.min("n_cal"), F.lit(0).cast("bigint")).alias("n_cal"),
     )
     test = sc.filter(F.col("fold") == 1)
     one = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0))  # noqa: E731

@@ -1409,21 +1409,24 @@ _BPE_FRAMES_CACHE: dict[tuple, tuple] = {}
 
 
 def _bpe_train_frames(
-    spark: SparkSession, sf_dir: str, rounds: int
+    spark: SparkSession, sf_dir: str, rounds: int, *, use_cache: bool = True
 ) -> tuple[list[DataFrame], DataFrame]:
     """Shared fixed-round BPE trainer: returns (one 1-row merge DF per
     round with columns round/left_sym/right_sym/merged_sym/pair_count,
     the final per-word segmentation (word, enc, freq)).
 
-    Fit/serve symmetry (the kmeans _KMEANS_MODEL_CACHE discipline):
-    the per-round top-1 frames are eager localCheckpoints, so when
-    bpe_train_merges and bpe_encode_token_stats run in the same
-    session (bench, the sweep) the serve twin reuses the pinned
-    trajectory instead of re-running the 3-round trainer."""
+    Fit/serve split (the kmeans _KMEANS_MODEL_CACHE discipline, with
+    one asymmetry): the SERVE twin (bpe_encode_token_stats) reuses the
+    pinned trajectory via the cache; the TRAINER (bpe_train_merges)
+    passes use_cache=False so it ALWAYS re-runs the 3 rounds — it is
+    the fit, and a benchmark timing it must measure the training loop,
+    not a replay of three checkpointed 1-row frames. The fresh fit
+    still refreshes the cache for any later serve in the session."""
     key = (spark.sparkContext.applicationId, sf_dir, rounds)
-    hit = _BPE_FRAMES_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if use_cache:
+        hit = _BPE_FRAMES_CACHE.get(key)
+        if hit is not None:
+            return hit
     docs = io.widen_if_few_splits(io.load(spark, sf_dir, "documents"), "doc_id")
     wf = (
         docs.select(F.explode(tokens_nonempty("text")).alias("word"))
@@ -1536,7 +1539,9 @@ def _bpe_train_frames(
     tags=("text", "llm", "agg"),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tops, _ = _bpe_train_frames(spark, sf_dir, _BPE_ROUNDS)
+    # the FIT: always re-run the rounds (bench honesty — see
+    # _bpe_train_frames); refreshes the serve twin's cache
+    tops, _ = _bpe_train_frames(spark, sf_dir, _BPE_ROUNDS, use_cache=False)
     out = tops[0]
     for t in tops[1:]:
         out = out.unionAll(t)

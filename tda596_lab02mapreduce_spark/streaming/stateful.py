@@ -307,8 +307,14 @@ def user_spans_ttl(events_cents: DataFrame, *, watermark: str = "2 hours") -> Da
             state.update((start_us, last_us, n, s))
             # re-arm the event-time timeout: fires when the watermark
             # passes last_ms + TTL_ms (strictly). due_ms == wm is not
-            # yet due — arm at wm+1 so it fires only once the
-            # watermark moves past, matching the oracle's strict cut.
+            # yet due — Spark forbids arming at <= the current
+            # watermark, so the clamp arms at wm+1, which fires at
+            # watermark >= wm+2 instead of the oracle's >= wm+1: a
+            # 1 ms boundary the engine cannot express (the straggler
+            # door above re-checks on the key's NEXT event, so the
+            # residual exposure needs due_ms == wm exactly AND a final
+            # watermark of exactly wm+1 AND no further key events —
+            # sub-ms coincidence on second-grain feeds).
             state.setTimeoutTimestamp(max(due_ms, wm + 1))
         yield pd.DataFrame(out)
 

@@ -105,20 +105,28 @@ def _check_aud(srows, erows):
     # so an absent pair passes only if n_both <= 3 * (n_a + n_b) / k
     # (>= 3-sigma headroom on |A∪B|/k resolution); otherwise a missing
     # row is a REAL >bound miss and fails.
+    from tda596_lab02mapreduce_spark.queries.statml import _AUD_K
+
     est = {str(r[0]): r[1] for r in srows}
+    exact_keys = {str(e[0]) for e in erows}
+    # a sketch pair with no exact counterpart means the two engines
+    # disagree on the KEY (format/day-grain/order drift) — that must
+    # fail loudly, not silently drop out of the error measurement
+    phantom = sorted(set(est) - exact_keys)
     worst = 0.0
     missing_bad = []
     for e in erows:
         key, n_both, n_a, n_b = str(e[0]), e[1], e[2], e[3]
         if key in est:
             worst = max(worst, abs(est[key] - n_both) / n_both)
-        elif n_both > 3.0 * (n_a + n_b) / 1024.0:
+        elif n_both > 3.0 * (n_a + n_b) / _AUD_K:
             missing_bad.append((key, n_both))
-    ok = worst <= 0.16 and not missing_bad
+    ok = worst <= 0.16 and not missing_bad and not phantom
     return ok, (
         f"worst_rel_err={worst:.4f} over ALL {len(erows)} exact pairs "
-        f"(bound 0.16 ≈ 3/sqrt(sample_common≈340) at k=1024; "
-        f"absent-pair floor 3(nA+nB)/k; inexcusably_missing={missing_bad})"
+        f"(bound 0.16 ≈ 3/sqrt(sample_common≈340) at k={_AUD_K}; "
+        f"absent-pair floor 3(nA+nB)/k; inexcusably_missing={missing_bad}; "
+        f"phantom_sketch_keys={phantom})"
     )
 
 
