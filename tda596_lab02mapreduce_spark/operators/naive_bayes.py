@@ -8,10 +8,19 @@ to the last ulp, so per-row log-likelihoods computed independently in
 each engine could hash-mismatch.  The kmeans/PCA sidecar discipline
 (operators/kmeans.py) removes the exposure entirely:
 
-- FIT is distributed: token×class occurrence counts and class totals
-  are exact BIGINT aggregates (one scan + one (vocab × classes)-bounded
-  group-by).  Only the counts table — 31 tokens × 5 langs on the
-  fixture, top-V capped at web scale — reaches the driver.
+- FIT is distributed AND vocabulary-capped: the vocabulary is the
+  distributed top-V tokens by global corpus count (deterministic
+  count-DESC / token-ASC tiebreak — the vocab_encode_topk discipline,
+  queries/trainprep.py), selected via ``TakeOrderedAndProject`` so the
+  driver receives exactly V rows; the token×class occurrence counts
+  are then exact BIGINT aggregates restricted to that vocabulary by a
+  broadcast semi-join, so only ≤ V×C count rows ever reach the driver
+  (V=24, C=5 on the fixture — 120 rows; the fixture's full vocabulary
+  is 31, so the out-of-vocabulary path is exercised at every SF).
+  Tokens outside the top-V are DROPPED at serve time — the same rule
+  as unseen tokens, applied identically by the oracle's inner join.
+  Class token totals N_c are the IN-VOCABULARY totals (derivable from
+  the capped table itself), keeping the model self-consistent.
 - The driver quantizes Laplace-smoothed log-probabilities ONCE to
   integer micro-units, ``w_u(t,c) = round(1e6 * ln((cnt+1)/(N_c+V)))``,
   and persists them as a committed JSON sidecar under ``.models/``.
@@ -24,9 +33,11 @@ each engine could hash-mismatch.  The kmeans/PCA sidecar discipline
   both engines sum identical integers — no transcendental ever
   evaluates inside either engine.
 
-At 100 TB: the fit is one map-side-combinable count aggregate whose
-output is vocabulary-bounded (cap the vocabulary to the distributed
-top-V by global count first — the vocab_top_k query's shape); the
+At 100 TB: the fit is two map-side-combinable count aggregates — a
+token-grain count whose top-V survives (top-k is partial-aggregated
+then merged, never a global sort of the vocabulary), then a
+V-bounded class×token count — so driver traffic is V + V×C rows by
+construction regardless of corpus vocabulary; the
 serve is tokenize → broadcast join → one doc-keyed aggregate: a single
 shuffle at document grain, no windows, no driver loops.
 
@@ -50,6 +61,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _NB_MODEL_CACHE: dict[tuple, dict] = {}
+
+# Distributed vocabulary cap (strictly below the 31-token fixture
+# vocabulary at every SF, so the OOV serve path is always exercised).
+NB_TOP_V = 24
+
+# Observability for tests: the row counts the driver actually received
+# on the last REAL fit (not a cache hit) — pins the V + V×C contract.
+_LAST_FIT_STATS: dict[str, int] = {}
+
+
+def _norm_key(dataset_key: str | None) -> str | None:
+    """Path-normalize the cache key so the fit and the oracle agree on
+    the sidecar regardless of trailing slashes / symlinks (a trailing
+    '/' in SPARK_GRAFT_SF_DIR would otherwise miss the cache)."""
+    if dataset_key is None:
+        return None
+    return os.path.realpath(dataset_key) if os.path.isdir(dataset_key) else dataset_key
 
 
 def _model_cache_dir() -> str:
@@ -80,12 +108,14 @@ def naive_bayes_fit(
     label_col: str = "lang",
     dataset_key: str | None = None,
     refit: bool = False,
+    top_v: int = NB_TOP_V,
 ) -> dict:
-    """Fit (or fetch) the multinomial NB model.  Returns
-    ``{"classes": [...], "priors_u": {c: int}, "weights_u":
-    {token: {c: int}}, "vocab": [...]}`` — all weights integer
-    micro-units of the Laplace-smoothed log-probabilities."""
-    key = (dataset_key, text_col, label_col)
+    """Fit (or fetch) the multinomial NB model with a DISTRIBUTED
+    top-V vocabulary cap.  Returns ``{"classes": [...], "priors_u":
+    {c: int}, "weights_u": {token: {c: int}}, "vocab": [...],
+    "top_v": V}`` — all weights integer micro-units of the
+    Laplace-smoothed log-probabilities over the capped vocabulary."""
+    key = (_norm_key(dataset_key), text_col, label_col, top_v)
     if dataset_key is not None and not refit:
         if key in _NB_MODEL_CACHE:
             return _NB_MODEL_CACHE[key]
@@ -96,22 +126,50 @@ def naive_bayes_fit(
             _NB_MODEL_CACHE[key] = model
             return model
 
+    spark = docs.sparkSession
     tok = docs.select(
         F.col(label_col).alias("c"),
         F.explode(F.split(F.col(text_col), " ")).alias("t"),
     ).filter(F.length("t") > 0)
-    # ONE vocabulary×classes-bounded aggregate; exact BIGINT counts.
-    counts = tok.groupBy("c", "t").agg(F.count(F.lit(1)).alias("n")).collect()
+    # Distributed vocabulary cap: top-V tokens by global corpus count,
+    # deterministic (count DESC, token ASC) tiebreak — orderBy+limit
+    # plans as TakeOrderedAndProject (partial top-k merged at the
+    # driver), so exactly V rows are collected however large the
+    # corpus vocabulary is.
+    vocab_rows = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_tot"))
+        .orderBy(F.col("n_tot").desc(), F.col("t"))
+        .limit(top_v)
+        .collect()
+    )
+    vocab = sorted(r["t"] for r in vocab_rows)
+    vdf = spark.createDataFrame([(t,) for t in vocab], "t string")
+    # The class×token counts restricted to the capped vocabulary by a
+    # broadcast semi-join: ≤ V×C exact BIGINT rows reach the driver.
+    counts = (
+        tok.join(F.broadcast(vdf), "t", "left_semi")
+        .groupBy("c", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
     doc_counts = (
         docs.groupBy(F.col(label_col).alias("c"))
         .agg(F.count(F.lit(1)).alias("nd"))
         .collect()
     )
+    _LAST_FIT_STATS.update(
+        vocab_rows=len(vocab_rows),
+        count_rows=len(counts),
+        class_rows=len(doc_counts),
+    )
 
     classes = sorted({r["c"] for r in doc_counts})
-    vocab = sorted({r["t"] for r in counts})
     V = len(vocab)
     cnt = {(r["c"], r["t"]): int(r["n"]) for r in counts}
+    # N_c = IN-VOCABULARY token total per class (OOV tokens are dropped
+    # by the model's serve contract, so they don't belong in the
+    # multinomial denominator either) — derived from the capped table.
     n_tok = {c: sum(v for (cc, _), v in cnt.items() if cc == c) for c in classes}
     nd = {r["c"]: int(r["nd"]) for r in doc_counts}
     nd_all = sum(nd.values())
@@ -126,6 +184,7 @@ def naive_bayes_fit(
         "priors_u": priors_u,
         "weights_u": weights_u,
         "vocab": vocab,
+        "top_v": top_v,
     }
     if dataset_key is not None:
         _NB_MODEL_CACHE[key] = model
@@ -193,11 +252,14 @@ def naive_bayes_oracle_sql(
     text_col: str = "text",
     label_col: str = "lang",
     id_col: str = "doc_id",
+    top_v: int = NB_TOP_V,
 ) -> str:
     """DuckDB replay against the committed sidecar: identical literal
     integer weights, identical tokenize/join/sum, identical
-    (score DESC, class ASC) argmax."""
-    key = (sf_dir, text_col, label_col)
+    (score DESC, class ASC) argmax.  The vocabulary cap replays for
+    free — out-of-vocabulary tokens drop at the inner join exactly as
+    in the Spark serve."""
+    key = (_norm_key(sf_dir), text_col, label_col, top_v)
     path = _sidecar_path(key)
     if not os.path.exists(path):
         raise FileNotFoundError(

@@ -2468,8 +2468,14 @@ def _nb_oracle():
         "V-by-C sidecar under .models/, so no transcendental ever "
         "evaluates inside either engine (the ln-ulp cross-engine "
         "exposure is removed at the source, same discipline as the "
-        "kmeans centroid table). SERVE: tokenize -> broadcast-join the "
-        "155-row weight table -> one doc-grain aggregate -> argmax via "
+        "kmeans centroid table). The vocabulary is CAPPED to the "
+        "distributed top-V=24 tokens by global count (count-DESC/"
+        "token-ASC tiebreak, TakeOrderedAndProject — exactly V rows "
+        "then <=V*C count rows reach the driver by construction; the "
+        "fixture vocabulary is 31, so the out-of-vocabulary drop path "
+        "is exercised at every SF, identically in the oracle's inner "
+        "join). SERVE: tokenize -> broadcast-join the "
+        "120-row weight table -> one doc-grain aggregate -> argmax via "
         "min(struct(-score, class)) — a single document-keyed shuffle, "
         "no windows, map-only otherwise; the oracle replays the "
         "literal sidecar. Near-chance accuracy is the honest expected "
@@ -2486,7 +2492,12 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = io.load(spark, sf_dir, "documents")
-    model = naive_bayes_fit(docs, dataset_key=sf_dir)
+    # refit=True: the registered query ALWAYS re-runs the distributed
+    # fit (bench honesty — the bpe_train_merges use_cache=False
+    # discipline; a cached replay would time serve-only). The fit is
+    # deterministic, so the re-persisted sidecar is byte-stable and the
+    # committed .models/ files stay canonical for the oracle.
+    model = naive_bayes_fit(docs, dataset_key=sf_dir, refit=True)
     return naive_bayes_confusion(docs, model)
 
 

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from tda596_lab02mapreduce_spark import io
 from tda596_lab02mapreduce_spark.operators.naive_bayes import (
+    _LAST_FIT_STATS,
+    NB_TOP_V,
     naive_bayes_confusion,
     naive_bayes_fit,
 )
@@ -74,6 +76,52 @@ def test_nb_fixture_nondegenerate_and_deterministic(spark, sf_correctness):
     assert len(predicted) >= 2  # a real decision, not one-class collapse
     # confusion matrix bounded by classes^2
     assert len(rows) <= len(model["classes"]) ** 2
+
+
+def test_nb_vocab_cap_bounds_driver_traffic(spark, sf_correctness):
+    """The r12-verdict #1 contract made code: the fit's vocabulary is
+    the distributed top-V (V=24 < the 31-token fixture vocabulary, so
+    the OOV path is exercised), and the driver receives EXACTLY V
+    vocabulary rows and <= V*C count rows — never the full corpus
+    vocabulary."""
+    docs = io.load(spark, sf_correctness, "documents")
+    model = naive_bayes_fit(docs, dataset_key=sf_correctness, refit=True)
+    full_vocab = {
+        r["t"]
+        for r in docs.select(
+            F.explode(F.split("text", " ")).alias("t")
+        )
+        .filter(F.length("t") > 0)
+        .distinct()
+        .collect()
+    }
+    assert model["top_v"] == NB_TOP_V == 24
+    assert len(model["vocab"]) == NB_TOP_V
+    assert len(full_vocab) > NB_TOP_V  # the cap actually bites
+    assert set(model["vocab"]) < full_vocab
+    assert "dup" not in model["vocab"]  # the known low-count token is OOV
+    # driver-traffic contract, pinned on the REAL fit just executed
+    C = len(model["classes"])
+    assert _LAST_FIT_STATS["vocab_rows"] == NB_TOP_V
+    assert _LAST_FIT_STATS["count_rows"] <= NB_TOP_V * C
+    assert _LAST_FIT_STATS["class_rows"] == C
+    assert len(model["weights_u"]) == NB_TOP_V
+
+
+def test_nb_vocab_cap_tiebreak_deterministic(spark):
+    """Tokens tied in count at the cap boundary resolve lexically
+    (count DESC, token ASC) — the vocab_encode_topk discipline, so the
+    fit is reproducible across partitionings and engines."""
+    # 3 tokens all with count 2; cap V=2 must keep {'aa', 'bb'}
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc", "x"), (2, "cc bb aa", "y")],
+        "doc_id int, text string, lang string",
+    )
+    m = naive_bayes_fit(docs, top_v=2)
+    assert m["vocab"] == ["aa", "bb"]
+    # OOV denominator contract: N_c counts only in-vocab tokens
+    # class x: tokens aa,bb in vocab -> N=2, V=2, den=4; cnt(aa,x)=1
+    assert m["weights_u"]["aa"]["x"] == round(1e6 * math.log(2 / 4))
 
 
 def test_nb_scores_unseen_token_drops_identically(spark):
