@@ -296,7 +296,20 @@ def user_spans_ttl(events_cents: DataFrame, *, watermark: str = "2 hours") -> Da
             # LATER batch advances the watermark — at drain end none
             # does, and the span would stay in state while the oracle's
             # final-watermark cut (due_ms < wm, strict) emits it. So
-            # close it through the update door NOW: same row either way.
+            # close it through the update door NOW.
+            #
+            # Residual (contracted, like the due_ms == wm note below):
+            # "same row either way" holds only when no FURTHER events
+            # arrive for this key. If a SECOND beyond-watermark
+            # straggler lands in a later micro-batch within TTL of this
+            # one, the engine emits two spans where the batch oracle's
+            # gap rule would merge them — a best-effort-late-data
+            # split, bounded to events that are already beyond the
+            # watermark (the engine's documented late-data contract).
+            # The alternative (re-arm at wm+1 and keep the span open)
+            # re-opens the drain-end retention bug this door fixes,
+            # which is a WRONG final row on every drain rather than a
+            # split on a double-straggler coincidence.
             out["user_id"].append(user_id)
             out["span_start_us"].append(start_us)
             out["span_last_us"].append(last_us)
