@@ -3763,8 +3763,54 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Split-conformal prediction (round 12)
+# Split-conformal prediction (round 12; Mondrian per-class variant r13)
 # ---------------------------------------------------------------------------
+
+
+def _conformal_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared conformal scaffolding: the trained-GLM nonconformity
+    scores with the deterministic md5 calibration/test fold.  Columns
+    (okey, y, p, fold, s): p = rational sigmoid over the BIGINT
+    weights (bit-identical cross-engine), s = 1 - p(true class)."""
+    _, beta = _logistic_train(spark, sf_dir, rounds=4)
+    orders = io.load(spark, sf_dir, "orders")
+    feat2 = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("x1"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("bigint")
+        .alias("y"),
+    )
+    z = (
+        F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    ).cast("double") / F.lit(1000000.0)
+    p = F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
+    fold = (
+        F.conv(F.substring(F.md5(F.col("okey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(2)
+    )
+    return (
+        feat2.crossJoin(F.broadcast(beta))
+        .select(
+            "okey",
+            "y",
+            p.alias("p"),
+            fold.alias("fold"),
+        )
+        .select(
+            "okey",
+            "y",
+            "p",
+            "fold",
+            F.when(F.col("y") == 1, F.lit(1.0) - F.col("p"))
+            .otherwise(F.col("p"))
+            .alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
 
 @register(
@@ -3846,45 +3892,7 @@ FROM (SELECT y, p, s FROM sc WHERE fold = 1) t, qv
     tags=("statml", "ml", "agg"),
 )
 def conformal_priority_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, beta = _logistic_train(spark, sf_dir, rounds=4)
-    orders = io.load(spark, sf_dir, "orders")
-    feat2 = orders.select(
-        F.col("o_orderkey").alias("okey"),
-        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("x1"),
-        F.month("o_orderdate").cast("bigint").alias("x2"),
-        F.col("o_orderpriority")
-        .isin("1-URGENT", "2-HIGH")
-        .cast("bigint")
-        .alias("y"),
-    )
-    z = (
-        F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
-    ).cast("double") / F.lit(1000000.0)
-    p = F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
-    fold = (
-        F.conv(F.substring(F.md5(F.col("okey").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % F.lit(2)
-    )
-    sc = (
-        feat2.crossJoin(F.broadcast(beta))
-        .select(
-            "okey",
-            "y",
-            p.alias("p"),
-            fold.alias("fold"),
-        )
-        .select(
-            "okey",
-            "y",
-            "p",
-            "fold",
-            F.when(F.col("y") == 1, F.lit(1.0) - F.col("p"))
-            .otherwise(F.col("p"))
-            .alias("s"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    sc = _conformal_scored(spark, sf_dir)
     cal = sc.filter(F.col("fold") == 0)
     hist = cal.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     kk = cal.agg(
@@ -3922,6 +3930,164 @@ def conformal_priority_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("set_size_sum"),
+    )
+
+
+@register(
+    "conformal_mondrian_by_class",
+    oracle="WITH "
+    + _logistic_ctes(4)
+    + """,
+feat2 AS (
+  SELECT o_orderkey AS okey,
+         CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS x1,
+         CAST(month(o_orderdate) AS BIGINT) AS x2,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+sc AS (
+  SELECT f.okey, f.y, p,
+         CASE WHEN f.y = 1 THEN 1.0 - p ELSE p END AS s,
+         CAST('0x' || substr(md5(CAST(f.okey AS VARCHAR)), 1, 8) AS BIGINT)
+           % 2 AS fold
+  FROM (
+    SELECT f0.*, 0.5 + 0.5 * ((CAST(b.w0 + b.w1 * f0.x1 + b.w2 * f0.x2
+                                    AS DOUBLE) / 1000000.0)
+             / (1.0 + abs(CAST(b.w0 + b.w1 * f0.x1 + b.w2 * f0.x2
+                               AS DOUBLE) / 1000000.0))) AS p
+    FROM feat2 f0, b4 b
+  ) f
+),
+cal AS (SELECT y, s FROM sc WHERE fold = 0),
+hist AS (SELECT y, s, CAST(count(*) AS BIGINT) AS n FROM cal GROUP BY 1, 2),
+kk AS (SELECT y, CAST(count(*) AS BIGINT) AS n_cal,
+              (9 * (count(*) + 1) + 9) // 10 AS k
+       FROM cal GROUP BY 1),
+cum AS (
+  SELECT a.y, a.s, SUM(b.n) AS c
+  FROM hist a JOIN hist b ON b.y = a.y AND b.s <= a.s GROUP BY 1, 2
+),
+qv0 AS (
+  -- per-class small-n contract: a class whose calibration fold is too
+  -- small for k = ceil(0.9*(n_y+1)) gets q_y = +infinity (that class
+  -- is predicted for everyone — coverage 100%, not zero)
+  SELECT kk.y,
+         COALESCE(MIN(CASE WHEN cum.c >= kk.k THEN cum.s END),
+                  CAST('Infinity' AS DOUBLE)) AS q,
+         MIN(kk.n_cal) AS n_cal
+  FROM kk JOIN cum ON cum.y = kk.y GROUP BY 1
+),
+ys(y) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))),
+qv AS (
+  SELECT ys.y, COALESCE(qv0.q, CAST('Infinity' AS DOUBLE)) AS q,
+         COALESCE(qv0.n_cal, CAST(0 AS BIGINT)) AS n_cal
+  FROM ys LEFT JOIN qv0 ON qv0.y = ys.y
+),
+qrow AS (
+  SELECT MIN(CASE WHEN y = 0 THEN q END) AS q0,
+         MIN(CASE WHEN y = 1 THEN q END) AS q1,
+         MIN(CASE WHEN y = 0 THEN n_cal END) AS nc0,
+         MIN(CASE WHEN y = 1 THEN n_cal END) AS nc1
+  FROM qv
+)
+SELECT CAST(t.y AS BIGINT) AS y_class,
+       CAST(MIN(CASE WHEN t.y = 1 THEN qrow.nc1 ELSE qrow.nc0 END)
+            AS BIGINT) AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       MIN(CASE WHEN t.y = 1 THEN qrow.q1 ELSE qrow.q0 END) AS q_nonconf,
+       CAST(SUM(CASE WHEN t.s <= (CASE WHEN t.y = 1 THEN qrow.q1
+                                       ELSE qrow.q0 END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(SUM((CASE WHEN 1.0 - t.p <= qrow.q1 THEN 1 ELSE 0 END)
+              + (CASE WHEN t.p <= qrow.q0 THEN 1 ELSE 0 END)) AS BIGINT)
+         AS set_size_sum
+FROM (SELECT y, p, s FROM sc WHERE fold = 1) t, qrow
+GROUP BY 1
+""",
+    doc=(
+        "Mondrian (class-conditional) split-conformal prediction (r12 "
+        "verdict #7): conformal_priority_coverage guarantees MARGINAL "
+        "coverage only — a model can over-cover the majority class and "
+        "under-cover the minority inside the same 90%. Mondrian "
+        "calibrates a separate quantile per TRUE class, q_y = the "
+        "ceil(0.9*(n_y+1))-th smallest calibration nonconformity among "
+        "class-y rows, giving coverage >= 1-alpha PER CLASS (Vovk's "
+        "label-conditional taxonomy). Same machinery as the marginal "
+        "twin (shared _conformal_scored scaffolding: rational-sigmoid "
+        "p over the BIGINT trained weights, md5 fold): the score "
+        "histogram is now (class, score)-grained — still domain-"
+        "bounded, <=2x288 rows — with the triangular cumsum running "
+        "WITHIN class, so the exact per-class order statistic needs "
+        "zero partition-less windows and no global sort at any scale. "
+        "Prediction set membership tests each class against ITS OWN "
+        "quantile ({c: s_c(x) <= q_c}); reporting is grouped by true "
+        "class (2 rows). Per-class small-n contract: an undersized "
+        "calibration class gets q_y = +infinity (that class predicted "
+        "for everyone), via the ys-domain left join. Per-class "
+        "coverage >= 0.9 is pinned in tests/test_conformal.py."
+    ),
+    tags=("statml", "ml", "agg"),
+)
+def conformal_mondrian_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _conformal_scored(spark, sf_dir)
+    cal = sc.filter(F.col("fold") == 0)
+    hist = cal.groupBy("y", "s").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    kk = cal.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.expr("(9 * (count(1) + 1) + 9) div 10").cast("bigint").alias("k"),
+    )
+    a, b = hist.alias("a"), hist.alias("b")
+    cum = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.y") == F.col("a.y")) & (F.col("b.s") <= F.col("a.s")),
+        )
+        .groupBy(F.col("a.y").alias("y"), F.col("a.s").alias("s"))
+        .agg(F.sum(F.col("b.n")).alias("c"))
+    )
+    qv0 = (
+        kk.join(cum, "y")
+        .groupBy("y")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("c") >= F.col("k"), F.col("s"))),
+                F.lit(float("inf")),
+            ).alias("q"),
+            F.min("n_cal").alias("n_cal"),
+        )
+    )
+    ys = spark.createDataFrame([(0,), (1,)], "y bigint")
+    qv = ys.join(qv0, "y", "left").select(
+        "y",
+        F.coalesce("q", F.lit(float("inf"))).alias("q"),
+        F.coalesce("n_cal", F.lit(0).cast("bigint")).alias("n_cal"),
+    )
+    qrow = qv.agg(
+        F.min(F.when(F.col("y") == 0, F.col("q"))).alias("q0"),
+        F.min(F.when(F.col("y") == 1, F.col("q"))).alias("q1"),
+        F.min(F.when(F.col("y") == 0, F.col("n_cal"))).alias("nc0"),
+        F.min(F.when(F.col("y") == 1, F.col("n_cal"))).alias("nc1"),
+    )
+    test = sc.filter(F.col("fold") == 1)
+    q_own = F.when(F.col("y") == 1, F.col("q1")).otherwise(F.col("q0"))
+    nc_own = F.when(F.col("y") == 1, F.col("nc1")).otherwise(F.col("nc0"))
+    one = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    return (
+        test.crossJoin(F.broadcast(qrow))
+        .groupBy(F.col("y").cast("bigint").alias("y_class"))
+        .agg(
+            F.min(nc_own).cast("bigint").alias("n_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.min(q_own).alias("q_nonconf"),
+            F.sum(one(F.col("s") <= q_own)).cast("bigint").alias("n_covered"),
+            F.sum(
+                one(F.lit(1.0) - F.col("p") <= F.col("q1"))
+                + one(F.col("p") <= F.col("q0"))
+            )
+            .cast("bigint")
+            .alias("set_size_sum"),
+        )
     )
 
 

@@ -14,6 +14,7 @@ import math
 from tda596_lab02mapreduce_spark import io
 from tda596_lab02mapreduce_spark.queries.statml import (
     _logistic_train,
+    conformal_mondrian_by_class,
     conformal_priority_coverage,
 )
 
@@ -35,6 +36,66 @@ def test_conformal_coverage_guarantee(spark, sf_correctness):
     # folds partition the orders table
     orders = io.load(spark, sf_correctness, "orders").count()
     assert int(row["n_cal"]) + n_test == orders
+
+
+def test_conformal_mondrian_per_class_coverage(spark, sf_correctness):
+    """The Mondrian guarantee: coverage >= 1 - alpha for EACH true
+    class separately (the marginal twin only bounds the mixture).
+    Also pins that the per-class quantiles genuinely differ from each
+    other (the partition is non-vacuous) and that per-class test/cal
+    counts partition the fixture."""
+    rows = {
+        int(r["y_class"]): r
+        for r in conformal_mondrian_by_class(spark, sf_correctness).collect()
+    }
+    assert set(rows) == {0, 1}
+    for y, r in rows.items():
+        n_test, n_cov = int(r["n_test"]), int(r["n_covered"])
+        # per-class finite-sample validity with one-sigma slack on the
+        # fixed fold (the guarantee is in expectation over splits)
+        assert n_cov / n_test >= 0.9 - 2 * math.sqrt(0.09 / n_test), y
+        # non-degenerate: prediction sets are not all-classes-always
+        assert int(r["set_size_sum"]) < 2 * n_test
+    # the class split is real: different calibration quantiles
+    assert rows[0]["q_nonconf"] != rows[1]["q_nonconf"]
+    # folds + classes partition the orders table
+    orders = io.load(spark, sf_correctness, "orders").count()
+    total = sum(int(r["n_cal"]) + int(r["n_test"]) for r in rows.values())
+    assert total == orders
+
+
+def test_conformal_mondrian_small_class_predicts_all(spark, tmp_path):
+    """A class with an undersized calibration fold (n_y < 9) must get
+    q_y = +infinity — that class predicted for every test row and its
+    own test rows 100% covered — via the per-class small-n contract,
+    not a silent zero-coverage (the marginal twin's constructed-case
+    test, per class)."""
+    import datetime
+
+    # class 1 (URGENT) rare: 5 of 60 rows -> its calibration half < 9
+    rows = [
+        (k, 50000.0 * (k % 7 + 1), datetime.datetime(2024, 1 + k % 12, 3),
+         "1-URGENT" if k % 12 == 0 else "5-LOW")
+        for k in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        int(r["y_class"]): r
+        for r in conformal_mondrian_by_class(spark, str(tmp_path)).collect()
+    }
+    assert int(out[1]["n_cal"]) < 9
+    assert out[1]["q_nonconf"] == float("inf")
+    # every class-1 test row covered by its infinite quantile
+    assert int(out[1]["n_covered"]) == int(out[1]["n_test"])
+    # class 1 is in EVERY row's prediction set: set_size_sum for each
+    # class group >= n_test of that group (the q1=inf membership term)
+    for y in out:
+        assert int(out[y]["set_size_sum"]) >= int(out[y]["n_test"])
 
 
 def test_conformal_quantile_matches_python(spark, sf_correctness):
