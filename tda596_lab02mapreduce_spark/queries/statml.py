@@ -3658,34 +3658,14 @@ _AUD_K = 1024
 _AUD_SPACE = 1 << 60  # 15 md5 hex digits
 
 
-@register(
-    "audience_overlap_sketch",
-    oracle=None,
-    doc=(
-        "Theta/KMV-sketch audience INTERSECTION estimate (r11 verdict "
-        "#6): the HLL/CMS/bitmap family covers distinct counts and "
-        "point frequencies but no mergeable set-intersection; this is "
-        "the sketch a 100 TB overlap report uses instead of "
-        "audience_overlap_matrix's exact user-day self-join (the "
-        "exact twin, same segment definition). Per event type the "
-        "sketch is the k=1024 smallest 60-bit md5 hashes of the "
-        "user-day keys — mergeable by construction (union of mins); "
-        "theta = the k-th smallest (or the full space when the "
-        "segment fits, where the estimate degrades gracefully to "
-        "EXACT). Pair estimate: count common hashes below "
-        "min(theta_a, theta_b), scale by SPACE/theta — the standard "
-        "theta-sketch a-not-b/intersection estimator. Each sketch is "
-        "built distributed: a broadcast count prunes to the ~8k "
-        "expected survivors per type before the type-partitioned "
-        "rank, so no window ever sees a full segment. NO oracle by "
-        "contract (the estimate is sampling-dependent); the sweep "
-        "bound-checks it against the exact DuckDB intersection "
-        "(tools/sweep_config_free.py BOUND_CHECKS) with a stated "
-        "3-sigma-style bound, the r11 sketch discipline."
-    ),
-    tags=("analytics", "agg", "sketch"),
-)
-def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _audience_kmv(spark: SparkSession, sf_dir: str):
+    """Build the per-event-type KMV/theta sketch over user-day keys.
+    Returns (sample, theta): sample = the retained hashes strictly
+    below each type's theta (≤ k rows per type), theta = the k-th
+    smallest hash (or the full space for sub-k segments, where
+    estimates degrade gracefully to EXACT).  Shared by the
+    intersection estimator (audience_overlap_sketch) and the r13
+    union/difference set algebra (audience_setalgebra_sketch)."""
     from pyspark.sql.window import Window
 
     ev = io.load(spark, sf_dir, "events").select(
@@ -3739,6 +3719,40 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h") < F.col("theta"))
         .select("event_type", "h")
     )
+    return sample, theta
+
+
+@register(
+    "audience_overlap_sketch",
+    oracle=None,
+    doc=(
+        "Theta/KMV-sketch audience INTERSECTION estimate (r11 verdict "
+        "#6): the HLL/CMS/bitmap family covers distinct counts and "
+        "point frequencies but no mergeable set-intersection; this is "
+        "the sketch a 100 TB overlap report uses instead of "
+        "audience_overlap_matrix's exact user-day self-join (the "
+        "exact twin, same segment definition). Per event type the "
+        "sketch is the k=1024 smallest 60-bit md5 hashes of the "
+        "user-day keys — mergeable by construction (union of mins); "
+        "theta = the k-th smallest (or the full space when the "
+        "segment fits, where the estimate degrades gracefully to "
+        "EXACT). Pair estimate: count common hashes below "
+        "min(theta_a, theta_b), scale by SPACE/theta — the standard "
+        "theta-sketch a-not-b/intersection estimator. Each sketch is "
+        "built distributed: a broadcast count prunes to the ~8k "
+        "expected survivors per type before the type-partitioned "
+        "rank, so no window ever sees a full segment. NO oracle by "
+        "contract (the estimate is sampling-dependent); the sweep "
+        "bound-checks it against the exact DuckDB intersection "
+        "(tools/sweep_config_free.py BOUND_CHECKS) with a stated "
+        "3-sigma-style bound, the r11 sketch discipline."
+    ),
+    tags=("analytics", "agg", "sketch"),
+)
+
+
+def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sample, theta = _audience_kmv(spark, sf_dir)
     sa = sample.select(F.col("event_type").alias("type_a"), "h")
     sb = sample.select(F.col("event_type").alias("type_b"), "h")
     ta = theta.select(F.col("event_type").alias("type_a"), F.col("theta").alias("th_a"))
@@ -3759,6 +3773,85 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div CAST(least(th_a, th_b) AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("est_both"),
         F.col("common").cast("bigint").alias("sample_common"),
+    )
+
+
+@register(
+    "audience_setalgebra_sketch",
+    oracle=None,
+    doc=(
+        "Theta-sketch set ALGEBRA — union and both differences from "
+        "the SAME KMV samples as audience_overlap_sketch (r12 verdict "
+        "#5; shared _audience_kmv builder, so one sketch pass serves "
+        "the whole algebra, the point of mergeable sketches). Per "
+        "ordered pair on the common theta = min(theta_a, theta_b): "
+        "n_a / n_b = each sample's hashes below the common theta, "
+        "n_common = shared hashes below it; est_union = "
+        "(n_a + n_b - n_common) * SPACE/theta (inclusion-exclusion "
+        "INSIDE the uniform sample — exactly the standard theta union "
+        "on a common theta), est_a_not_b = (n_a - n_common) * "
+        "SPACE/theta (the Dataset-sketches a-not-b estimator), "
+        "est_b_not_a symmetric. All three reuse one sample scan: two "
+        "broadcast theta joins + one hash equi-join, every aggregate "
+        "pair-bounded. NO oracle by contract (sampling-dependent); "
+        "the sweep bound-checks union AND differences against exact "
+        "DuckDB set sizes (tools/sweep_config_free.py BOUND_CHECKS, "
+        "shared phantom-key guard) — union additionally satisfies the "
+        "inclusion-exclusion identity with audience_overlap_sketch's "
+        "est_both by construction on identical samples."
+    ),
+    tags=("analytics", "agg", "sketch"),
+)
+def audience_setalgebra_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sample, theta = _audience_kmv(spark, sf_dir)
+    ta = theta.select(
+        F.col("event_type").alias("type_a"), F.col("theta").alias("th_a")
+    )
+    tb = theta.select(
+        F.col("event_type").alias("type_b"), F.col("theta").alias("th_b")
+    )
+    # per ordered pair (a < b): each side's sample counted below the
+    # COMMON theta — a broadcast join of the tiny theta table against
+    # the ≤ k·T-row sample, grouped at pair grain
+    sa = sample.select(F.col("event_type").alias("type_a"), "h")
+    sb = sample.select(F.col("event_type").alias("type_b"), "h")
+    na = (
+        sa.join(F.broadcast(tb), F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(ta), "type_a")
+        .filter(F.col("h") < F.least("th_a", "th_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    nb = (
+        sb.join(F.broadcast(ta), F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(tb), "type_b")
+        .filter(F.col("h") < F.least("th_a", "th_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    common = (
+        sa.join(sb, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est = lambda expr: F.expr(  # noqa: E731
+        f"CAST((CAST({expr} AS DECIMAL(38,0)) * {_AUD_SPACE}) "
+        "div CAST(least(th_a, th_b) AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return (
+        na.join(nb, ["type_a", "type_b"])
+        .join(common, ["type_a", "type_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            F.concat_ws(":", "type_a", "type_b").alias("pair_key"),
+            est("n_a + n_b - n_common").alias("est_union"),
+            est("n_a - n_common").alias("est_a_not_b"),
+            est("n_b - n_common").alias("est_b_not_a"),
+            F.col("n_common").cast("bigint").alias("sample_common"),
+        )
     )
 
 

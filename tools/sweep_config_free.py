@@ -130,7 +130,68 @@ def _check_aud(srows, erows):
     )
 
 
+def _check_aud_setalg(srows, erows):
+    # (pair_key, est_union, est_a_not_b, est_b_not_a, sample_common) vs
+    # exact (pair_key, n_union, n_a_not_b, n_b_not_a). Union relative
+    # error is bounded directly; the DIFFERENCE estimates are bounded
+    # relative to the UNION size (a difference can be arbitrarily small
+    # — its absolute error is what the common-theta sampling controls,
+    # at the union's scale). A pair missing from the sketch output is
+    # always a failure here: unions are never near-zero, so absence
+    # can't be statistically legitimate (unlike intersections).
+    est = {str(r[0]): r for r in srows}
+    exact_keys = {str(e[0]) for e in erows}
+    phantom = sorted(set(est) - exact_keys)
+    worst_u = worst_d = 0.0
+    missing = []
+    for e in erows:
+        key, n_union, n_anb, n_bna = str(e[0]), e[1], e[2], e[3]
+        if key not in est:
+            missing.append(key)
+            continue
+        r = est[key]
+        worst_u = max(worst_u, abs(r[1] - n_union) / n_union)
+        worst_d = max(
+            worst_d,
+            abs(r[2] - n_anb) / n_union,
+            abs(r[3] - n_bna) / n_union,
+        )
+    ok = worst_u <= 0.16 and worst_d <= 0.16 and not missing and not phantom
+    return ok, (
+        f"worst_union_rel_err={worst_u:.4f}, "
+        f"worst_diff_err_vs_union={worst_d:.4f} over ALL {len(erows)} "
+        f"exact pairs (bound 0.16, the audience_overlap_sketch "
+        f"discipline on the shared KMV samples); missing={missing}; "
+        f"phantom_sketch_keys={phantom}"
+    )
+
+
 BOUND_CHECKS = {
+    "audience_setalgebra_sketch": (
+        """WITH ut AS (
+             SELECT DISTINCT user_id,
+                    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                    event_type
+             FROM events),
+           seg AS (
+             SELECT event_type, CAST(count(*) AS BIGINT) AS n_seg
+             FROM ut GROUP BY 1),
+           bth AS (
+             SELECT a.event_type AS ta, b.event_type AS tb,
+                    CAST(count(*) AS BIGINT) AS n_both
+             FROM ut a JOIN ut b
+               ON a.user_id = b.user_id AND a.day = b.day
+              AND a.event_type < b.event_type
+             GROUP BY 1, 2)
+           SELECT sa.event_type || ':' || sb.event_type AS pair_key,
+                  sa.n_seg + sb.n_seg - COALESCE(bth.n_both, 0) AS n_union,
+                  sa.n_seg - COALESCE(bth.n_both, 0) AS n_a_not_b,
+                  sb.n_seg - COALESCE(bth.n_both, 0) AS n_b_not_a
+           FROM seg sa JOIN seg sb ON sa.event_type < sb.event_type
+           LEFT JOIN bth ON bth.ta = sa.event_type
+                        AND bth.tb = sb.event_type""",
+        _check_aud_setalg,
+    ),
     "audience_overlap_sketch": (
         """WITH ut AS (
              SELECT DISTINCT user_id,
