@@ -185,6 +185,10 @@ HEADLINE = [
     "dbscan_embedding_clusters",
     "graph_weighted_cheapest",
     "conformal_priority_coverage",
+    # round-13 addition: the rank-2 ALS trajectory (4 half-round
+    # solves over the u-pinned ratings — the model-based recsys
+    # member; measured 2.7 s at sf0.1 during development).
+    "recsys_als_rank2",
 ]
 
 

@@ -1365,3 +1365,47 @@ def graph_weighted_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.filter(F.col("dist") < _SSSP_INF).select(
         F.col("id").alias("part_id"), F.col("dist").cast("bigint").alias("cost_u")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-2 ALS matrix factorization (round-13) — see operators/als.py
+# ---------------------------------------------------------------------------
+
+
+def _als_oracle():
+    from tda596_lab02mapreduce_spark.operators.als import als_oracle_sql
+
+    return als_oracle_sql()
+
+
+@register(
+    "recsys_als_rank2",
+    oracle=_als_oracle,
+    doc=(
+        "Rank-2 ALS matrix factorization over the customer x brand "
+        "purchase matrix — the MODEL-BASED collaborative filter the "
+        "recsys band lacked (memory-based twin: recsys_item_cosine_"
+        "topk; r12 verdict #2). Two full ALS rounds of per-key ridge "
+        "least-squares via the exact 2x2 Cramer rule on MEAN-"
+        "NORMALIZED BIGINT normal equations (ALS-WR's lambda*n_u "
+        "scaling in integer milli-units; mean normalization is what "
+        "keeps the million-user item solve in int64 while the 25-item "
+        "user solve shares the identical code path). Deterministic "
+        "triangular-rank init breaks rank-2 symmetry; all divisions "
+        "sign-decomposed trunc-div emitted identically in Spark "
+        "(`div`) and DuckDB (`//`); factors clamp to +-8S by "
+        "contract. The returned 25-row item factor table hash-proves "
+        "the ENTIRE trajectory (every user factor feeds the item "
+        "solve); the oracle replays all 4 half-rounds in one unrolled "
+        "CTE. Plan: ratings partitioned once on u, then per round one "
+        "broadcast join + user-keyed aggregate and one co-partitioned "
+        "join + 25-key aggregate — zero driver actions, zero "
+        "collects, the only broadcast is 25 rows. Training-loss "
+        "decrease over rounds is pinned in tests/test_als.py."
+    ),
+    tags=("analytics", "ml", "llm", "agg", "join"),
+)
+def recsys_als_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.als import als_rank2_factors
+
+    return als_rank2_factors(spark, sf_dir)
