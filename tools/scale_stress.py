@@ -351,28 +351,50 @@ OUT_STOPWORD = os.environ.get("SPARK_GRAFT_SCALE_STOPWORD_DIR", OUT + "-stopword
 # sign patterns exist for 2 dims, so 10 replicas stack ~2.5 deep —
 # planar density ×2.5 and the grid join's pair fan-out superlinear:
 # that measures the staging, not the operator). The honest staging for
-# a PLANAR operator translates dims 0 and 1 by +4.0·replica — far
-# beyond both the ±0.5 coordinate spread and eps=0.02 — so the point
-# set is 10 disjoint planar copies (the float32 add rounds, so
-# within-replica geometry matches base up to 1-ulp cell boundaries;
-# density is identical, exact cluster ids are not asserted). Expected:
-# ~linear candidate pairs, stable plan shape, 10× grid cells.
+# a PLANAR operator translates dims 0 and 1 into a disjoint grid of
+# replica tiles — and (r13, closing the r12 float32-ulp caveat) the
+# translation happens in the OPERATOR'S OWN QUANTIZED INTEGER DOMAIN:
+# each staged coordinate is built as (floor(x·2^20) + tile·STEP_Q +
+# 0.25)·2^-20, where STEP_Q = 75·EPS_Q (≈1.5 units — beyond the ±0.5
+# spread + eps, AND an exact cell multiple so per-replica cell-
+# relative geometry is identical). The +0.25-grain nudge makes the
+# float32 cast round-trip EXACTLY for every |coord| < 16 (ulp ≤ the
+# 2^-20 grain there, and the nudged value is never at a rounding
+# tie that could cross a cell boundary), and the 10-wide tile grid
+# keeps all coords ≤ ~14 up to 100 replicas. Within-replica quantized
+# geometry is therefore preserved BIT-EXACTLY at any replica count —
+# role counts must be exactly ×REPLICAS, no ulp tolerance needed.
+# Expected: linear candidate pairs, stable plan shape, N× grid cells.
 DBSCAN_QUERIES = ["dbscan_embedding_clusters"]
 
 OUT_DBSCAN = os.environ.get("SPARK_GRAFT_SCALE_DBSCAN_DIR", OUT + "-dbscan")
 
 
 def stage_dbscan(spark) -> None:
+    from tda596_lab02mapreduce_spark.operators.dbscan import EPS_Q, Q_SCALE
+
+    step_q = 75 * EPS_Q  # ≈1.5 units, an exact eps-cell multiple
+    # integer-domain translation (see band comment): quantize with the
+    # operator's own floor(x·2^20), add the tile offset as an exact
+    # integer, re-emit the cell's +0.25-grain point — float32 exact
+    # for |coord| < 16, so the operator recovers the translated
+    # integer bit-for-bit and within-replica geometry is preserved
+    # exactly at any replica count.
+    tx = f"(replica % 10) * {step_q}"
+    ty = f"(replica div 10) * {step_q}"
+    expr = (
+        "transform(embedding, (x, i) -> CAST(CASE "
+        f"WHEN i = 0 THEN (floor(CAST(x AS DOUBLE) * {Q_SCALE}) + {tx} + 0.25) / {Q_SCALE} "
+        f"WHEN i = 1 THEN (floor(CAST(x AS DOUBLE) * {Q_SCALE}) + {ty} + 0.25) / {Q_SCALE} "
+        "ELSE x END AS FLOAT))"
+    )
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
     out = emb.crossJoin(F.broadcast(reps)).select(
         (F.col("vec_id") + F.col("replica").cast("long") * 10_000_000).alias(
             "vec_id"
         ),
-        F.expr(
-            "transform(embedding, (x, i) -> CAST(CASE WHEN i < 2 "
-            "THEN x + 4.0 * replica ELSE x END AS FLOAT))"
-        ).alias("embedding"),
+        F.expr(expr).alias("embedding"),
         "label",
     )
     shutil.rmtree(OUT_DBSCAN, ignore_errors=True)
