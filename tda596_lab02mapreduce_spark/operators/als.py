@@ -319,3 +319,94 @@ SELECT i AS brand, y1 AS y1_q, y2 AS y2_q, n AS n_ratings
 FROM y{rounds}
 """
     )
+
+
+def als_recommend_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    rounds: int = ALS_ROUNDS,
+    k: int = 3,
+) -> DataFrame:
+    """SERVE half of the factorization (the fit/serve symmetry
+    discipline: kmeans fit→assign, PCA fit→project, BPE train→encode,
+    ALS factors→recommend): per customer the top-k brands by predicted
+    affinity x·y, EXCLUDING brands the customer already purchased —
+    the model-based recommendation list the memory-based
+    recsys_item_cosine_topk cannot produce (it has no user
+    representation).
+
+    Exactness: the score is the exact BIGINT dot product of the
+    trained integer factors (≤ 2·CLAMP² ≈ 1.3e8 — no float anywhere),
+    ranked (score DESC, brand ASC) — a total order, zero cross-engine
+    ordering risk.  Plan: user factors ⋈ broadcast(25-row item
+    factors) nested-loop = 25 candidate rows per user, minus the
+    rated pairs via a co-partitioned left-anti join on (u, i), then a
+    user-partitioned WindowGroupLimit top-k — partitioned on the
+    customer grain, so parallelism grows with users; no global sort,
+    no driver action."""
+    from pyspark.sql.window import Window
+
+    ratings = _prepared_ratings(spark, sf_dir)
+    y = _init_item_factors(ratings)
+    x = None
+    for _ in range(rounds):
+        x = _half_round(
+            ratings, y, join_key="i", group_key="u",
+            f1="y1", f2="y2", broadcast_factors=True,
+        )
+        y = _half_round(
+            ratings, x, join_key="u", group_key="i",
+            f1="x1", f2="x2", broadcast_factors=False,
+        )
+    cand = (
+        x.select("u", "x1", "x2")
+        .crossJoin(F.broadcast(y.select("i", "y1", "y2")))
+        .withColumn(
+            "score_q",
+            (F.col("x1") * F.col("y1") + F.col("x2") * F.col("y2")).cast(
+                "bigint"
+            ),
+        )
+        .join(ratings.select("u", "i"), ["u", "i"], "left_anti")
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.col("score_q").desc(), F.col("i").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("u").alias("cust_id"),
+            F.col("i").alias("brand"),
+            "score_q",
+            F.col("rnk").cast("integer").alias("rnk"),
+        )
+    )
+
+
+def als_recommend_oracle_sql(*, rounds: int = ALS_ROUNDS, k: int = 3) -> str:
+    """DuckDB replay: the same unrolled trajectory, then the same
+    scored anti-joined ranked top-k."""
+    base = als_oracle_sql(rounds=rounds)
+    # reuse the trajectory CTEs; swap the final SELECT for the serve
+    head = base[: base.rindex("SELECT i AS brand")].rstrip()
+    return (
+        head
+        + f""",
+scored AS (
+  SELECT x.u, y.i,
+         CAST(x.x1 * y.y1 + x.x2 * y.y2 AS BIGINT) AS score_q
+  FROM x{rounds} x CROSS JOIN y{rounds} y
+  WHERE NOT EXISTS (SELECT 1 FROM r
+                    WHERE r.u = x.u AND r.i = y.i)
+)
+SELECT u AS cust_id, i AS brand, score_q, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY u ORDER BY score_q DESC, i) AS rnk
+  FROM scored
+)
+WHERE rnk <= {k}
+"""
+    )

@@ -1409,3 +1409,39 @@ def recsys_als_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tda596_lab02mapreduce_spark.operators.als import als_rank2_factors
 
     return als_rank2_factors(spark, sf_dir)
+
+
+def _als_topk_oracle():
+    from tda596_lab02mapreduce_spark.operators.als import (
+        als_recommend_oracle_sql,
+    )
+
+    return als_recommend_oracle_sql()
+
+
+@register(
+    "recsys_als_topk",
+    oracle=_als_topk_oracle,
+    doc=(
+        "SERVE half of the rank-2 ALS factorization (fit/serve "
+        "symmetry: kmeans fit->assign, PCA fit->project, BPE "
+        "train->encode, ALS factors->recommend): per customer the "
+        "top-3 brands by predicted affinity x.y EXCLUDING brands "
+        "already purchased — the model-based recommendation list the "
+        "memory-based recsys_item_cosine_topk cannot produce (no user "
+        "representation there). Scores are exact BIGINT dot products "
+        "of the trained integer factors, ranked (score DESC, brand "
+        "ASC) — a total order, zero cross-engine float risk. Plan: "
+        "user factors x broadcast(25-row item factors) nested-loop "
+        "(25 candidates/user), left-anti on the rated pairs, then a "
+        "customer-partitioned WindowGroupLimit top-3 — parallelism "
+        "grows with users, no global sort, no driver action. The "
+        "oracle replays the full trajectory (the same unrolled CTEs "
+        "as recsys_als_rank2) plus the scored anti-joined rank."
+    ),
+    tags=("analytics", "ml", "llm", "window", "join"),
+)
+def recsys_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.als import als_recommend_topk
+
+    return als_recommend_topk(spark, sf_dir)

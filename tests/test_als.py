@@ -110,3 +110,29 @@ def test_als_factors_nondegenerate(spark, sf_correctness):
     x = als_user_factors(spark, sf_correctness)
     nz = x.filter(F.abs(F.col("x2")) > 0).count()
     assert nz > x.count() // 4
+
+
+def test_als_recommend_excludes_purchased_and_ranks(spark, sf_correctness):
+    """The serve half: at most k=3 recs per customer, never a brand
+    the customer already purchased, ranks contiguous from 1 in
+    strictly non-increasing score order (ties broken by brand ASC)."""
+    from tda596_lab02mapreduce_spark.operators.als import als_recommend_topk
+
+    recs = als_recommend_topk(spark, sf_correctness).collect()
+    rated = {
+        (r["u"], r["i"])
+        for r in als_ratings(spark, sf_correctness).collect()
+    }
+    by_user: dict = {}
+    for r in recs:
+        by_user.setdefault(r["cust_id"], []).append(r)
+        assert (r["cust_id"], r["brand"]) not in rated
+    assert by_user  # non-empty serve
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        for a, b in zip(rows, rows[1:]):
+            assert (a["score_q"], ) >= (b["score_q"], )
+            if a["score_q"] == b["score_q"]:
+                assert a["brand"] < b["brand"]
