@@ -240,9 +240,10 @@ QUERIES = [
     "xcorr_click_purchase_leadlag",
     # round-12 wave. naive_bayes rides the suffixed documents (token
     # stream grows linearly; the staged vocabulary is 10× — 310 tokens
-    # × 5 classes — so the fit's collect stays model-sized and the
-    # broadcast weight table grows with VOCAB, not rows; fit+serve
-    # measured, dataset_key = staging dir). conformal rides 10× orders
+    # — which the r13 top-V cap now reduces to exactly V=24 collected
+    # rows, so the 10× run exercises the cap biting 13× harder than
+    # the fixture while driver traffic stays V + V×C by construction;
+    # fit+serve measured, dataset_key = staging dir). conformal rides 10× orders
     # (score grain linear; the quantile histogram stays domain-bounded
     # — the operator's whole scale claim). bpe_encode_token_stats
     # rides the suffixed corpus (train+encode measured; the merge
@@ -254,6 +255,21 @@ QUERIES = [
     "naive_bayes_lang_confusion",
     "conformal_priority_coverage",
     "bpe_encode_token_stats",
+    # round-13 wave. The ALS pair rides 10× order facts with customers
+    # UNCHANGED: the (customer × brand) rating grid is key-bounded, so
+    # 10× lineitems densify r(u,i) while the matrix stays the same
+    # shape — the ratings-build scan is the only linear term and the
+    # four Cramer solves are key-bounded, exactly the operator's
+    # 100 TB posture. Mondrian conformal rides 10× orders (per-class
+    # histograms stay domain-bounded — the same claim as its marginal
+    # twin, now × classes). The set-algebra sketch rides 10× events
+    # within disjoint user replicas (k=1024 samples per type are
+    # SIZE-FIXED: sketch build cost grows with the scan, the algebra
+    # itself is constant — the whole point of the sketch).
+    "recsys_als_rank2",
+    "recsys_als_topk",
+    "conformal_mondrian_by_class",
+    "audience_setalgebra_sketch",
 ]
 
 # SCALE_BAND=graph (round-10, VERDICT r9 #1): the bipartite iterative
