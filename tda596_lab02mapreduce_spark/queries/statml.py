@@ -3758,7 +3758,7 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = theta.select(F.col("event_type").alias("type_a"), F.col("theta").alias("th_a"))
     tb = theta.select(F.col("event_type").alias("type_b"), F.col("theta").alias("th_b"))
     common = (
-        sa.join(sb, "h")
+        sa.join(F.broadcast(sb), "h")  # both sides k-bounded (≤ k·T rows) BY CONSTRUCTION — pin the broadcast so the plan cannot drift to a shuffle join on stale size estimates at scale
         .filter(F.col("type_a") < F.col("type_b"))
         .join(F.broadcast(ta), "type_a")
         .join(F.broadcast(tb), "type_b")
@@ -3830,7 +3830,7 @@ def audience_setalgebra_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_b"))
     )
     common = (
-        sa.join(sb, "h")
+        sa.join(F.broadcast(sb), "h")  # both sides k-bounded (≤ k·T rows) BY CONSTRUCTION — pin the broadcast so the plan cannot drift to a shuffle join on stale size estimates at scale
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
