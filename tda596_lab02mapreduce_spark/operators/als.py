@@ -180,15 +180,14 @@ def _half_round(
     )
 
 
-def als_rank2_factors(
-    spark: SparkSession, sf_dir: str, *, rounds: int = ALS_ROUNDS
-) -> DataFrame:
-    """Run ``rounds`` full ALS rounds; return the final 25-row item
-    factor table (brand, y1_q, y2_q, n_ratings).  Hash-checking these
-    25 rows proves the ENTIRE trajectory: every user factor feeds the
-    item solve that produced them."""
+def _train(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+    """The shared training loop: returns (ratings, user factors after
+    ``rounds`` rounds or None for rounds=0, item factors)."""
     ratings = _prepared_ratings(spark, sf_dir)
     y = _init_item_factors(ratings)
+    x = None
     for _ in range(rounds):
         x = _half_round(
             ratings, y, join_key="i", group_key="u",
@@ -198,6 +197,17 @@ def als_rank2_factors(
             ratings, x, join_key="u", group_key="i",
             f1="x1", f2="x2", broadcast_factors=False,
         )
+    return ratings, x, y
+
+
+def als_rank2_factors(
+    spark: SparkSession, sf_dir: str, *, rounds: int = ALS_ROUNDS
+) -> DataFrame:
+    """Run ``rounds`` full ALS rounds; return the final 25-row item
+    factor table (brand, y1_q, y2_q, n_ratings).  Hash-checking these
+    25 rows proves the ENTIRE trajectory: every user factor feeds the
+    item solve that produced them."""
+    _, _, y = _train(spark, sf_dir, rounds)
     return y.select(
         F.col("i").alias("brand"),
         F.col("y1").alias("y1_q"),
@@ -211,18 +221,7 @@ def als_user_factors(
 ) -> DataFrame:
     """User factors after ``rounds`` rounds (test/eval helper; the
     registered query returns the item side)."""
-    ratings = _prepared_ratings(spark, sf_dir)
-    y = _init_item_factors(ratings)
-    x = None
-    for _ in range(rounds):
-        x = _half_round(
-            ratings, y, join_key="i", group_key="u",
-            f1="y1", f2="y2", broadcast_factors=True,
-        )
-        y = _half_round(
-            ratings, x, join_key="u", group_key="i",
-            f1="x1", f2="x2", broadcast_factors=False,
-        )
+    _, x, _ = _train(spark, sf_dir, rounds)
     return x
 
 
@@ -231,18 +230,7 @@ def als_sse(spark: SparkSession, sf_dir: str, *, rounds: int) -> int:
     (milli-rating)² units: Σ (r·S² − x·y)² div S²  — used by tests to
     pin that training loss decreases (the Cramer solve is a real
     least-squares step, not algebra that happens to hash)."""
-    ratings = _prepared_ratings(spark, sf_dir)
-    y = _init_item_factors(ratings)
-    x = None
-    for _ in range(rounds):
-        x = _half_round(
-            ratings, y, join_key="i", group_key="u",
-            f1="y1", f2="y2", broadcast_factors=True,
-        )
-        y = _half_round(
-            ratings, x, join_key="u", group_key="i",
-            f1="x1", f2="x2", broadcast_factors=False,
-        )
+    ratings, x, y = _train(spark, sf_dir, rounds)
     if x is None:  # rounds=0: baseline model x≡0 → SSE = Σ (r·S²)² /S²
         row = ratings.agg(
             F.sum(F.expr(f"(r * {ALS_S}) * (r * {ALS_S})")).alias("sse")
@@ -347,18 +335,7 @@ def als_recommend_topk(
     no driver action."""
     from pyspark.sql.window import Window
 
-    ratings = _prepared_ratings(spark, sf_dir)
-    y = _init_item_factors(ratings)
-    x = None
-    for _ in range(rounds):
-        x = _half_round(
-            ratings, y, join_key="i", group_key="u",
-            f1="y1", f2="y2", broadcast_factors=True,
-        )
-        y = _half_round(
-            ratings, x, join_key="u", group_key="i",
-            f1="x1", f2="x2", broadcast_factors=False,
-        )
+    ratings, x, y = _train(spark, sf_dir, rounds)
     cand = (
         x.select("u", "x1", "x2")
         .crossJoin(F.broadcast(y.select("i", "y1", "y2")))

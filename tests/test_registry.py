@@ -54,3 +54,25 @@ def test_readme_inventory_counts_match_registry():
     r = registry()
     assert int(m.group(1)) == len(r), (m.group(1), len(r))
     assert int(m.group(2)) == sum(1 for q in r.values() if q.oracle is not None)
+
+
+def test_bench_isolated_subset_of_headline():
+    """bench.py's process-isolated group must stay a subset of
+    HEADLINE (a name drifting out of HEADLINE would silently vanish
+    from the artifact instead of failing)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        ),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert set(bench.ISOLATED) <= set(bench.HEADLINE)
+    # the 19-query round-1 anchor subset must be entirely main-session
+    # (isolation must never move the gate metric)
+    assert not set(bench.ISOLATED) & set(bench.HEADLINE[: bench.R1_ANCHOR_N])
