@@ -212,8 +212,30 @@ ISOLATED = [
     "graph_weighted_cheapest",
 ]
 
+# Recorded solo readings (sf0.1, quiet machine) for the isolated
+# group — BASELINE.md round-13 isolation table, plus the r13 bench
+# figures for the three loops whose isolated readings have been
+# solo-like all along. Used ONLY by the worker's outlier rule
+# (VERDICT r13 #4): a fresh worker JVM occasionally lands in a bad
+# GC/VM phase (s2 read LPA at 2.3x solo on untouched code); if a
+# query's best-of-reps exceeds 1.5x its solo band, ONE extra rep runs
+# and the min is kept — bounded cost, no protocol change, and a fast
+# reading can never be manufactured by re-running.
+SOLO_BAND_SEC = {
+    "community_label_propagation": 5.75,
+    "graph_weighted_cheapest": 6.50,
+    "kcore_peel_bipartite": 4.18,
+    "hits_copurchase_bipartite": 7.43,
+    "pagerank_neardup_hubs": 5.73,
+    "triangle_count_neardup": 1.83,
+    "graph_reach_recursive": 2.03,
+}
+OUTLIER_FACTOR = 1.5
 
-def _run_queries(spark, names, sf_dir: str, reps: int) -> dict[str, float]:
+
+def _run_queries(
+    spark, names, sf_dir: str, reps: int, *, outlier_band: dict | None = None
+) -> dict[str, float]:
     qs = registry.all_queries()
     timings: dict[str, float] = {}
     for name in names:
@@ -222,6 +244,16 @@ def _run_queries(spark, names, sf_dir: str, reps: int) -> dict[str, float]:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
         for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        solo = (outlier_band or {}).get(name)
+        if solo is not None and best > OUTLIER_FACTOR * solo:
+            # outlier re-run rule: one bounded extra rep, keep the min
+            sys.stderr.write(
+                f"bench outlier: {name} best {best:.2f}s > "
+                f"{OUTLIER_FACTOR}x solo {solo:.2f}s — one extra rep\n"
+            )
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
@@ -237,7 +269,10 @@ def _worker() -> None:
     names = [n for n in os.environ["BENCH_WORKER_QUERIES"].split(",") if n]
     spark = get_spark(app_name="tda596-bench-iso")
     spark.range(1000).selectExpr("sum(id)").collect()
-    print(json.dumps(_run_queries(spark, names, sf_dir, reps)))
+    # the outlier band applies only at the anchor SF the solo readings
+    # were taken at; other SFs run the plain best-of-reps protocol
+    band = SOLO_BAND_SEC if sf_dir.rstrip("/").endswith("sf0.1") else None
+    print(json.dumps(_run_queries(spark, names, sf_dir, reps, outlier_band=band)))
 
 
 def main() -> None:
@@ -255,6 +290,12 @@ def main() -> None:
     main_names = [q for q in HEADLINE if not (isolate and q in ISOLATED)]
     timings = _run_queries(spark, main_names, sf_dir, reps)
 
+    # the queries that ACTUALLY ran in the fresh worker JVM — set only
+    # when the worker's timings parsed, so the recorded methodology
+    # can never misstate what ran (ADVICE r13: the fallback path used
+    # to report sorted(ISOLATED) anyway)
+    isolated_ran: list[str] = []
+    isolated_fallback = False
     if isolate:
         import subprocess
 
@@ -269,6 +310,7 @@ def main() -> None:
         try:
             worker_timings = json.loads(proc.stdout.strip().splitlines()[-1])
             timings.update(worker_timings)
+            isolated_ran = sorted(worker_timings)
         except (json.JSONDecodeError, IndexError):
             # robustness over purity: if the fresh-JVM worker dies,
             # fall back to the old single-session behavior so the
@@ -278,6 +320,7 @@ def main() -> None:
                 + proc.stderr[-2000:]
                 + "\n"
             )
+            isolated_fallback = True
             timings.update(_run_queries(spark, iso_names, sf_dir, reps))
         # re-emit in HEADLINE order for stable artifacts
         timings = {q: timings[q] for q in HEADLINE if q in timings}
@@ -302,7 +345,8 @@ def main() -> None:
         "anchor_ratio": round(anchor_total / R1_ANCHOR_TOTAL_SEC, 3)
         if sf_val == 0.1
         else None,  # the anchor was measured at sf0.1 only
-        "isolated_queries": sorted(ISOLATED) if isolate else [],
+        "isolated_queries": isolated_ran,
+        "isolated_fallback": isolated_fallback,
     }
     # Full per-query map goes to a FILE (the r8 driver record had
     # "parsed": null because the 64-query single-line JSON outran the

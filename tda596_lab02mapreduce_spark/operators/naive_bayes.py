@@ -74,10 +74,15 @@ _LAST_FIT_STATS: dict[str, int] = {}
 def _norm_key(dataset_key: str | None) -> str | None:
     """Path-normalize the cache key so the fit and the oracle agree on
     the sidecar regardless of trailing slashes / symlinks (a trailing
-    '/' in SPARK_GRAFT_SF_DIR would otherwise miss the cache)."""
+    '/' in SPARK_GRAFT_SF_DIR would otherwise miss the cache).
+    Unconditional realpath: the key must be a pure function of the
+    path string + symlink resolution, never of whether the directory
+    happens to exist at call time (a staged dir created/deleted
+    between fit and oracle would otherwise hash to two different
+    sidecar paths — ADVICE r13)."""
     if dataset_key is None:
         return None
-    return os.path.realpath(dataset_key) if os.path.isdir(dataset_key) else dataset_key
+    return os.path.realpath(dataset_key)
 
 
 def _model_cache_dir() -> str:

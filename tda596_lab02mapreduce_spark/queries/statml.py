@@ -3839,12 +3839,22 @@ def audience_setalgebra_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST((CAST({expr} AS DECIMAL(38,0)) * {_AUD_SPACE}) "
         "div CAST(least(th_a, th_b) AS DECIMAL(38,0)) AS BIGINT)"
     )
+    # The pair DOMAIN comes from the theta table (every ordered type
+    # pair), not from the counts: under extreme segment-size skew a
+    # side can have ZERO sample hashes below the common theta, and an
+    # inner join of na×nb would silently drop the pair (ADVICE r13).
+    # All three counts left-join onto the domain with fill(0).
+    pairs = (
+        ta.crossJoin(tb)
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
     return (
-        na.join(nb, ["type_a", "type_b"])
-        .join(common, ["type_a", "type_b"], "left")
-        .na.fill({"n_common": 0})
-        .join(F.broadcast(ta), "type_a")
-        .join(F.broadcast(tb), "type_b")
+        # broadcast the pair-bounded COUNT sides (a left join preserves
+        # its left side, so the domain itself cannot be the build side)
+        pairs.join(F.broadcast(na), ["type_a", "type_b"], "left")
+        .join(F.broadcast(nb), ["type_a", "type_b"], "left")
+        .join(F.broadcast(common), ["type_a", "type_b"], "left")
+        .na.fill({"n_a": 0, "n_b": 0, "n_common": 0})
         .select(
             F.concat_ws(":", "type_a", "type_b").alias("pair_key"),
             est("n_a + n_b - n_common").alias("est_union"),

@@ -76,3 +76,6 @@ def test_bench_isolated_subset_of_headline():
     # the 19-query round-1 anchor subset must be entirely main-session
     # (isolation must never move the gate metric)
     assert not set(bench.ISOLATED) & set(bench.HEADLINE[: bench.R1_ANCHOR_N])
+    # the worker's outlier re-run rule needs a solo band for EVERY
+    # isolated query (a missing entry silently disables the rule)
+    assert set(bench.SOLO_BAND_SEC) == set(bench.ISOLATED)

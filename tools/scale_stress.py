@@ -389,6 +389,19 @@ OUT_DBSCAN = os.environ.get("SPARK_GRAFT_SCALE_DBSCAN_DIR", OUT + "-dbscan")
 def stage_dbscan(spark) -> None:
     from tda596_lab02mapreduce_spark.operators.dbscan import EPS_Q, Q_SCALE
 
+    # The float32 bit-exactness argument (|coord| < 16 round-trips the
+    # +0.25-grain nudge exactly) only holds while the 10-wide tile grid
+    # keeps every offset coordinate ≤ ~14 — true up to 100 replicas.
+    # Beyond that the offsets cross 16, ulp > grain, and the EXACT
+    # ×REPLICAS role-count assertion is silently voided — so enforce
+    # the precondition instead of commenting it (ADVICE r13).
+    if REPLICAS > 100:
+        raise ValueError(
+            f"stage_dbscan: REPLICAS={REPLICAS} > 100 breaks the "
+            "float32 |coord|<16 exactness precondition (tile offsets "
+            "would exceed the exact-round-trip range); widen the tile "
+            "grid before raising the replica count"
+        )
     step_q = 75 * EPS_Q  # ≈1.5 units, an exact eps-cell multiple
     # integer-domain translation (see band comment): quantize with the
     # operator's own floor(x·2^20), add the tile offset as an exact
