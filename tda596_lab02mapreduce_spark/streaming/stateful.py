@@ -298,18 +298,25 @@ def user_spans_ttl(events_cents: DataFrame, *, watermark: str = "2 hours") -> Da
             # final-watermark cut (due_ms < wm, strict) emits it. So
             # close it through the update door NOW.
             #
-            # Residual (contracted, like the due_ms == wm note below):
-            # "same row either way" holds only when no FURTHER events
-            # arrive for this key. If a SECOND beyond-watermark
-            # straggler lands in a later micro-batch within TTL of this
-            # one, the engine emits two spans where the batch oracle's
-            # gap rule would merge them — a best-effort-late-data
-            # split, bounded to events that are already beyond the
-            # watermark (the engine's documented late-data contract).
-            # The alternative (re-arm at wm+1 and keep the span open)
-            # re-opens the drain-end retention bug this door fixes,
-            # which is a WRONG final row on every drain rather than a
-            # split on a double-straggler coincidence.
+            # Residual (contracted AND measured — the r14 double-
+            # straggler test constructs it): a SECOND beyond-watermark
+            # straggler for this key in a LATER micro-batch never
+            # reaches this UDF at all. Spark's late-events filter uses
+            # the PREVIOUS batch's watermark (watermarkForLateEvents
+            # lags watermarkForEviction by one batch — which is
+            # exactly why the FIRST straggler got in), so by the next
+            # batch the filter has caught up and drops the second
+            # event (numRowsDroppedByWatermark — pinned via
+            # DRAIN_STATS["late_dropped"]). Divergence vs the batch
+            # oracle's gap rule: the engine emits THIS span only,
+            # missing the second event, where the oracle would merge
+            # both into one span — the engine's documented drop-late-
+            # data contract, bounded to events already beyond the
+            # watermark. The alternative (re-arm at wm+1 and keep the
+            # span open) re-opens the drain-end retention bug this
+            # door fixes, which is a WRONG final row on every drain
+            # rather than a dropped row on a double-straggler
+            # coincidence.
             out["user_id"].append(user_id)
             out["span_start_us"].append(start_us)
             out["span_last_us"].append(last_us)

@@ -212,6 +212,14 @@ def record_drain(query_name: str, q) -> None:
         "state_rows_max": max(state_rows, default=0),
         "state_rows_last": state_rows[-1] if state_rows else 0,
         "state_mem_max_bytes": max(state_mem, default=0),
+        # rows the ENGINE dropped as late (beyond the late-events
+        # watermark) before they reached the stateful operator — the
+        # engine's own count, used to pin late-data contracts
+        "late_dropped": sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progs
+            for op in p.get("stateOperators", [])
+        ),
     }
 
 

@@ -629,3 +629,81 @@ def test_user_spans_ttl_straggler_due_at_drain_end(spark, tmp_path, monkeypatch)
     assert 900002 in out and 900001 not in out
     r = out[900002]
     assert int(r["n_events"]) == 1 and int(r["sum_cents"]) == 200
+
+def test_user_spans_ttl_double_straggler_late_drop_contract(
+    spark, tmp_path, monkeypatch
+):
+    """The contracted double-straggler residual
+    (streaming/stateful.py straggler door), CONSTRUCTED: when a SECOND
+    beyond-watermark straggler for the same key lands in a LATER
+    micro-batch within TTL of the first, the engine never shows it to
+    the operator — Spark's late-events filter uses the previous
+    batch's watermark (one batch behind eviction, which is exactly why
+    the FIRST straggler got in), so by the next batch it has caught up
+    and drops the second event (numRowsDroppedByWatermark). Pins the
+    measured divergence vs the batch oracle's gap rule: the engine
+    emits exactly ONE span carrying only the first straggler, where
+    the oracle would merge both events into one span — the documented
+    drop-late-data contract, bounded to events already beyond the
+    watermark. Three-file staged drain: batch 0 = user 900001 at noon
+    June 10 (watermark -> 10:00), batches 1+2 = user 900002 at June 8
+    00:00 then June 8 06:00 (6 h apart — within the 1-day TTL, both
+    beyond-watermark and already expiry-due on arrival)."""
+    import datetime
+    import os
+    import shutil
+
+    from tda596_lab02mapreduce_spark.queries.streaming_batch import (
+        stream_user_spans_ttl,
+    )
+    from tda596_lab02mapreduce_spark.streaming.windows import DRAIN_STATS
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, value double",
+        )
+
+    t_wm = datetime.datetime(2024, 6, 10, 12, 0, 0)
+    t_s1 = datetime.datetime(2024, 6, 8, 0, 0, 0)
+    t_s2 = datetime.datetime(2024, 6, 8, 6, 0, 0)  # 6 h after s1 < TTL
+    batches = [
+        mk([(1, t_wm, 900001, 1.0)]),
+        mk([(2, t_s1, 900002, 2.0)]),
+        mk([(3, t_s2, 900002, 3.5)]),
+    ]
+
+    ev_dir = tmp_path / "events.parquet"
+    ev_dir.mkdir()
+    for i, df in enumerate(batches, start=1):
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = ev_dir / f"part-{i:04d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES", "1")
+    rows = [
+        r
+        for r in stream_user_spans_ttl(spark, str(tmp_path)).collect()
+        if r["user_id"] == 900002
+    ]
+    stats = DRAIN_STATS["q_stream_user_spans_ttl"]
+    # all three staged events were CONSUMED by the source...
+    assert stats["input_rows"] == 3
+    # ...but the second straggler was dropped by the engine's
+    # late-events watermark before reaching the operator
+    assert stats["late_dropped"] == 1
+    # exactly ONE span for the double-straggler key, carrying only the
+    # first event — where the batch oracle's gap rule (gap <= TTL)
+    # would have merged both into (t_s1, t_s2, 2, 550)
+    us = lambda dt: int(dt.timestamp() * 1_000_000)  # noqa: E731
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (
+        int(r["span_start_us"]),
+        int(r["span_last_us"]),
+        int(r["n_events"]),
+        int(r["sum_cents"]),
+    ) == (us(t_s1), us(t_s1), 1, 200)
