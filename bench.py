@@ -189,6 +189,10 @@ HEADLINE = [
     # solves over the u-pinned ratings — the model-based recsys
     # member; measured 2.7 s at sf0.1 during development).
     "recsys_als_rank2",
+    # round-14 addition: the depth-2 CART growth (3 sequential
+    # TakeOrderedAndProject split selections + the leaf aggregate —
+    # the trained-model family's tree member).
+    "tree_depth2_priority",
 ]
 
 

@@ -1,0 +1,309 @@
+"""Fixed-depth-2 CART classifier — the TREE member of the trained-model
+family (logistic GD = discriminative GLM, NB = generative, kmeans =
+centroidal, BPE = tokenizer, ALS = factorization; r13 verdict #1).
+
+The tree is grown from the same machinery as ``decision_split_gain``
+(queries/statml.py): per node, EVERY candidate threshold of every
+feature gets its weighted-Gini impurity as an exact integer fraction
+(num/den BIGINT) from one value-grain aggregate + one per-feature
+prefix cumsum — the classic sorted-prefix-sum split finder, never a
+per-threshold pass.  What this module adds is the GROWTH: argmin
+split at the root, one more split scan per child, majority-class
+leaves.
+
+Cross-engine exactness (the perceptron/logistic/ALS discipline):
+
+- Features are integer buckets (price bucket = FLOOR(o_totalprice /
+  50000), order month), the label is the urgent/high indicator — all
+  BIGINT, so every impurity numerator/denominator is an exact integer
+  in both engines.
+- The argmin ORDER BY key is the ONE double division gini_num /
+  gini_den of identical integer operands — IEEE division is exactly
+  rounded, so identical BIGINT inputs give a bit-identical double in
+  Spark (JVM) and DuckDB (C++); ties (including two distinct
+  fractions rounding to the same double) break deterministically on
+  (feature, threshold), so both engines select the SAME split even
+  when the minimum is not unique.
+- Each node's best split is a ``TakeOrderedAndProject`` (orderBy +
+  limit 1) whose single row is collected — exactly 3 driver rows for
+  the whole tree, bounded by construction (the NB V + V×C
+  discipline).  Leaves are one distributed aggregate over the
+  original feature frame; no per-row driver work anywhere.
+
+Degenerate nodes (no candidate threshold with n_le < n, i.e. a child
+whose rows are constant on BOTH features) raise loudly: the fixture
+guarantees non-degeneracy at every SF (pinned in tests/test_cart.py),
+and a silent leaf-fallback here would desynchronize from the unrolled
+oracle.
+
+At 100 TB: the melt is a map-side projection (2 rows per input row at
+feature-value grain before the combine), the per-feature cumsum runs
+over the DOMAIN-BOUNDED (feature, value) aggregate (≤ 24 rows on this
+feature grid — the conformal bounded-histogram posture: the scan
+grows, the state doesn't), and the 3 collected rows are O(1).  The
+argmin double key is exact-integer-convertible far beyond this scale;
+past 2^53 the conversion rounds, but identically in both engines, and
+the (f, v) tiebreak keeps selection deterministic either way.
+
+Reference parity: the reference engine (mr/worker.go MapReduce) has no
+model training; this extends SURVEY.md §2C's trained-model band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from tda596_lab02mapreduce_spark import io
+
+CART_FEATURES = ("x1", "x2")
+
+
+def _cart_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The logistic band's integer feature frame (x1 = price bucket,
+    x2 = order month, y = urgent/high ∈ {0,1})."""
+    orders = io.load(spark, sf_dir, "orders")
+    return orders.select(
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("x1"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint(eager=False)
+
+
+def _best_split(node: DataFrame) -> Row:
+    """The argmin weighted-Gini split of ``node`` over both features:
+    melt → (feature, value)-grain counts → per-feature prefix cumsum →
+    exact integer impurity fraction → orderBy(double-key, f, v) limit 1
+    (TakeOrderedAndProject; ONE collected row).  Returns Row(f, v, n,
+    p, gini_num, gini_den)."""
+    from pyspark.sql.window import Window
+
+    melt = node.select(
+        F.expr("stack(2, 'x1', x1, 'x2', x2) AS (f, v)"), "y"
+    )
+    bv = melt.groupBy("f", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.partitionBy("f").orderBy("v")
+    cum = bv.select(
+        "f",
+        "v",
+        F.sum("cnt").over(w).alias("n_le"),
+        F.sum("pos").over(w).alias("pos_le"),
+    )
+    tot = F.broadcast(
+        node.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("p"),
+        )
+    )
+    j = cum.crossJoin(tot).filter(F.col("n_le") < F.col("n"))
+    nL, pL = F.col("n_le"), F.col("pos_le")
+    nR = F.col("n") - nL
+    pR = F.col("p") - pL
+    qL = nL - pL
+    qR = nR - pR
+    num = nR * (nL * nL - pL * pL - qL * qL) + nL * (
+        nR * nR - pR * pR - qR * qR
+    )
+    den = F.col("n") * nL * nR
+    rows = (
+        j.select(
+            "f",
+            F.col("v").cast("bigint").alias("v"),
+            "n",
+            "p",
+            num.cast("bigint").alias("gini_num"),
+            den.cast("bigint").alias("gini_den"),
+            (num.cast("double") / den.cast("double")).alias("gini"),
+        )
+        .orderBy("gini", "f", "v")
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "cart_depth2: degenerate node (constant on both features) — "
+            "the fixture contract guarantees a valid split at every "
+            "depth-2 node; a different dataset needs a leaf-fallback "
+            "grown in BOTH engines"
+        )
+    return rows[0]
+
+
+def _goes_left(best: Row):
+    """The split predicate column for a collected best-split row."""
+    return F.col(best["f"]) <= F.lit(int(best["v"]))
+
+
+def cart_depth2_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grow the depth-2 CART and return the 7-row tree table (heap
+    numbering: 1 = root, 2/3 = children, 4-7 = leaves).  Split rows
+    carry (feature, threshold, n, pos, gini_num, gini_den); leaf rows
+    carry (n, pos, pred = majority class, ties → 0)."""
+    feat = _cart_feat(spark, sf_dir)
+    b1 = _best_split(feat)
+    left = feat.filter(_goes_left(b1))
+    right = feat.filter(~_goes_left(b1))
+    b2 = _best_split(left)
+    b3 = _best_split(right)
+
+    schema = (
+        "node_id bigint, kind string, feature string, threshold bigint, "
+        "n bigint, pos bigint, gini_num bigint, gini_den bigint, "
+        "pred bigint"
+    )
+    splits = spark.createDataFrame(
+        [
+            (
+                nid,
+                "split",
+                b["f"],
+                int(b["v"]),
+                int(b["n"]),
+                int(b["p"]),
+                int(b["gini_num"]),
+                int(b["gini_den"]),
+                None,
+            )
+            for nid, b in ((1, b1), (2, b2), (3, b3))
+        ],
+        schema,
+    )
+    leaf_id = F.when(
+        _goes_left(b1),
+        F.when(_goes_left(b2), F.lit(4)).otherwise(F.lit(5)),
+    ).otherwise(F.when(_goes_left(b3), F.lit(6)).otherwise(F.lit(7)))
+    leaves = (
+        feat.groupBy(leaf_id.cast("bigint").alias("node_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .select(
+            "node_id",
+            F.lit("leaf").alias("kind"),
+            F.lit(None).cast("string").alias("feature"),
+            F.lit(None).cast("bigint").alias("threshold"),
+            "n",
+            "pos",
+            F.lit(None).cast("bigint").alias("gini_num"),
+            F.lit(None).cast("bigint").alias("gini_den"),
+            F.when(2 * F.col("pos") > F.col("n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("pred"),
+        )
+    )
+    return splits.unionByName(leaves)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the unrolled tree growth
+# ---------------------------------------------------------------------------
+
+_GINI_NUM = (
+    "((n - n_le) * (n_le * n_le - pos_le * pos_le"
+    " - (n_le - pos_le) * (n_le - pos_le))"
+    " + n_le * ((n - n_le) * (n - n_le)"
+    " - (p - pos_le) * (p - pos_le)"
+    " - ((n - n_le) - (p - pos_le)) * ((n - n_le) - (p - pos_le))))"
+)
+_GINI_DEN = "(n * n_le * (n - n_le))"
+
+
+def _node_scan_sql(k: int, node: str) -> str:
+    """The per-node split-scan CTE chain: melt{k}, bv{k}, cum{k},
+    tot{k}, best{k} — identical algebra to _best_split."""
+    return f"""melt{k} AS (
+  SELECT 'x1' AS f, x1 AS v, y FROM {node}
+  UNION ALL
+  SELECT 'x2' AS f, x2 AS v, y FROM {node}
+),
+bv{k} AS (
+  SELECT f, v, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM melt{k} GROUP BY f, v
+),
+cum{k} AS (
+  SELECT f, v,
+         SUM(cnt) OVER (PARTITION BY f ORDER BY v) AS n_le,
+         SUM(pos) OVER (PARTITION BY f ORDER BY v) AS pos_le
+  FROM bv{k}
+),
+tot{k} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+  FROM {node}
+),
+best{k} AS (
+  SELECT f, CAST(v AS BIGINT) AS v, n, p,
+         CAST({_GINI_NUM} AS BIGINT) AS gini_num,
+         CAST({_GINI_DEN} AS BIGINT) AS gini_den
+  FROM cum{k}, tot{k}
+  WHERE n_le < n
+  ORDER BY CAST({_GINI_NUM} AS DOUBLE) / CAST({_GINI_DEN} AS DOUBLE),
+           f, v
+  LIMIT 1
+)"""
+
+
+def _side(b: str, cmp: str) -> str:
+    """Split predicate rendered in SQL for best-row alias ``b``."""
+    return f"(CASE WHEN {b}.f = 'x1' THEN t.x1 ELSE t.x2 END) {cmp} {b}.v"
+
+
+CART_ORACLE = (
+    """WITH feat AS MATERIALIZED (
+  SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS x1,
+         CAST(month(o_orderdate) AS BIGINT) AS x2,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+"""
+    + _node_scan_sql(1, "feat")
+    + f""",
+node2 AS (
+  SELECT t.x1, t.x2, t.y FROM feat t, best1 b WHERE {_side('b', '<=')}
+),
+node3 AS (
+  SELECT t.x1, t.x2, t.y FROM feat t, best1 b WHERE {_side('b', '>')}
+),
+"""
+    + _node_scan_sql(2, "node2")
+    + ",\n"
+    + _node_scan_sql(3, "node3")
+    + f""",
+leaves AS (
+  SELECT CASE WHEN {_side('b1', '<=')}
+              THEN CASE WHEN {_side('b2', '<=')} THEN 4 ELSE 5 END
+              ELSE CASE WHEN {_side('b3', '<=')} THEN 6 ELSE 7 END
+         END AS node_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(t.y) AS BIGINT) AS pos
+  FROM feat t, best1 b1, best2 b2, best3 b3
+  GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS node_id, 'split' AS kind, f AS feature,
+       v AS threshold, n, p AS pos, gini_num, gini_den,
+       CAST(NULL AS BIGINT) AS pred
+FROM best1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'split', f, v, n, p, gini_num, gini_den,
+       CAST(NULL AS BIGINT)
+FROM best2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'split', f, v, n, p, gini_num, gini_den,
+       CAST(NULL AS BIGINT)
+FROM best3
+UNION ALL
+SELECT CAST(node_id AS BIGINT), 'leaf', CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), n, pos, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT),
+       CAST(CASE WHEN 2 * pos > n THEN 1 ELSE 0 END AS BIGINT)
+FROM leaves
+"""
+)

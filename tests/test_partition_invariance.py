@@ -150,6 +150,7 @@ SLICE = [
     # interval join, and the sink vacuum's manifest arithmetic
     "concurrency_peak_daily",
     "decision_split_gain",
+    "tree_depth2_priority",
     "pr_curve_thresholds",
     "dedup_substring_spans",
     "dedup_ppjoin_pairs",
