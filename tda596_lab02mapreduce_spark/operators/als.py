@@ -180,12 +180,13 @@ def _half_round(
     )
 
 
-def _train(
-    spark: SparkSession, sf_dir: str, rounds: int
-) -> tuple[DataFrame, DataFrame | None, DataFrame]:
-    """The shared training loop: returns (ratings, user factors after
-    ``rounds`` rounds or None for rounds=0, item factors)."""
-    ratings = _prepared_ratings(spark, sf_dir)
+def _train_loop(
+    ratings: DataFrame, rounds: int
+) -> tuple[DataFrame | None, DataFrame]:
+    """The ALS loop on a GIVEN ratings frame — factored out so the
+    held-out eval can train on the md5 train fold with the identical
+    algebra (the _logistic_fit precedent). Returns (user factors
+    after ``rounds`` rounds or None for rounds=0, item factors)."""
     y = _init_item_factors(ratings)
     x = None
     for _ in range(rounds):
@@ -197,6 +198,16 @@ def _train(
             ratings, x, join_key="u", group_key="i",
             f1="x1", f2="x2", broadcast_factors=False,
         )
+    return x, y
+
+
+def _train(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+    """The shared training loop: returns (ratings, user factors after
+    ``rounds`` rounds or None for rounds=0, item factors)."""
+    ratings = _prepared_ratings(spark, sf_dir)
+    x, y = _train_loop(ratings, rounds)
     return ratings, x, y
 
 
@@ -250,18 +261,22 @@ def als_sse(spark: SparkSession, sf_dir: str, *, rounds: int) -> int:
     return int(row["sse"])
 
 
-def als_oracle_sql(*, rounds: int = ALS_ROUNDS) -> str:
-    """The unrolled DuckDB replay of the full trajectory: identical
-    ratings, identical init, identical integer Cramer solves per
-    half-round, final item factors."""
-    sol = _solve_exprs("//")
-    parts = [
-        """r AS (
+_RATINGS_SQL = """
   SELECT o.o_custkey AS u, p.p_brand AS i, CAST(count(*) AS BIGINT) AS r
   FROM orders o
   JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   JOIN part p ON p.p_partkey = l.l_partkey
-  GROUP BY 1, 2
+  GROUP BY 1, 2"""
+
+
+def _trajectory_parts(rounds: int, ratings_cte: str) -> list[str]:
+    """The unrolled trajectory CTE parts (y0, then per-round ua/x/ia/y)
+    over a caller-supplied ``r`` ratings CTE body — shared by the
+    full-fit oracle and the held-out-eval oracle (which trains on the
+    md5 train fold only)."""
+    sol = _solve_exprs("//")
+    parts = [
+        f"""r AS ({ratings_cte}
 ),
 y0 AS (
   SELECT i, CAST(1000 AS BIGINT) AS y1,
@@ -299,6 +314,14 @@ y{k} AS (
          CAST({sol['f2']} AS BIGINT) AS y2
   FROM ia{k}
 )""")
+    return parts
+
+
+def als_oracle_sql(*, rounds: int = ALS_ROUNDS) -> str:
+    """The unrolled DuckDB replay of the full trajectory: identical
+    ratings, identical init, identical integer Cramer solves per
+    half-round, final item factors."""
+    parts = _trajectory_parts(rounds, _RATINGS_SQL)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -385,5 +408,158 @@ FROM (
   FROM scored
 )
 WHERE rnk <= {k}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Held-out evaluation (round 14) — the EVAL member of the fit/serve/eval
+# symmetry (the roc_auc_logistic_score precedent for the GLM).
+# ---------------------------------------------------------------------------
+
+ALS_EVAL_FOLDS = 5  # deterministic md5 fold: fold 0 = test, 1-4 = train
+
+_FOLD_SPARK = (
+    "pmod(conv(substring(md5(concat(cast(u AS STRING), ':', i)), 1, 8), "
+    f"16, 10), {ALS_EVAL_FOLDS})"
+)
+_FOLD_DUCK = (
+    "(CAST('0x' || substr(md5(CAST(u AS VARCHAR) || ':' || i), 1, 8) "
+    f"AS BIGINT) % {ALS_EVAL_FOLDS})"
+)
+
+
+def _resid_mu(div: str, x1: str = "x1", y1: str = "y1") -> str:
+    """Per-rating residual in exact integer MILLI-rating units:
+    trunc((r·S² − x·y) / S), sign-decomposed so Spark's `div` and
+    DuckDB's `//` agree on negative residuals (the _tdiv discipline —
+    als_sse's bare `div` was driver-test-only and never crossed
+    engines; this one does)."""
+    x2 = x1.replace("1", "2")
+    y2 = y1.replace("1", "2")
+    num = f"(r * {ALS_S * ALS_S} - ({x1} * {y1} + {x2} * {y2}))"
+    return _tdiv(num, str(ALS_S), div)
+
+
+def als_heldout_eval(
+    spark: SparkSession, sf_dir: str, *, rounds: int = ALS_ROUNDS
+) -> DataFrame:
+    """Fit the rank-2 ALS on the md5 TRAIN fold only (fold ≠ 0 of
+    ALS_EVAL_FOLDS on the (u, i) key — deterministic, engine-portable,
+    the conformal fold discipline) and report exact integer held-out
+    error beside the train error: one row
+
+      (n_train, n_test, n_cold_test,
+       sse_train_mq, sse_test_mq, mae_test_mu)
+
+    with SSE in (milli-rating)² units and MAE in milli-rating units —
+    every quantity BIGINT, so the whole eval (split + trajectory +
+    both error sums) hash-replays in the unrolled oracle.  Test pairs
+    whose user never appears in train (cold start — every brand
+    appears in train at any realistic SF) score with COALESCE(factor,
+    0), i.e. the prediction 0 a factorization honestly makes for an
+    unseen key; n_cold_test counts them.  Plan: the fold filter is a
+    map-side predicate on the once-built ratings; training is the
+    shared _train_loop; each error sum is one join + 1-row aggregate."""
+    full = als_ratings(spark, sf_dir).withColumn(
+        "fold", F.expr(_FOLD_SPARK).cast("bigint")
+    )
+    train = (
+        full.filter(F.col("fold") != 0)
+        .select("u", "i", "r")
+        .repartition(F.col("u"))
+        .localCheckpoint(eager=False)
+    )
+    test = full.filter(F.col("fold") == 0).select("u", "i", "r")
+    x, y = _train_loop(train, rounds)
+
+    resid_tr = _resid_mu("div")
+    tr = (
+        train.join(y.select("i", "y1", "y2"), "i")
+        .join(x.select("u", "x1", "x2"), "u")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.sum(F.expr(f"{resid_tr} * {resid_tr}"))
+            .cast("bigint")
+            .alias("sse_train_mq"),
+        )
+    )
+    te_j = (
+        test.join(y.select("i", "y1", "y2"), "i", "left")
+        .join(x.select("u", "x1", "x2"), "u", "left")
+        .select(
+            "r",
+            (F.col("x1").isNull() | F.col("y1").isNull()).alias("cold"),
+            F.coalesce("x1", F.lit(0)).alias("cx1"),
+            F.coalesce("x2", F.lit(0)).alias("cx2"),
+            F.coalesce("y1", F.lit(0)).alias("cy1"),
+            F.coalesce("y2", F.lit(0)).alias("cy2"),
+        )
+    )
+    resid_te = _resid_mu("div", "cx1", "cy1")
+    te = te_j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.col("cold").cast("bigint")).cast("bigint").alias("n_cold_test"),
+        F.sum(F.expr(f"{resid_te} * {resid_te}"))
+        .cast("bigint")
+        .alias("sse_test_mq"),
+        F.sum(F.expr(f"abs({resid_te})")).cast("bigint").alias("mae_test_mu"),
+    )
+    return tr.crossJoin(te).select(
+        "n_train",
+        "n_test",
+        "n_cold_test",
+        "sse_train_mq",
+        "sse_test_mq",
+        "mae_test_mu",
+    )
+
+
+def als_heldout_oracle_sql(*, rounds: int = ALS_ROUNDS) -> str:
+    """DuckDB replay: identical md5 split, identical trajectory on the
+    train fold (the shared _trajectory_parts), identical integer
+    residual sums on both folds."""
+    ratings_train = f"""
+  SELECT u, i, r FROM (
+    SELECT u, i, r, {_FOLD_DUCK} AS fold FROM ({_RATINGS_SQL})
+  ) WHERE fold <> 0"""
+    parts = _trajectory_parts(rounds, ratings_train)
+    resid_tr = _resid_mu("//")
+    resid_te = _resid_mu("//", "cx1", "cy1")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+te AS (
+  SELECT u, i, r FROM (
+    SELECT u, i, r, {_FOLD_DUCK} AS fold FROM ({_RATINGS_SQL})
+  ) WHERE fold = 0
+),
+tr_err AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_train,
+         CAST(SUM(({resid_tr}) * ({resid_tr})) AS BIGINT) AS sse_train_mq
+  FROM r
+  JOIN y{rounds} USING (i)
+  JOIN x{rounds} USING (u)
+),
+te_j AS (
+  SELECT te.r,
+         CASE WHEN x.x1 IS NULL OR y.y1 IS NULL THEN 1 ELSE 0 END AS cold,
+         COALESCE(x.x1, 0) AS cx1, COALESCE(x.x2, 0) AS cx2,
+         COALESCE(y.y1, 0) AS cy1, COALESCE(y.y2, 0) AS cy2
+  FROM te
+  LEFT JOIN y{rounds} y USING (i)
+  LEFT JOIN x{rounds} x USING (u)
+),
+te_err AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(SUM(cold) AS BIGINT) AS n_cold_test,
+         CAST(SUM(({resid_te}) * ({resid_te})) AS BIGINT) AS sse_test_mq,
+         CAST(SUM(abs({resid_te})) AS BIGINT) AS mae_test_mu
+  FROM te_j
+)
+SELECT n_train, n_test, n_cold_test, sse_train_mq, sse_test_mq,
+       mae_test_mu
+FROM tr_err, te_err
 """
     )

@@ -1445,3 +1445,41 @@ def recsys_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tda596_lab02mapreduce_spark.operators.als import als_recommend_topk
 
     return als_recommend_topk(spark, sf_dir)
+
+
+def _als_heldout_oracle():
+    from tda596_lab02mapreduce_spark.operators.als import (
+        als_heldout_oracle_sql,
+    )
+
+    return als_heldout_oracle_sql()
+
+
+@register(
+    "recsys_als_heldout_sse",
+    oracle=_als_heldout_oracle,
+    doc=(
+        "Held-out EVALUATION of the rank-2 ALS (fit/serve/EVAL "
+        "symmetry — the roc_auc_logistic_score precedent for the "
+        "GLM; r13 verdict #3): the rating triples split by a "
+        "deterministic md5 fold on (customer, brand) (fold 0 = test, "
+        "1-4 = train — the conformal fold discipline), the SAME "
+        "_train_loop fit on the train fold only, then one row of "
+        "exact integer errors: train and held-out SSE in "
+        "(milli-rating)^2 units, held-out MAE in milli-rating units, "
+        "plus the cold-start count (test pairs whose user never "
+        "appears in train score COALESCE(factor, 0) — the honest "
+        "prediction 0 for an unseen key). Every residual is the "
+        "sign-decomposed trunc-div of BIGINTs, so split + trajectory "
+        "+ both error sums hash-replay in the unrolled oracle. Plan: "
+        "the fold filter is a map-side predicate on the once-built "
+        "ratings; each error sum is one join + a 1-row aggregate. "
+        "Per-rating held-out error >= train error is pinned in "
+        "tests/test_als.py."
+    ),
+    tags=("analytics", "ml", "llm", "agg", "join"),
+)
+def recsys_als_heldout_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.als import als_heldout_eval
+
+    return als_heldout_eval(spark, sf_dir)

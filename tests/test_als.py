@@ -136,3 +136,66 @@ def test_als_recommend_excludes_purchased_and_ranks(spark, sf_correctness):
             assert (a["score_q"], ) >= (b["score_q"], )
             if a["score_q"] == b["score_q"]:
                 assert a["brand"] < b["brand"]
+
+
+def test_als_heldout_error_exceeds_train_per_rating(spark):
+    """The EVAL member's substance: per-rating held-out error must be
+    >= per-rating train error (the model was optimized on train), and
+    the md5 fold must actually split (both folds non-empty, ~1/5 in
+    test, disjoint by construction: n_train + n_test = all ratings)."""
+    from tda596_lab02mapreduce_spark.operators.als import (
+        als_heldout_eval,
+        als_ratings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = als_heldout_eval(spark, sf).collect()[0]
+    n_all = als_ratings(spark, sf).count()
+    assert int(row["n_train"]) + int(row["n_test"]) == n_all
+    frac = int(row["n_test"]) / n_all
+    assert 0.15 < frac < 0.25, frac  # md5 % 5 == 0
+    per_train = int(row["sse_train_mq"]) / int(row["n_train"])
+    per_test = int(row["sse_test_mq"]) / int(row["n_test"])
+    assert per_test >= per_train, (per_test, per_train)
+    # MAE consistency: mean |resid| <= sqrt(mean resid^2) (Jensen)
+    mae = int(row["mae_test_mu"]) / int(row["n_test"])
+    assert mae * mae <= per_test
+    assert int(row["n_cold_test"]) >= 0
+
+
+def test_als_heldout_cold_start_scores_zero(spark):
+    """A test pair whose user appears ONLY in the test fold must take
+    the COALESCE(0) prediction — resid = r*S^2 div S = r*S exactly —
+    and be counted in n_cold_test. Constructed directly against the
+    shared loop + the same residual algebra on a toy ratings frame."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark.operators.als import (
+        ALS_S,
+        _resid_mu,
+        _train_loop,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "A", 4), (1, "B", 1), (2, "A", 2), (2, "B", 5)],
+        "u long, i string, r long",
+    )
+    test = spark.createDataFrame([(99, "A", 3)], "u long, i string, r long")
+    x, y = _train_loop(train, 2)
+    te = (
+        test.join(y.select("i", "y1", "y2"), "i", "left")
+        .join(x.select("u", "x1", "x2"), "u", "left")
+        .select(
+            "r",
+            (F.col("x1").isNull() | F.col("y1").isNull()).alias("cold"),
+            F.coalesce("x1", F.lit(0)).alias("cx1"),
+            F.coalesce("x2", F.lit(0)).alias("cx2"),
+            F.coalesce("y1", F.lit(0)).alias("cy1"),
+            F.coalesce("y2", F.lit(0)).alias("cy2"),
+        )
+    )
+    r = te.select(
+        "cold", F.expr(_resid_mu("div", "cx1", "cy1")).alias("resid")
+    ).collect()[0]
+    assert bool(r["cold"]) is True
+    assert int(r["resid"]) == 3 * ALS_S  # prediction exactly 0
