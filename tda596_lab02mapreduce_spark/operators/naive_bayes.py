@@ -320,3 +320,61 @@ SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM pred WHERE rn = 1
 GROUP BY 1, 2
 """
+
+
+def naive_bayes_score_columns(model: dict, *, text_col: str = "text"):
+    """STATELESS per-row scoring of a fitted model — the form a
+    STRUCTURED STREAM needs: because a document's tokens live in one
+    row, the per-class score is a higher-order-function fold over the
+    split array against LITERAL weight maps (V entries per class),
+    never an explode + aggregation (which on a stream would be a
+    stateful shuffle).  Returns (pred_col, n_invocab_col):
+
+    - ``pred_col``: argmax class by prior_u + Σ w_u over IN-VOCABULARY
+      tokens, ties broken lexically via min(struct(-score, class)) —
+      identical to naive_bayes_confusion's aggregate form.
+    - ``n_invocab_col``: the count of in-vocabulary tokens; rows with
+      0 must be FILTERED by the caller (the batch form drops them at
+      its inner join).
+
+    OOV tokens add 0 to every class — equivalent to the batch form's
+    join drop, since a constant per-token offset never reorders
+    classes (it's absent from all of them).  try_element_at (ANSI-safe
+    NULL on miss) + coalesce implement the drop.  All integer BIGINT
+    arithmetic; the model literals are the committed sidecar's."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    vocab_map = F.create_map(
+        *[x for t in model["vocab"] for x in (F.lit(t), F.lit(1))]
+    )
+    n_iv = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.coalesce(
+            F.try_element_at(vocab_map, t).cast("bigint"), F.lit(0)
+        ),
+    )
+    def _class_score(c: str):
+        wmap = F.create_map(
+            *[
+                x
+                for t in model["vocab"]
+                for x in (F.lit(t), F.lit(int(model["weights_u"][t][c])))
+            ]
+        )
+        # closure factory, not a default arg: PySpark derives the
+        # higher-order function's arity from the lambda signature
+        return F.aggregate(
+            toks,
+            F.lit(int(model["priors_u"][c])).cast("bigint"),
+            lambda acc, t: acc
+            + F.coalesce(F.try_element_at(wmap, t), F.lit(0)),
+        )
+
+    scores = [
+        F.struct((-_class_score(c)).alias("neg"), F.lit(c).alias("c"))
+        for c in model["classes"]
+    ]
+    pred = F.array_min(F.array(*scores)).getField("c")
+    return pred, n_iv

@@ -1342,3 +1342,72 @@ def stream_ohlc_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         agg, "q_stream_ohlc_hourly_append", output_mode="append"
     )
+
+
+def _stream_nb_oracle():
+    from tda596_lab02mapreduce_spark.operators.naive_bayes import (
+        naive_bayes_oracle_sql,
+    )
+
+    return naive_bayes_oracle_sql(io.correctness_sf_dir())
+
+
+@register(
+    "stream_nb_classify",
+    oracle=_stream_nb_oracle,
+    doc=(
+        "MODEL IN THE STREAM (r13 verdict #2): the committed Naive "
+        "Bayes sidecar scores a structured stream of documents, "
+        "drained with AvailableNow and rolled up to the SAME "
+        "confusion matrix as the batch serve — the oracle IS "
+        "naive_bayes_lang_confusion's (identical literal weights, "
+        "identical tokenize/score/argmax), so the hash proves "
+        "batch/stream serving equality end-to-end. The streaming "
+        "form is STATELESS by construction: a document's tokens live "
+        "in one row, so the per-class score is a higher-order fold "
+        "over the split array against the V-entry literal weight "
+        "maps (prior_u + sum of w_u, OOV tokens add 0 = the batch "
+        "join drop), argmax via min(struct(-score, class)) — zero "
+        "state rows, zero shuffles inside the micro-batch, the "
+        "production shape for scoring an unbounded feed (state "
+        "O(0), not O(docs); DRAIN_STATS pins it). Zero-in-vocab "
+        "docs are filtered exactly as the batch inner join drops "
+        "them. The confusion rollup happens on the drained sink "
+        "(classes^2-bounded)."
+    ),
+    tags=("streaming", "ml", "llm", "statml"),
+)
+def stream_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.naive_bayes import (
+        naive_bayes_fit,
+        naive_bayes_score_columns,
+    )
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        run_available_now,
+        table_stream,
+    )
+
+    # serve-only row: the committed sidecar is the model (the batch
+    # twin naive_bayes_lang_confusion refits every run — bench
+    # honesty lives there; this row times the STREAM serve)
+    model = naive_bayes_fit(
+        io.load(spark, sf_dir, "documents"), dataset_key=sf_dir
+    )
+    pred, n_iv = naive_bayes_score_columns(model)
+    scored = (
+        table_stream(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            pred.alias("pred_lang"),
+            n_iv.alias("n_iv"),
+        )
+        .filter(F.col("n_iv") > 0)
+        .drop("n_iv")
+    )
+    drained = run_available_now(
+        scored, "q_stream_nb_classify", output_mode="append"
+    )
+    return drained.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

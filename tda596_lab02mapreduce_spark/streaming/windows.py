@@ -82,6 +82,20 @@ def _as_stream_dir(sf_dir: str, table: str, *, copies: int = 1) -> str:
     return d
 
 
+def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Any fixture table as a file stream (the events_stream staging
+    generalized): footer-derived schema so batch-vs-stream invariance
+    holds by construction, symlink directory staging, the
+    SPARK_GRAFT_STREAM_MAX_FILES multi-batch knob. No ts coercion —
+    callers needing the events ts generations use events_stream."""
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    mft = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    if mft:
+        reader = reader.option("maxFilesPerTrigger", int(mft))
+    return reader.load(_as_stream_dir(sf_dir, table))
+
+
 def events_stream(spark: SparkSession, sf_dir: str, *, copies: int = 1) -> DataFrame:
     """The events table as a file stream (one-file directory;
     AvailableNow trigger drains it in one run). ``copies=2`` feeds

@@ -707,3 +707,23 @@ def test_user_spans_ttl_double_straggler_late_drop_contract(
         int(r["n_events"]),
         int(r["sum_cents"]),
     ) == (us(t_s1), us(t_s1), 1, 200)
+
+
+def test_stream_nb_classify_matches_batch_serve_stateless(spark, sf_correctness):
+    """Model-in-the-stream (r13 verdict #2): the streaming NB serve
+    must (a) produce EXACTLY the batch serve's confusion matrix on
+    the same documents — same sidecar, same tokenize/score/argmax —
+    and (b) hold ZERO state rows (the per-row fold form makes scoring
+    stateless; an explode+aggregate form would have shown up here as
+    doc-grain state)."""
+    from tda596_lab02mapreduce_spark.registry import get
+    from tda596_lab02mapreduce_spark.streaming.windows import DRAIN_STATS
+
+    s = get("stream_nb_classify").spark_fn(spark, sf_correctness)
+    b = get("naive_bayes_lang_confusion").spark_fn(spark, sf_correctness)
+    assert s.exceptAll(b).count() == 0
+    assert b.exceptAll(s).count() == 0
+    stats = DRAIN_STATS["q_stream_nb_classify"]
+    assert stats["n_batches"] >= 1 and stats["input_rows"] > 0
+    assert stats["state_rows_max"] == 0
+    assert stats["state_mem_max_bytes"] == 0
