@@ -189,10 +189,15 @@ HEADLINE = [
     # solves over the u-pinned ratings — the model-based recsys
     # member; measured 2.7 s at sf0.1 during development).
     "recsys_als_rank2",
-    # round-14 addition: the depth-2 CART growth (3 sequential
+    # round-14 additions: the depth-2 CART growth (3 sequential
     # TakeOrderedAndProject split selections + the leaf aggregate —
-    # the trained-model family's tree member).
+    # the trained-model family's tree member), the ALS held-out eval
+    # (train-fold trajectory + two error-sum aggregates), and the
+    # stateless streaming NB serve (a REAL AvailableNow drain, the
+    # model-in-the-stream production shape).
     "tree_depth2_priority",
+    "recsys_als_heldout_sse",
+    "stream_nb_classify",
 ]
 
 

@@ -270,6 +270,21 @@ QUERIES = [
     "recsys_als_topk",
     "conformal_mondrian_by_class",
     "audience_setalgebra_sketch",
+    # round-14 wave. The CART rides 10× orders: both feature domains
+    # are bucket-bounded (≤ 24 feature-value rows per node scan), so
+    # the melt/count scans grow linearly while the cumsum state and
+    # the 3 collected best-split rows stay O(1) — the operator's whole
+    # scale claim. The ALS held-out eval shares the rank-2 posture
+    # (key-bounded grid; the fold filter is map-side) plus two
+    # join+1-row-aggregate error sums. The streaming NB serve rides
+    # the suffixed documents as a full AvailableNow drain (the
+    # stream_interval_join_fouter precedent): scoring is stateless
+    # per-row folds, so the honest expectation is scan-linear with
+    # ZERO state at both scales (fit once per staging via the sidecar
+    # cache — the serve-only contract; the batch twin times the fit).
+    "tree_depth2_priority",
+    "recsys_als_heldout_sse",
+    "stream_nb_classify",
 ]
 
 # SCALE_BAND=graph (round-10, VERDICT r9 #1): the bipartite iterative
