@@ -139,17 +139,30 @@ def _goes_left(best: Row):
     return F.col(best["f"]) <= F.lit(int(best["v"]))
 
 
+def _grow(feat: DataFrame) -> tuple[Row, Row, Row]:
+    """Grow the three splits on a feature frame (root, left child,
+    right child) — 3 collected rows total."""
+    b1 = _best_split(feat)
+    left = feat.filter(_goes_left(b1))
+    right = feat.filter(~_goes_left(b1))
+    return b1, _best_split(left), _best_split(right)
+
+
+def _leaf_id(b1: Row, b2: Row, b3: Row):
+    """The heap leaf id (4-7) column for a row under the grown tree."""
+    return F.when(
+        _goes_left(b1),
+        F.when(_goes_left(b2), F.lit(4)).otherwise(F.lit(5)),
+    ).otherwise(F.when(_goes_left(b3), F.lit(6)).otherwise(F.lit(7)))
+
+
 def cart_depth2_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grow the depth-2 CART and return the 7-row tree table (heap
     numbering: 1 = root, 2/3 = children, 4-7 = leaves).  Split rows
     carry (feature, threshold, n, pos, gini_num, gini_den); leaf rows
     carry (n, pos, pred = majority class, ties → 0)."""
     feat = _cart_feat(spark, sf_dir)
-    b1 = _best_split(feat)
-    left = feat.filter(_goes_left(b1))
-    right = feat.filter(~_goes_left(b1))
-    b2 = _best_split(left)
-    b3 = _best_split(right)
+    b1, b2, b3 = _grow(feat)
 
     schema = (
         "node_id bigint, kind string, feature string, threshold bigint, "
@@ -173,12 +186,8 @@ def cart_depth2_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
-    leaf_id = F.when(
-        _goes_left(b1),
-        F.when(_goes_left(b2), F.lit(4)).otherwise(F.lit(5)),
-    ).otherwise(F.when(_goes_left(b3), F.lit(6)).otherwise(F.lit(7)))
     leaves = (
-        feat.groupBy(leaf_id.cast("bigint").alias("node_id"))
+        feat.groupBy(_leaf_id(b1, b2, b3).cast("bigint").alias("node_id"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("y").cast("bigint").alias("pos"),
@@ -255,17 +264,31 @@ def _side(b: str, cmp: str) -> str:
     return f"(CASE WHEN {b}.f = 'x1' THEN t.x1 ELSE t.x2 END) {cmp} {b}.v"
 
 
-CART_ORACLE = (
-    """WITH feat AS MATERIALIZED (
+_FEAT_SQL = """
   SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS x1,
          CAST(month(o_orderdate) AS BIGINT) AS x2,
          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
               THEN 1 ELSE 0 END AS y
-  FROM orders
-),
-"""
-    + _node_scan_sql(1, "feat")
-    + f""",
+  FROM orders"""
+
+# the heap leaf id of a row aliased ``t`` under the grown tree
+_LEAF_ID_SQL = (
+    f"CASE WHEN {_side('b1', '<=')}"
+    f" THEN CASE WHEN {_side('b2', '<=')} THEN 4 ELSE 5 END"
+    f" ELSE CASE WHEN {_side('b3', '<=')} THEN 6 ELSE 7 END END"
+)
+
+
+def _growth_sql(prefix_ctes: str) -> str:
+    """The shared growth prefix: ``prefix_ctes`` must define a CTE
+    named ``feat`` (the training rows); appends the three node scans,
+    the child partitions, and the train-leaf aggregate."""
+    return (
+        "WITH "
+        + prefix_ctes
+        + ",\n"
+        + _node_scan_sql(1, "feat")
+        + f""",
 node2 AS (
   SELECT t.x1, t.x2, t.y FROM feat t, best1 b WHERE {_side('b', '<=')}
 ),
@@ -273,20 +296,23 @@ node3 AS (
   SELECT t.x1, t.x2, t.y FROM feat t, best1 b WHERE {_side('b', '>')}
 ),
 """
-    + _node_scan_sql(2, "node2")
-    + ",\n"
-    + _node_scan_sql(3, "node3")
-    + f""",
+        + _node_scan_sql(2, "node2")
+        + ",\n"
+        + _node_scan_sql(3, "node3")
+        + f""",
 leaves AS (
-  SELECT CASE WHEN {_side('b1', '<=')}
-              THEN CASE WHEN {_side('b2', '<=')} THEN 4 ELSE 5 END
-              ELSE CASE WHEN {_side('b3', '<=')} THEN 6 ELSE 7 END
-         END AS node_id,
+  SELECT {_LEAF_ID_SQL} AS node_id,
          CAST(count(*) AS BIGINT) AS n,
          CAST(SUM(t.y) AS BIGINT) AS pos
   FROM feat t, best1 b1, best2 b2, best3 b3
   GROUP BY 1
-)
+)"""
+    )
+
+
+CART_ORACLE = (
+    _growth_sql(f"feat AS MATERIALIZED ({_FEAT_SQL}\n)")
+    + """
 SELECT CAST(1 AS BIGINT) AS node_id, 'split' AS kind, f AS feature,
        v AS threshold, n, p AS pos, gini_num, gini_den,
        CAST(NULL AS BIGINT) AS pred
@@ -305,5 +331,90 @@ SELECT CAST(node_id AS BIGINT), 'leaf', CAST(NULL AS VARCHAR),
        CAST(NULL AS BIGINT),
        CAST(CASE WHEN 2 * pos > n THEN 1 ELSE 0 END AS BIGINT)
 FROM leaves
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Held-out evaluation (the EVAL member — the recsys_als_heldout_sse /
+# roc_auc_logistic_score symmetry applied to the tree)
+# ---------------------------------------------------------------------------
+
+CART_EVAL_FOLDS = 5  # deterministic md5 fold on o_orderkey: 0 = test
+
+_FOLD_SPARK = (
+    "pmod(conv(substring(md5(cast(o_orderkey AS STRING)), 1, 8), 16, 10), "
+    f"{CART_EVAL_FOLDS})"
+)
+_FOLD_DUCK = (
+    "(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) "
+    f"% {CART_EVAL_FOLDS})"
+)
+
+
+def cart_heldout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the depth-2 CART on the md5 TRAIN fold of orders (fold ≠ 0
+    of CART_EVAL_FOLDS on o_orderkey) and score the UNSEEN test fold
+    through the grown tree: each test row routes to its leaf, takes
+    the TRAIN leaf's majority class, and the result rolls up to the
+    held-out confusion matrix (y_true, pred, n_orders) — ≤ 4 rows,
+    all exact BIGINT counts.  The leaf predictions stay IN-PLAN (the
+    4-row train-leaf aggregate broadcast-joins the routed test rows);
+    only the 3 split rows are ever collected."""
+    orders = io.load(spark, sf_dir, "orders")
+    folded = orders.select(
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("x1"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("bigint")
+        .alias("y"),
+        F.expr(_FOLD_SPARK).cast("bigint").alias("fold"),
+    ).localCheckpoint(eager=False)
+    train = folded.filter(F.col("fold") != 0).drop("fold")
+    test = folded.filter(F.col("fold") == 0).drop("fold")
+    b1, b2, b3 = _grow(train)
+    leaves = train.groupBy(
+        _leaf_id(b1, b2, b3).cast("bigint").alias("node_id")
+    ).agg(
+        F.when(2 * F.sum("y") > F.count(F.lit(1)), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pred")
+    )
+    routed = test.select(
+        "y", _leaf_id(b1, b2, b3).cast("bigint").alias("node_id")
+    )
+    return (
+        routed.join(F.broadcast(leaves), "node_id")
+        .groupBy(F.col("y").alias("y_true"), "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+CART_HELDOUT_ORACLE = (
+    _growth_sql(
+        f"""featall AS MATERIALIZED (
+  SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS x1,
+         CAST(month(o_orderdate) AS BIGINT) AS x2,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         {_FOLD_DUCK} AS fold
+  FROM orders
+),
+feat AS (SELECT x1, x2, y FROM featall WHERE fold <> 0),
+te AS (SELECT x1, x2, y FROM featall WHERE fold = 0)"""
+    )
+    + f""",
+lp AS (
+  SELECT node_id,
+         CAST(CASE WHEN 2 * pos > n THEN 1 ELSE 0 END AS BIGINT) AS pred
+  FROM leaves
+)
+SELECT t.y AS y_true, lp.pred,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM te t, best1 b1, best2 b2, best3 b3
+JOIN lp ON lp.node_id = {_LEAF_ID_SQL}
+GROUP BY 1, 2
 """
 )

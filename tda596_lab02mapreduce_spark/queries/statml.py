@@ -1602,6 +1602,47 @@ def tree_depth2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cart_depth2_tree(spark, sf_dir)
 
 
+def _cart_heldout_oracle():
+    from tda596_lab02mapreduce_spark.operators.cart import (
+        CART_HELDOUT_ORACLE,
+    )
+
+    return CART_HELDOUT_ORACLE
+
+
+@register(
+    "tree_depth2_heldout_confusion",
+    oracle=_cart_heldout_oracle,
+    doc=(
+        "Held-out EVALUATION of the depth-2 CART (fit/EVAL symmetry — "
+        "the recsys_als_heldout_sse / roc_auc_logistic_score "
+        "discipline applied to the tree): deterministic md5 fold on "
+        "o_orderkey (fold 0 = test of 5), the tree GROWN on the train "
+        "fold only, then every UNSEEN test row routed through the "
+        "grown splits to its leaf and scored with the train leaf's "
+        "majority class — rolled up to the held-out confusion matrix "
+        "(y_true, pred, n_orders), <=4 rows of exact BIGINT counts. "
+        "The leaf predictions stay IN-PLAN (4-row train-leaf "
+        "aggregate broadcast-joined to the routed test rows); only "
+        "the 3 split rows are collected, so split + growth + routing "
+        "+ rollup all hash-replay in the unrolled oracle "
+        "(operators/cart.py:CART_HELDOUT_ORACLE). Near-chance "
+        "held-out accuracy is the honest fixture expectation; "
+        "fold disjointness and train-fit/test-score separation are "
+        "pinned in tests/test_cart.py."
+    ),
+    tags=("statml", "agg", "ml"),
+)
+def tree_depth2_heldout_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.cart import (
+        cart_heldout_confusion,
+    )
+
+    return cart_heldout_confusion(spark, sf_dir)
+
+
 @register(
     "pr_curve_thresholds",
     oracle="""

@@ -168,3 +168,64 @@ def test_cart_degenerate_node_raises(spark):
     )
     with pytest.raises(ValueError, match="degenerate"):
         _best_split(df)
+
+
+def test_cart_heldout_python_replay(spark):
+    """Full independent replay of the held-out eval at sf0.001: md5
+    fold in Python (hashlib), tree grown on the train fold with the
+    replay CART, every test row routed to its train-leaf majority —
+    the resulting confusion matrix must equal the query's exactly,
+    and the fold must be disjoint and ~1/5 test."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark import io
+    from tda596_lab02mapreduce_spark.registry import get
+
+    sf = "/root/testdata/sf0.001"
+    orders = io.load(spark, sf, "orders")
+    rows = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("x1"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("bigint")
+        .alias("y"),
+    ).collect()
+
+    def fold(okey: int) -> int:
+        return int(hashlib.md5(str(okey).encode()).hexdigest()[:8], 16) % 5
+
+    train = [(int(r["x1"]), int(r["x2"]), int(r["y"]))
+             for r in rows if fold(int(r["o_orderkey"])) != 0]
+    test = [(int(r["x1"]), int(r["x2"]), int(r["y"]))
+            for r in rows if fold(int(r["o_orderkey"])) == 0]
+    assert train and test
+    assert 0.15 < len(test) / len(rows) < 0.25
+
+    tree = _py_grow(train)
+    b1 = ("split", tree[1][1], tree[1][2])
+    b2 = ("split", tree[2][1], tree[2][2])
+    b3 = ("split", tree[3][1], tree[3][2])
+
+    def leaf(r):
+        sel = lambda b: (r[0] if b[1] == "x1" else r[1]) <= b[2]  # noqa: E731
+        if sel(b1):
+            return 4 if sel(b2) else 5
+        return 6 if sel(b3) else 7
+
+    expected: dict[tuple[int, int], int] = {}
+    for r in test:
+        pred = tree[leaf(r)][7]
+        expected[(r[2], pred)] = expected.get((r[2], pred), 0) + 1
+
+    got = {
+        (int(r["y_true"]), int(r["pred"])): int(r["n_orders"])
+        for r in get("tree_depth2_heldout_confusion")
+        .spark_fn(spark, sf)
+        .collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == len(test)

@@ -285,6 +285,9 @@ QUERIES = [
     "tree_depth2_priority",
     "recsys_als_heldout_sse",
     "stream_nb_classify",
+    # same posture as the tree fit plus a broadcast 4-row leaf join
+    # on the routed test fold
+    "tree_depth2_heldout_confusion",
 ]
 
 # SCALE_BAND=graph (round-10, VERDICT r9 #1): the bipartite iterative
