@@ -79,3 +79,6 @@ def test_bench_isolated_subset_of_headline():
     # the worker's outlier re-run rule needs a solo band for EVERY
     # isolated query (a missing entry silently disables the rule)
     assert set(bench.SOLO_BAND_SEC) == set(bench.ISOLATED)
+    # the main-session watchlist must stay main-session and headline
+    assert set(bench.MAIN_BAND_SEC).isdisjoint(bench.ISOLATED)
+    assert set(bench.MAIN_BAND_SEC) <= set(bench.HEADLINE)
