@@ -258,6 +258,13 @@ MAIN_BAND_SEC = {
 }
 
 
+def _is_anchor_sf(sf_dir: str) -> bool:
+    """True iff sf_dir IS the anchor dir the solo/main outlier bands
+    were measured at — by real basename, so .../mysf0.1 never matches
+    and a symlinked anchor still does (ADVICE r14 low)."""
+    return os.path.basename(os.path.realpath(sf_dir)) == "sf0.1"
+
+
 def _run_queries(
     spark, names, sf_dir: str, reps: int, *, outlier_band: dict | None = None
 ) -> dict[str, float]:
@@ -296,7 +303,7 @@ def _worker() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     # the outlier band applies only at the anchor SF the solo readings
     # were taken at; other SFs run the plain best-of-reps protocol
-    band = SOLO_BAND_SEC if sf_dir.rstrip("/").endswith("sf0.1") else None
+    band = SOLO_BAND_SEC if _is_anchor_sf(sf_dir) else None
     print(json.dumps(_run_queries(spark, names, sf_dir, reps, outlier_band=band)))
 
 
@@ -313,9 +320,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     main_names = [q for q in HEADLINE if not (isolate and q in ISOLATED)]
-    main_band = (
-        MAIN_BAND_SEC if sf_dir.rstrip("/").endswith("sf0.1") else None
-    )
+    main_band = MAIN_BAND_SEC if _is_anchor_sf(sf_dir) else None
     timings = _run_queries(
         spark, main_names, sf_dir, reps, outlier_band=main_band
     )

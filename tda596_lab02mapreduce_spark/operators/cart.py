@@ -17,13 +17,23 @@ Cross-engine exactness (the perceptron/logistic/ALS discipline):
   50000), order month), the label is the urgent/high indicator — all
   BIGINT, so every impurity numerator/denominator is an exact integer
   in both engines.
-- The argmin ORDER BY key is the ONE double division gini_num /
-  gini_den of identical integer operands — IEEE division is exactly
-  rounded, so identical BIGINT inputs give a bit-identical double in
-  Spark (JVM) and DuckDB (C++); ties (including two distinct
-  fractions rounding to the same double) break deterministically on
-  (feature, threshold), so both engines select the SAME split even
-  when the minimum is not unique.
+- The recorded impurity fraction gini_num/gini_den is O(n³) in the
+  node row count, so it is computed in DECIMAL(38,0) on BOTH engines
+  (Spark decimal arithmetic; DuckDB window cumsums are HUGEINT, cast
+  to DECIMAL(38,0)) — exact to nodes of ~5.8e12 rows, where BIGINT
+  would silently wrap in Spark at ~3e6 rows while DuckDB raised
+  (ADVICE r14 medium).
+- The argmin ORDER BY key is NOT the O(n³) fraction: it is the
+  algebraically equivalent two-term form pL·qL/nL + pR·qR/nR
+  (= gini_num/gini_den · n/2 — same argmin, same exact-tie set for a
+  fixed node).  Each term is one IEEE division of int64 operands and
+  int64→double conversion is correctly rounded in both engines for
+  EVERY int64 (no 2^53 caveat), so the three double ops give
+  bit-identical keys in Spark (JVM) and DuckDB (C++) whenever the
+  products pX·qX fit int64 — guarded below.  Ties (including two
+  distinct rationals rounding to the same double) break
+  deterministically on (feature, threshold), so both engines select
+  the SAME split even when the minimum is not unique.
 - Each node's best split is a ``TakeOrderedAndProject`` (orderBy +
   limit 1) whose single row is collected — exactly 3 driver rows for
   the whole tree, bounded by construction (the NB V + V×C
@@ -41,9 +51,14 @@ feature-value grain before the combine), the per-feature cumsum runs
 over the DOMAIN-BOUNDED (feature, value) aggregate (≤ 24 rows on this
 feature grid — the conformal bounded-histogram posture: the scan
 grows, the state doesn't), and the 3 collected rows are O(1).  The
-argmin double key is exact-integer-convertible far beyond this scale;
-past 2^53 the conversion rounds, but identically in both engines, and
-the (f, v) tiebreak keeps selection deterministic either way.
+design limit is the key's int64 product bound: nodes up to
+``_EXACT_KEY_MAX_N`` = 6.0e9 rows (pL·qL ≤ n²/4 < 2^63) get the
+bit-exact key guarantee; beyond it ``_best_split`` RAISES loudly
+(the stage_dbscan REPLICAS-guard discipline) instead of silently
+wrapping — on the DuckDB side the key's products are CAST AS BIGINT
+so the oracle raises there too.  Past the guard a user partitions or
+samples the node first; the recorded DECIMAL(38,0) fraction itself
+stays exact three orders of magnitude further.
 
 Reference parity: the reference engine (mr/worker.go MapReduce) has no
 model training; this extends SURVEY.md §2C's trained-model band.
@@ -51,12 +66,19 @@ model training; this extends SURVEY.md §2C's trained-model band.
 
 from __future__ import annotations
 
+from decimal import Decimal as _Dec
+
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from tda596_lab02mapreduce_spark import io
 
 CART_FEATURES = ("x1", "x2")
+
+# Largest node row count (or weighted row count, for the boosted
+# stumps that reuse this scan) for which the two-term argmin key's
+# int64 products pX·qX ≤ n²/4 cannot overflow: n ≤ 2·floor(sqrt(2^63)).
+_EXACT_KEY_MAX_N = 6_000_000_000
 
 
 def _cart_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,19 +128,32 @@ def _best_split(node: DataFrame) -> Row:
     pR = F.col("p") - pL
     qL = nL - pL
     qR = nR - pR
-    num = nR * (nL * nL - pL * pL - qL * qL) + nL * (
-        nR * nR - pR * pR - qR * qR
+    # recorded fraction: DECIMAL(38,0) so the O(n³) products never
+    # wrap (BIGINT wraps silently under ANSI-off at ~3e6-row nodes
+    # while DuckDB's HUGEINT cumsums don't — ADVICE r14 medium)
+    dec = "decimal(38,0)"
+    nLd, pLd = nL.cast(dec), pL.cast(dec)
+    nd, pd = F.col("n").cast(dec), F.col("p").cast(dec)
+    nRd, pRd = nd - nLd, pd - pLd
+    qLd, qRd = nLd - pLd, nRd - pRd
+    num = nRd * (nLd * nLd - pLd * pLd - qLd * qLd) + nLd * (
+        nRd * nRd - pRd * pRd - qRd * qRd
     )
-    den = F.col("n") * nL * nR
+    den = nd * nLd * nRd
+    # argmin key: the equivalent two-term form with int64 products —
+    # bit-identical cross-engine for every int64 (module docstring)
+    key = (pL * qL).cast("double") / nL.cast("double") + (
+        pR * qR
+    ).cast("double") / nR.cast("double")
     rows = (
         j.select(
             "f",
             F.col("v").cast("bigint").alias("v"),
             "n",
             "p",
-            num.cast("bigint").alias("gini_num"),
-            den.cast("bigint").alias("gini_den"),
-            (num.cast("double") / den.cast("double")).alias("gini"),
+            num.cast(dec).alias("gini_num"),
+            den.cast(dec).alias("gini_den"),
+            key.alias("gini"),
         )
         .orderBy("gini", "f", "v")
         .limit(1)
@@ -130,6 +165,14 @@ def _best_split(node: DataFrame) -> Row:
             "the fixture contract guarantees a valid split at every "
             "depth-2 node; a different dataset needs a leaf-fallback "
             "grown in BOTH engines"
+        )
+    if int(rows[0]["n"]) > _EXACT_KEY_MAX_N:
+        raise ValueError(
+            f"cart: node holds {int(rows[0]['n'])} (weighted) rows > "
+            f"_EXACT_KEY_MAX_N={_EXACT_KEY_MAX_N}; the argmin key's "
+            "int64 products pX*qX can overflow past n^2/4 = 2^63 — "
+            "partition or sample the node before growing (module "
+            "docstring: design limit is loud, never silent wrap)"
         )
     return rows[0]
 
@@ -166,8 +209,8 @@ def cart_depth2_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = (
         "node_id bigint, kind string, feature string, threshold bigint, "
-        "n bigint, pos bigint, gini_num bigint, gini_den bigint, "
-        "pred bigint"
+        "n bigint, pos bigint, gini_num decimal(38,0), "
+        "gini_den decimal(38,0), pred bigint"
     )
     splits = spark.createDataFrame(
         [
@@ -178,8 +221,8 @@ def cart_depth2_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(b["v"]),
                 int(b["n"]),
                 int(b["p"]),
-                int(b["gini_num"]),
-                int(b["gini_den"]),
+                _Dec(b["gini_num"]),
+                _Dec(b["gini_den"]),
                 None,
             )
             for nid, b in ((1, b1), (2, b2), (3, b3))
@@ -199,8 +242,8 @@ def cart_depth2_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("threshold"),
             "n",
             "pos",
-            F.lit(None).cast("bigint").alias("gini_num"),
-            F.lit(None).cast("bigint").alias("gini_den"),
+            F.lit(None).cast("decimal(38,0)").alias("gini_num"),
+            F.lit(None).cast("decimal(38,0)").alias("gini_den"),
             F.when(2 * F.col("pos") > F.col("n"), F.lit(1))
             .otherwise(F.lit(0))
             .cast("bigint")
@@ -214,6 +257,9 @@ def cart_depth2_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle: the unrolled tree growth
 # ---------------------------------------------------------------------------
 
+# DuckDB window cumsums are HUGEINT, so the O(n³) fraction is exact;
+# CAST AS DECIMAL(38,0) mirrors Spark's decimal arithmetic (module
+# docstring: BIGINT here wrapped/raised divergently — ADVICE r14).
 _GINI_NUM = (
     "((n - n_le) * (n_le * n_le - pos_le * pos_le"
     " - (n_le - pos_le) * (n_le - pos_le))"
@@ -222,6 +268,14 @@ _GINI_NUM = (
     " - ((n - n_le) - (p - pos_le)) * ((n - n_le) - (p - pos_le))))"
 )
 _GINI_DEN = "(n * n_le * (n - n_le))"
+# the two-term argmin key; the products are CAST AS BIGINT so DuckDB
+# raises loudly exactly where Spark's _EXACT_KEY_MAX_N guard does
+_KEY_SQL = (
+    "CAST(CAST(pos_le * (n_le - pos_le) AS BIGINT) AS DOUBLE)"
+    " / CAST(n_le AS DOUBLE)"
+    " + CAST(CAST((p - pos_le) * ((n - n_le) - (p - pos_le)) AS BIGINT)"
+    " AS DOUBLE) / CAST(n - n_le AS DOUBLE)"
+)
 
 
 def _node_scan_sql(k: int, node: str) -> str:
@@ -249,12 +303,11 @@ tot{k} AS (
 ),
 best{k} AS (
   SELECT f, CAST(v AS BIGINT) AS v, n, p,
-         CAST({_GINI_NUM} AS BIGINT) AS gini_num,
-         CAST({_GINI_DEN} AS BIGINT) AS gini_den
-  FROM cum{k}, tot{k}
+         CAST({_GINI_NUM} AS DECIMAL(38,0)) AS gini_num,
+         CAST({_GINI_DEN} AS DECIMAL(38,0)) AS gini_den
+  FROM cum{k} CROSS JOIN tot{k}
   WHERE n_le < n
-  ORDER BY CAST({_GINI_NUM} AS DOUBLE) / CAST({_GINI_DEN} AS DOUBLE),
-           f, v
+  ORDER BY {_KEY_SQL}, f, v
   LIMIT 1
 )"""
 
@@ -290,10 +343,12 @@ def _growth_sql(prefix_ctes: str) -> str:
         + _node_scan_sql(1, "feat")
         + f""",
 node2 AS (
-  SELECT t.x1, t.x2, t.y FROM feat t, best1 b WHERE {_side('b', '<=')}
+  SELECT t.x1, t.x2, t.y FROM feat t CROSS JOIN best1 b
+  WHERE {_side('b', '<=')}
 ),
 node3 AS (
-  SELECT t.x1, t.x2, t.y FROM feat t, best1 b WHERE {_side('b', '>')}
+  SELECT t.x1, t.x2, t.y FROM feat t CROSS JOIN best1 b
+  WHERE {_side('b', '>')}
 ),
 """
         + _node_scan_sql(2, "node2")
@@ -304,7 +359,7 @@ leaves AS (
   SELECT {_LEAF_ID_SQL} AS node_id,
          CAST(count(*) AS BIGINT) AS n,
          CAST(SUM(t.y) AS BIGINT) AS pos
-  FROM feat t, best1 b1, best2 b2, best3 b3
+  FROM feat t CROSS JOIN best1 b1 CROSS JOIN best2 b2 CROSS JOIN best3 b3
   GROUP BY 1
 )"""
     )
@@ -327,8 +382,8 @@ SELECT CAST(3 AS BIGINT), 'split', f, v, n, p, gini_num, gini_den,
 FROM best3
 UNION ALL
 SELECT CAST(node_id AS BIGINT), 'leaf', CAST(NULL AS VARCHAR),
-       CAST(NULL AS BIGINT), n, pos, CAST(NULL AS BIGINT),
-       CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), n, pos, CAST(NULL AS DECIMAL(38,0)),
+       CAST(NULL AS DECIMAL(38,0)),
        CAST(CASE WHEN 2 * pos > n THEN 1 ELSE 0 END AS BIGINT)
 FROM leaves
 """
@@ -410,11 +465,17 @@ lp AS (
   SELECT node_id,
          CAST(CASE WHEN 2 * pos > n THEN 1 ELSE 0 END AS BIGINT) AS pred
   FROM leaves
+),
+routed AS (
+  -- materialize the leaf id BEFORE the lp join: mixing comma joins
+  -- with a JOIN..ON that references them is implicit-lateral syntax
+  -- only some parsers accept (ADVICE r14 low)
+  SELECT t.y, {_LEAF_ID_SQL} AS node_id
+  FROM te t CROSS JOIN best1 b1 CROSS JOIN best2 b2 CROSS JOIN best3 b3
 )
-SELECT t.y AS y_true, lp.pred,
+SELECT r.y AS y_true, lp.pred,
        CAST(count(*) AS BIGINT) AS n_orders
-FROM te t, best1 b1, best2 b2, best3 b3
-JOIN lp ON lp.node_id = {_LEAF_ID_SQL}
+FROM routed r JOIN lp ON lp.node_id = r.node_id
 GROUP BY 1, 2
 """
 )

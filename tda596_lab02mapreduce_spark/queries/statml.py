@@ -1576,9 +1576,11 @@ def _cart_oracle():
         "weighted-Gini threshold over BOTH integer features (price "
         "bucket, order month) vs the urgent/high label: one "
         "feature-value-grain aggregate + one per-feature prefix "
-        "cumsum gives every candidate's impurity as an exact BIGINT "
-        "fraction; the argmin key is the ONE double division of "
-        "identical integer operands (bit-identical cross-engine) "
+        "cumsum gives every candidate's impurity as an exact "
+        "DECIMAL(38,0) fraction (r15: BIGINT wrapped at ~3e6-row "
+        "nodes); the argmin key is the equivalent two-term form "
+        "pL*qL/nL + pR*qR/nR — int64 divisions, bit-identical "
+        "cross-engine, guarded loudly at the 6e9-row design limit — "
         "with a deterministic (feature, threshold) tiebreak, selected "
         "via TakeOrderedAndProject — exactly 3 collected rows grow "
         "the whole tree (the NB bounded-driver-traffic discipline). "

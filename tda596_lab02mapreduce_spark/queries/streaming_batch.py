@@ -1373,7 +1373,12 @@ def _stream_nb_oracle():
         "O(0), not O(docs); DRAIN_STATS pins it). Zero-in-vocab "
         "docs are filtered exactly as the batch inner join drops "
         "them. The confusion rollup happens on the drained sink "
-        "(classes^2-bounded)."
+        "(classes^2-bounded). TIMING CONTRACT (ADVICE r14): the "
+        "serve-only reading assumes a pre-existing sidecar for "
+        "sf_dir — on a fresh staging dir the FIRST execution fits "
+        "and commits the model (full distributed fit + 3 collects); "
+        "bench.py's untimed warm-up absorbs that, but a reps=1 "
+        "harness at a new SF must pre-fit before timing."
     ),
     tags=("streaming", "ml", "llm", "statml"),
 )

@@ -25,8 +25,11 @@ SF = "/root/testdata/sf0.001"
 def _py_best_split(rows):
     """Independent pure-Python split scan: rows = [(x1, x2, y), ...].
     Returns (f, v, n, p, gini_num, gini_den) under the exact rule the
-    engines use — ORDER BY num/den (one IEEE double division), then
-    (f, v)."""
+    engines use — ORDER BY the two-term key pL*qL/nL + pR*qR/nR (two
+    IEEE divisions of int64 operands + one add; r15 overflow-safe key,
+    operators/cart.py module docstring), then (f, v).  The RECORDED
+    num/den stay the full O(n³) fraction, now DECIMAL(38,0) in the
+    engines."""
     n = len(rows)
     p = sum(y for _, _, y in rows)
     cands = []
@@ -41,7 +44,8 @@ def _py_best_split(rows):
                 nR * nR - pR * pR - qR * qR
             )
             den = n * n_le * nR
-            cands.append((num / den, fname, v, n, p, num, den))
+            key = (pos_le * qL) / n_le + (pR * qR) / nR
+            cands.append((key, fname, v, n, p, num, den))
     assert cands, "degenerate node in replay"
     key, f, v, n, p, num, den = min(cands)
     return f, v, n, p, num, den
