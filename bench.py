@@ -198,6 +198,15 @@ HEADLINE = [
     "tree_depth2_priority",
     "recsys_als_heldout_sse",
     "stream_nb_classify",
+    # round-15 additions: the boosted-stump ensemble (3 weighted
+    # split scans + 2 in-plan reweights — the trained family's
+    # ensemble member), the depth-3 CART (7 sequential
+    # TakeOrderedAndProject selections — the growth loop generalized),
+    # and the versioned-model hot-swap drain (foreachBatch re-resolve
+    # + mid-drain manifest bump, a REAL 2-batch AvailableNow drain).
+    "tree_boosted_stumps",
+    "tree_depth3_priority",
+    "stream_nb_model_swap",
 ]
 
 

@@ -95,20 +95,36 @@ def _cart_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
-def _best_split(node: DataFrame) -> Row:
+def _best_split(node: DataFrame, wcol: str | None = None) -> Row:
     """The argmin weighted-Gini split of ``node`` over both features:
     melt → (feature, value)-grain counts → per-feature prefix cumsum →
     exact integer impurity fraction → orderBy(double-key, f, v) limit 1
     (TakeOrderedAndProject; ONE collected row).  Returns Row(f, v, n,
-    p, gini_num, gini_den)."""
+    p, n_le, pos_le, gini_num, gini_den).  With ``wcol`` (an integer
+    sample-weight column — the boosted-stumps reuse, operators/
+    boost.py) every count becomes Σw and every positive count Σw·y;
+    the algebra, key, tiebreak, and guard are identical."""
     from pyspark.sql.window import Window
 
-    melt = node.select(
-        F.expr("stack(2, 'x1', x1, 'x2', x2) AS (f, v)"), "y"
-    )
-    bv = melt.groupBy("f", "v").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
-    )
+    cols = [F.expr("stack(2, 'x1', x1, 'x2', x2) AS (f, v)"), F.col("y")]
+    if wcol is not None:
+        cols.append(F.col(wcol).alias("__w"))
+    melt = node.select(*cols)
+    if wcol is None:
+        cnt_agg = F.count(F.lit(1)).alias("cnt")
+        pos_agg = F.sum("y").alias("pos")
+        tot_aggs = (
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("p"),
+        )
+    else:
+        cnt_agg = F.sum("__w").alias("cnt")
+        pos_agg = F.sum(F.col("__w") * F.col("y")).alias("pos")
+        tot_aggs = (
+            F.sum(wcol).cast("bigint").alias("n"),
+            F.sum(F.col(wcol) * F.col("y")).cast("bigint").alias("p"),
+        )
+    bv = melt.groupBy("f", "v").agg(cnt_agg, pos_agg)
     w = Window.partitionBy("f").orderBy("v")
     cum = bv.select(
         "f",
@@ -116,12 +132,7 @@ def _best_split(node: DataFrame) -> Row:
         F.sum("cnt").over(w).alias("n_le"),
         F.sum("pos").over(w).alias("pos_le"),
     )
-    tot = F.broadcast(
-        node.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("y").cast("bigint").alias("p"),
-        )
-    )
+    tot = F.broadcast(node.agg(*tot_aggs))
     j = cum.crossJoin(tot).filter(F.col("n_le") < F.col("n"))
     nL, pL = F.col("n_le"), F.col("pos_le")
     nR = F.col("n") - nL
@@ -151,6 +162,8 @@ def _best_split(node: DataFrame) -> Row:
             F.col("v").cast("bigint").alias("v"),
             "n",
             "p",
+            nL.cast("bigint").alias("n_le"),
+            pL.cast("bigint").alias("pos_le"),
             num.cast(dec).alias("gini_num"),
             den.cast(dec).alias("gini_den"),
             key.alias("gini"),
@@ -388,6 +401,150 @@ SELECT CAST(node_id AS BIGINT), 'leaf', CAST(NULL AS VARCHAR),
 FROM leaves
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Depth-3 growth (r14 verdict #5: the growth loop generalizes — 2^k−1
+# collected split rows, same argmin rule, same unrolled oracle shape)
+# ---------------------------------------------------------------------------
+
+
+def cart_depth3_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grow the depth-3 CART on the same feature frame and return the
+    15-row tree table (heap numbering: 1 = root, 2-3 depth-1 splits,
+    4-7 depth-2 splits, 8-15 leaves).  Exactly 7 collected split rows
+    (2^3 − 1) — the depth-2 discipline, one more level: per node one
+    TakeOrderedAndProject argmin, children as filters on the parent
+    frame, leaves one distributed aggregate.  The fixture is
+    non-degenerate at depth 3 for every gate SF (pinned in
+    tests/test_cart.py); a degenerate grandchild raises loudly like
+    every other node."""
+    feat = _cart_feat(spark, sf_dir)
+    b = {1: _best_split(feat)}
+    node = {1: feat}
+    for nid in (2, 3, 4, 5, 6, 7):
+        parent = nid // 2
+        pred = _goes_left(b[parent])
+        node[nid] = node[parent].filter(pred if nid % 2 == 0 else ~pred)
+        b[nid] = _best_split(node[nid])
+
+    def leaf_col():
+        def walk(nid: int, depth: int):
+            if depth == 3:
+                return F.lit(nid)
+            return F.when(
+                _goes_left(b[nid]), walk(2 * nid, depth + 1)
+            ).otherwise(walk(2 * nid + 1, depth + 1))
+
+        return walk(1, 0)
+
+    schema = (
+        "node_id bigint, kind string, feature string, threshold bigint, "
+        "n bigint, pos bigint, gini_num decimal(38,0), "
+        "gini_den decimal(38,0), pred bigint"
+    )
+    splits = spark.createDataFrame(
+        [
+            (
+                nid,
+                "split",
+                b[nid]["f"],
+                int(b[nid]["v"]),
+                int(b[nid]["n"]),
+                int(b[nid]["p"]),
+                _Dec(b[nid]["gini_num"]),
+                _Dec(b[nid]["gini_den"]),
+                None,
+            )
+            for nid in sorted(b)
+        ],
+        schema,
+    )
+    leaves = (
+        feat.groupBy(leaf_col().cast("bigint").alias("node_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .select(
+            "node_id",
+            F.lit("leaf").alias("kind"),
+            F.lit(None).cast("string").alias("feature"),
+            F.lit(None).cast("bigint").alias("threshold"),
+            "n",
+            "pos",
+            F.lit(None).cast("decimal(38,0)").alias("gini_num"),
+            F.lit(None).cast("decimal(38,0)").alias("gini_den"),
+            F.when(2 * F.col("pos") > F.col("n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("pred"),
+        )
+    )
+    return splits.unionByName(leaves)
+
+
+def _leaf_id3_sql() -> str:
+    """The heap leaf id (8-15) of row alias ``t`` under best1..best7."""
+
+    def walk(nid: int, depth: int) -> str:
+        if depth == 3:
+            return str(nid)
+        return (
+            f"CASE WHEN {_side(f'b{nid}', '<=')} "
+            f"THEN {walk(2 * nid, depth + 1)} "
+            f"ELSE {walk(2 * nid + 1, depth + 1)} END"
+        )
+
+    return walk(1, 0)
+
+
+def _cart3_oracle_sql() -> str:
+    """The depth-3 unrolled growth: 7 node scans, 6 child partitions,
+    one leaf aggregate, all chained CTEs."""
+    parts = [f"WITH feat AS MATERIALIZED ({_FEAT_SQL}\n)"]
+    parts.append(_node_scan_sql(1, "feat"))
+    node_name = {1: "feat"}
+    for nid in (2, 3, 4, 5, 6, 7):
+        parent = nid // 2
+        cmp = "<=" if nid % 2 == 0 else ">"
+        node_name[nid] = f"node{nid}"
+        parts.append(
+            f"""node{nid} AS (
+  SELECT t.x1, t.x2, t.y FROM {node_name[parent]} t
+  CROSS JOIN best{parent} b WHERE {_side('b', cmp)}
+)"""
+        )
+        parts.append(_node_scan_sql(nid, f"node{nid}"))
+    parts.append(
+        f"""leaves AS (
+  SELECT {_leaf_id3_sql()} AS node_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(t.y) AS BIGINT) AS pos
+  FROM feat t CROSS JOIN best1 b1 CROSS JOIN best2 b2
+  CROSS JOIN best3 b3 CROSS JOIN best4 b4 CROSS JOIN best5 b5
+  CROSS JOIN best6 b6 CROSS JOIN best7 b7
+  GROUP BY 1
+)"""
+    )
+    selects = [
+        f"""SELECT CAST({nid} AS BIGINT) AS node_id, 'split' AS kind,
+       f AS feature, v AS threshold, n, p AS pos, gini_num, gini_den,
+       CAST(NULL AS BIGINT) AS pred
+FROM best{nid}"""
+        for nid in range(1, 8)
+    ]
+    selects.append(
+        """SELECT CAST(node_id AS BIGINT), 'leaf', CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), n, pos, CAST(NULL AS DECIMAL(38,0)),
+       CAST(NULL AS DECIMAL(38,0)),
+       CAST(CASE WHEN 2 * pos > n THEN 1 ELSE 0 END AS BIGINT)
+FROM leaves"""
+    )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\n"
+
+
+CART3_ORACLE = _cart3_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

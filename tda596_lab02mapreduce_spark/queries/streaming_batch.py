@@ -1416,3 +1416,129 @@ def stream_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+def _nb_swap_oracle():
+    from tda596_lab02mapreduce_spark.operators.naive_bayes import (
+        naive_bayes_swap_oracle_sql,
+    )
+
+    return naive_bayes_swap_oracle_sql(io.correctness_sf_dir())
+
+
+def nb_swap_store_base(sf_dir: str) -> str:
+    """The per-SF versioned model store the swap drain publishes to —
+    under the system tmp dir, REBUILT from scratch on every query run
+    (the drain's semantics depend on the manifest starting at v1)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"tda596-nbswap-{key}")
+
+
+@register(
+    "stream_nb_model_swap",
+    oracle=_nb_swap_oracle,
+    doc=(
+        "MODEL HOT-SWAP IN THE STREAM (r14 verdict #6): production "
+        "serving re-reads the model BETWEEN micro-batches, so this "
+        "drain scores through foreachBatch, re-resolving a VERSIONED "
+        "model store (sources/versioned.py — numbered immutable "
+        "snapshots + an atomically-replaced manifest) at the top of "
+        "every batch. The feed is staged copies=2 / maxFilesPerTrigger"
+        "=1 → exactly 2 micro-batches of the full documents table; "
+        "the store starts at v1 (the committed full-fit NB sidecar), "
+        "and the batch-0 handler PUBLISHES v2 (a deterministic refit "
+        "on even doc_ids) after scoring — so batch 0 is scored by v1 "
+        "and batch 1 by v2, proving the version bump switches scoring "
+        "exactly at the batch boundary. Output: (batch_id, "
+        "model_version, true_lang, pred_lang, n_docs) — the oracle is "
+        "the batch-id-keyed split scoring the full table once with "
+        "each committed sidecar's literal weights. Scoring itself is "
+        "the stateless per-row fold (stream_nb_classify's); driver "
+        "traffic is bounded by contract (V×C+C store rows + ≤ C² "
+        "confusion rows per batch). TIMING CONTRACT: like "
+        "stream_nb_classify, the serve-only reading assumes both "
+        "sidecars exist for sf_dir; the first run fits v2."
+    ),
+    tags=("streaming", "ml", "statml"),
+)
+def stream_nb_model_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from tda596_lab02mapreduce_spark.operators.naive_bayes import (
+        NB_SWAP_KEY_SUFFIX,
+        naive_bayes_fit,
+        naive_bayes_model_from_rows,
+        naive_bayes_model_rows,
+        naive_bayes_score_columns,
+    )
+    from tda596_lab02mapreduce_spark.sources.versioned import (
+        read_manifest,
+        read_version,
+        write_version,
+    )
+    from tda596_lab02mapreduce_spark.streaming.windows import (
+        record_drain,
+        table_stream,
+    )
+
+    docs = io.load(spark, sf_dir, "documents")
+    m1 = naive_bayes_fit(docs, dataset_key=sf_dir)
+    m2 = naive_bayes_fit(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        dataset_key=sf_dir + NB_SWAP_KEY_SUFFIX,
+    )
+    base = nb_swap_store_base(sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    write_version(naive_bayes_model_rows(spark, m1), base, 1)
+    v2_rows = naive_bayes_model_rows(spark, m2)
+
+    results: list[tuple] = []
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        # re-resolve the manifest's CURRENT model — the per-batch
+        # re-read that makes the swap visible mid-drain
+        ver = int(read_manifest(base)["current"])
+        model = naive_bayes_model_from_rows(
+            read_version(spark, base).collect()  # V×C+C bounded rows
+        )
+        pred, n_iv = naive_bayes_score_columns(model)
+        conf = (
+            batch_df.select(
+                F.col("lang").alias("true_lang"),
+                pred.alias("pred_lang"),
+                n_iv.alias("n_iv"),
+            )
+            .filter(F.col("n_iv") > 0)
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .collect()  # ≤ classes² bounded rows
+        )
+        results.extend(
+            (int(batch_id), ver, r["true_lang"], r["pred_lang"], int(r["n_docs"]))
+            for r in conf
+        )
+        if int(batch_id) == 0:
+            # the mid-drain version bump: published AFTER batch 0 is
+            # scored, BEFORE batch 1 starts (micro-batches are serial)
+            write_version(v2_rows, base, 2)
+
+    stream = table_stream(spark, sf_dir, "documents", copies=2, max_files=1)
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .queryName("q_stream_nb_model_swap")
+        .option("checkpointLocation", os.path.join(base, ".checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    record_drain("q_stream_nb_model_swap", q)
+    return spark.createDataFrame(
+        results,
+        "batch_id bigint, model_version bigint, true_lang string, "
+        "pred_lang string, n_docs bigint",
+    )

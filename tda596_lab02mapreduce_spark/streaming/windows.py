@@ -82,18 +82,35 @@ def _as_stream_dir(sf_dir: str, table: str, *, copies: int = 1) -> str:
     return d
 
 
-def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    *,
+    copies: int = 1,
+    max_files: int | None = None,
+) -> DataFrame:
     """Any fixture table as a file stream (the events_stream staging
     generalized): footer-derived schema so batch-vs-stream invariance
     holds by construction, symlink directory staging, the
     SPARK_GRAFT_STREAM_MAX_FILES multi-batch knob. No ts coercion —
-    callers needing the events ts generations use events_stream."""
+    callers needing the events ts generations use events_stream.
+
+    ``copies``/``max_files``: explicit multi-batch staging for
+    queries whose SEMANTICS need a deterministic batch count (the
+    model-swap serve drains copies=2 / max_files=1 → exactly 2
+    micro-batches of the full table) — unlike the env knob, which is
+    a probe-only override."""
     schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
     reader = spark.readStream.schema(schema).format("parquet")
-    mft = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    mft = (
+        max_files
+        if max_files is not None
+        else os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    )
     if mft:
         reader = reader.option("maxFilesPerTrigger", int(mft))
-    return reader.load(_as_stream_dir(sf_dir, table))
+    return reader.load(_as_stream_dir(sf_dir, table, copies=copies))
 
 
 def events_stream(spark: SparkSession, sf_dir: str, *, copies: int = 1) -> DataFrame:

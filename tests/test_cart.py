@@ -91,16 +91,14 @@ def _collect_tree(spark, sf):
     }
 
 
-def test_cart_matches_python_replay(spark):
-    """The distributed growth must reproduce the independent Python
-    CART — argmin selection, child partitions, and leaf majorities —
-    node for node at sf0.001."""
+def _feature_rows(spark, sf):
+    """The CART feature frame collected as Python tuples."""
     from pyspark.sql import functions as F
 
     from tda596_lab02mapreduce_spark import io
 
-    orders = io.load(spark, SF, "orders")
-    rows = [
+    orders = io.load(spark, sf, "orders")
+    return [
         (int(r["x1"]), int(r["x2"]), int(r["y"]))
         for r in orders.select(
             F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("x1"),
@@ -111,6 +109,13 @@ def test_cart_matches_python_replay(spark):
             .alias("y"),
         ).collect()
     ]
+
+
+def test_cart_matches_python_replay(spark):
+    """The distributed growth must reproduce the independent Python
+    CART — argmin selection, child partitions, and leaf majorities —
+    node for node at sf0.001."""
+    rows = _feature_rows(spark, SF)
     expected = _py_grow(rows)
     got = _collect_tree(spark, SF)
     assert set(got) == {1, 2, 3, 4, 5, 6, 7}
@@ -172,6 +177,56 @@ def test_cart_degenerate_node_raises(spark):
     )
     with pytest.raises(ValueError, match="degenerate"):
         _best_split(df)
+
+
+def test_cart_depth3_matches_python_replay(spark):
+    """The depth-3 growth (r14 verdict #5) must reproduce the
+    independent Python CART one level deeper: 7 argmin splits grown
+    recursively, 8 majority leaves, with parent/child conservation —
+    and the fixture must stay non-degenerate at depth 3 at the gate
+    SFs (the loud-raise contract's precondition)."""
+    from tda596_lab02mapreduce_spark.operators.cart import cart_depth3_tree
+
+    rows = _feature_rows(spark, SF)
+
+    def grow(node_rows, nid, depth, out):
+        b = _py_best_split(node_rows)
+        out[nid] = ("split", b[0], b[1], b[2], b[3], b[4], b[5], None)
+        sel = lambda r: (r[0] if b[0] == "x1" else r[1]) <= b[1]  # noqa: E731
+        left = [r for r in node_rows if sel(r)]
+        right = [r for r in node_rows if not sel(r)]
+        for child_rows, cid in ((left, 2 * nid), (right, 2 * nid + 1)):
+            if depth == 3:
+                n = len(child_rows)
+                pos = sum(y for _, _, y in child_rows)
+                out[cid] = (
+                    "leaf", None, None, n, pos, None, None,
+                    1 if 2 * pos > n else 0,
+                )
+            else:
+                grow(child_rows, cid, depth + 1, out)
+        return out
+
+    expected = grow(rows, 1, 1, {})
+    got = {
+        int(r["node_id"]): (
+            r["kind"],
+            r["feature"],
+            None if r["threshold"] is None else int(r["threshold"]),
+            int(r["n"]),
+            int(r["pos"]),
+            None if r["gini_num"] is None else int(r["gini_num"]),
+            None if r["gini_den"] is None else int(r["gini_den"]),
+            None if r["pred"] is None else int(r["pred"]),
+        )
+        for r in cart_depth3_tree(spark, SF).collect()
+    }
+    assert set(got) == set(range(1, 16))
+    assert got == expected
+    # conservation at every level
+    for nid in range(1, 8):
+        assert got[nid][3] == got[2 * nid][3] + got[2 * nid + 1][3]
+        assert got[nid][4] == got[2 * nid][4] + got[2 * nid + 1][4]
 
 
 def test_cart_heldout_python_replay(spark):

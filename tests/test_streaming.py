@@ -727,3 +727,57 @@ def test_stream_nb_classify_matches_batch_serve_stateless(spark, sf_correctness)
     assert stats["n_batches"] >= 1 and stats["input_rows"] > 0
     assert stats["state_rows_max"] == 0
     assert stats["state_mem_max_bytes"] == 0
+
+
+def test_stream_nb_model_swap_two_version_drain(spark, sf_correctness):
+    """Model hot-swap (r14 verdict #6): the foreachBatch drain must
+    (a) score batch 0 with v1 and batch 1 with v2 — the version bump
+    published mid-drain switches scoring EXACTLY at the micro-batch
+    boundary, (b) reproduce the batch serve's confusion for each
+    model version on the full table (each micro-batch IS the full
+    table via the copies=2 staging), and (c) leave the versioned
+    store's manifest at current=2 with both snapshots listed."""
+    from tda596_lab02mapreduce_spark.operators.naive_bayes import (
+        NB_SWAP_KEY_SUFFIX,
+        naive_bayes_confusion,
+        naive_bayes_fit,
+    )
+    from tda596_lab02mapreduce_spark.queries.streaming_batch import (
+        nb_swap_store_base,
+    )
+    from tda596_lab02mapreduce_spark.registry import get
+    from tda596_lab02mapreduce_spark.sources.versioned import read_manifest
+
+    rows = (
+        get("stream_nb_model_swap")
+        .spark_fn(spark, sf_correctness)
+        .collect()
+    )
+    by_batch: dict[int, dict] = {}
+    for r in rows:
+        by_batch.setdefault(int(r["batch_id"]), {})[
+            (r["true_lang"], r["pred_lang"])
+        ] = int(r["n_docs"])
+        # the version is a pure function of the batch id: the swap
+        # happened at the boundary, never inside a batch
+        assert int(r["model_version"]) == int(r["batch_id"]) + 1, tuple(r)
+    assert set(by_batch) == {0, 1}
+
+    docs = io.load(spark, sf_correctness, "documents")
+    m1 = naive_bayes_fit(docs, dataset_key=sf_correctness)
+    m2 = naive_bayes_fit(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        dataset_key=sf_correctness + NB_SWAP_KEY_SUFFIX,
+    )
+    for batch_id, model in ((0, m1), (1, m2)):
+        expected = {
+            (r["true_lang"], r["pred_lang"]): int(r["n_docs"])
+            for r in naive_bayes_confusion(docs, model).collect()
+        }
+        assert by_batch[batch_id] == expected, f"batch {batch_id}"
+    # the two models genuinely differ (otherwise the boundary proof
+    # is vacuous): the half-corpus refit must move some prediction
+    assert by_batch[0] != by_batch[1]
+
+    mf = read_manifest(nb_swap_store_base(sf_correctness))
+    assert mf["current"] == 2 and mf["versions"] == [1, 2]
