@@ -1923,6 +1923,23 @@ def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_refine(sf_dir: str) -> int:
+    """The corpus-scaled exact-re-rank budget max(50, 3·isqrt(n)) —
+    shared by the Spark serve and the oracle replay, computed from
+    parquet footer metadata (no Spark job). Calibration: the r15 ANN
+    band (tools/scale_stress.py band 'ann')."""
+    import glob
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = f"{sf_dir}/embeddings.parquet"
+    files = [p] if os.path.isfile(p) else sorted(glob.glob(f"{p}/*.parquet"))
+    n = sum(pq.read_metadata(f).num_rows for f in files)
+    return max(50, 3 * math.isqrt(n))
+
+
 @register(
     "similarity_pq_topk",
     # approximate w.r.t. exact search, but EXACTLY replayable given the
@@ -1930,7 +1947,9 @@ def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and encoding/ADC/refine are deterministic (numpy's ≤8-element
     # folds degenerate to the same sequential left fold DuckDB's
     # list_reduce computes).  Recall@5 floor stays pytest-checked.
-    oracle=lambda: sim.pq_oracle_sql(io.correctness_sf_dir()),
+    oracle=lambda: sim.pq_oracle_sql(
+        io.correctness_sf_dir(), refine=_pq_refine(io.correctness_sf_dir())
+    ),
     doc=(
         "Product-quantization ANN top-5 with an exact refine stage "
         "(Jégou et al. TPAMI'11 + Faiss IndexRefine shape, "
@@ -1939,13 +1958,21 @@ def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "small ints (8× memory vs floats — at 100 TB the difference "
         "between an index that fits and one that doesn't), queries "
         "score the codes via broadcast per-query lookup tables (O(m) "
-        "per pair, map-only), and the ADC top-50 shortlist is "
-        "re-ranked by exact L2 over only q×50 joined-back vectors.  "
-        "Codebooks fit in-memory on a bounded deterministic sample "
-        "and cached via the ivf_fit memo+sidecar protocol — "
-        "fit-once/serve-many.  Recall@5 floor asserted in "
-        "tests/test_dedup.py; rows-only by the seeded/approximate "
-        "contract."
+        "per pair, map-only), and the ADC shortlist is re-ranked by "
+        "exact L2 over only q×refine joined-back vectors.  The refine "
+        "budget SCALES with the corpus: max(50, 3·isqrt(n)) — the r15 "
+        "ANN-recall band measured a FIXED 50-candidate budget decaying "
+        "0.94 → 0.78 → 0.64 recall@5 at sf0.01 → sf0.1 → 10× (the "
+        "isotropic fixture is PQ's worst case: quantization error "
+        "dominates neighbor gaps, so more corpus = more ADC impostors "
+        "per slot), while 3√n holds ≥0.85 at every measured scale at "
+        "sublinear re-rank cost (q×3√n exact distances, vs the q×0.05n "
+        "a linear fraction would cost at 100 TB).  Codebooks fit "
+        "in-memory on a bounded deterministic sample and cached via "
+        "the ivf_fit memo+sidecar protocol — fit-once/serve-many.  "
+        "Recall@5 floor asserted in tests/test_dedup.py, "
+        "staging-parameterized via SPARK_GRAFT_ANN_DIR; rows-only by "
+        "the seeded/approximate contract."
     ),
     tags=("similarity",),
 )
@@ -1955,7 +1982,9 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = sim.pq_fit(
         emb, m=16, k=16, iters=8, n_train=4096, dataset_key=sf_dir
     )
-    return sim.pq_topk(emb, queries, k=5, model=model, refine=50)
+    return sim.pq_topk(
+        emb, queries, k=5, model=model, refine=_pq_refine(sf_dir)
+    )
 
 
 @register(
