@@ -355,6 +355,12 @@ def main() -> None:
             worker_timings = json.loads(proc.stdout.strip().splitlines()[-1])
             timings.update(worker_timings)
             isolated_ran = sorted(worker_timings)
+            # surface the worker's outlier re-run notices (they were
+            # silently captured on success, so a session never showed
+            # WHICH isolated readings are already post-re-run — r15)
+            for line in proc.stderr.splitlines():
+                if line.startswith("bench outlier:"):
+                    sys.stderr.write(line + "\n")
         except (json.JSONDecodeError, IndexError):
             # robustness over purity: if the fresh-JVM worker dies,
             # fall back to the old single-session behavior so the

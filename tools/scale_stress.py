@@ -288,6 +288,20 @@ QUERIES = [
     # same posture as the tree fit plus a broadcast 4-row leaf join
     # on the routed test fold
     "tree_depth2_heldout_confusion",
+    # round-15 wave. Both ride 10× orders with the CART posture
+    # (bucket-bounded feature domains ⇒ O(1) cumsum state + O(rounds
+    # or 2^depth) collected rows while the melt scans grow linearly):
+    # the boosted stumps add two in-plan 1-row-broadcast reweights,
+    # the depth-3 tree runs 7 sequential split scans over
+    # geometrically shrinking nodes. stream_nb_model_swap is
+    # deliberately ABSENT: its copies=2 / maxFilesPerTrigger=1
+    # staging is SEMANTIC (2 full-table micro-batches around the
+    # version bump); the 32-part staged documents dir would turn the
+    # drain into a 64-batch run of a different query — its scale
+    # posture is stream_nb_classify's stateless serve plus an
+    # O(V×C)-row per-batch model re-read, both already measured.
+    "tree_boosted_stumps",
+    "tree_depth3_priority",
 ]
 
 # SCALE_BAND=graph (round-10, VERDICT r9 #1): the bipartite iterative
