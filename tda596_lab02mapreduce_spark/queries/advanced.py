@@ -1465,7 +1465,14 @@ GROUP BY node
         "Both engines run the recursion natively (only the integer-"
         "division token differs: DIV vs //); each level is a filter "
         "+ project of the previous — total rows <= depth * |part|, "
-        "terminating at the single-digit roots. At 100 TB the "
+        "terminating at the single-digit roots. SCALE CAP (r15 "
+        "closure-band finding): Spark's UnionLoop aborts once TOTAL "
+        "recursion rows exceed spark.sql.cteRecursionRowLimit "
+        "(default 1e6) — the 10× staged chain table is ~1.9M rows, "
+        "so at scale this surface FAILS out of the box and the conf "
+        "must be raised deliberately (the band measures it un-capped "
+        "at 100×: 5.99×, shape stable); the pointer-doubling twin "
+        "needs no knob. At 100 TB the "
         "iteration count is the tree DEPTH (7 here), not data size, "
         "but each level materializes a full intermediate — the "
         "documented reason the pointer-doubling twin exists. Depth "

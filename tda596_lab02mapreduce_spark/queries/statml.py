@@ -1486,14 +1486,14 @@ SELECT c AS threshold_cents,
             + n_le * ((n - n_le) * (n - n_le)
               - (p - pos_le) * (p - pos_le)
               - ((n - n_le) - (p - pos_le)) * ((n - n_le) - (p - pos_le)))
-         AS BIGINT) AS gini_num,
-       CAST(n * n_le * (n - n_le) AS BIGINT) AS gini_den,
-       CAST(CAST((n - n_le) * (n_le * n_le - pos_le * pos_le
-              - (n_le - pos_le) * (n_le - pos_le))
-            + n_le * ((n - n_le) * (n - n_le)
-              - (p - pos_le) * (p - pos_le)
-              - ((n - n_le) - (p - pos_le)) * ((n - n_le) - (p - pos_le)))
-         AS DOUBLE) / CAST(n * n_le * (n - n_le) AS DOUBLE) AS DOUBLE)
+         AS DECIMAL(38,0)) AS gini_num,
+       CAST(n * n_le * (n - n_le) AS DECIMAL(38,0)) AS gini_den,
+       -- identical op tree to the Spark side: div, div, add, 2/n, mult
+       (2.0 / CAST(n AS DOUBLE)) *
+       (CAST(CAST(pos_le * (n_le - pos_le) AS BIGINT) AS DOUBLE)
+          / CAST(n_le AS DOUBLE)
+        + CAST(CAST((p - pos_le) * ((n - n_le) - (p - pos_le)) AS BIGINT)
+            AS DOUBLE) / CAST(n - n_le AS DOUBLE))
          AS gini_split
 FROM cum, tot
 WHERE n_le < n
@@ -1509,13 +1509,18 @@ WHERE n_le < n
         "classic sorted-prefix-sum split finder, never a per-threshold "
         "pass.  Exactness: the weighted impurity is kept as an exact "
         "integer fraction w = [nR·(nL²−pL²−qL²) + nL·(nR²−pR²−qR²)] / "
-        "(N·nL·nR) (qX = negatives); gini_num/gini_den are BIGINT in "
-        "the output and gini_split is their ONE double division — "
-        "identical operands, identical single op, bit-identical across "
-        "engines with no rounding band (at 100 TB the numerator "
-        "outgrows int64 and the documented swap is decimal(38), same "
-        "plan).  Degenerate one-sided splits (n_le = N) are excluded: "
-        "their impurity is the root's, gain 0 by construction."
+        "(N·nL·nR) (qX = negatives) in DECIMAL(38,0) on BOTH engines "
+        "(r15: the documented decimal swap applied — BIGINT wrapped "
+        "silently in Spark at ~3e6-row inputs while DuckDB's HUGEINT "
+        "raised, the cart.py ADVICE divergence class; exact to ~5.8e12 "
+        "rows now), and gini_split is the algebraically equal "
+        "(2/N)·(pL·qL/nL + pR·qR/nR) — int64 operands only, every "
+        "conversion correctly rounded in both engines for EVERY int64, "
+        "so the double is bit-identical cross-engine up to the "
+        "pX·qX ≤ N²/4 < 2^63 product bound (N ≤ 6e9 rows) rather than "
+        "the old 2^53 magnitude caveat.  Degenerate one-sided splits "
+        "(n_le = N) are excluded: their impurity is the root's, gain "
+        "0 by construction."
     ),
     tags=("stats", "agg", "window", "llm"),
 )
@@ -1546,15 +1551,35 @@ def decision_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     pR = F.col("p") - pL
     qL = nL - pL
     qR = nR - pR
-    num = nR * (nL * nL - pL * pL - qL * qL) + nL * (nR * nR - pR * pR - qR * qR)
-    den = F.col("n") * nL * nR
+    # r15: the documented decimal(38) swap APPLIED (the cart.py ADVICE
+    # fix, same divergence class): the O(n³) fraction is DECIMAL(38,0)
+    # in both engines (BIGINT wrapped silently in Spark at ~3e6 rows
+    # while DuckDB's HUGEINT raised on the CAST), and gini_split is
+    # the algebraically equal (2/n)·(pL·qL/nL + pR·qR/nR) — int64
+    # operands only, every conversion correctly rounded in both
+    # engines for EVERY int64, so the double stays bit-identical
+    # cross-engine up to the pX·qX ≤ n²/4 < 2^63 product bound
+    # (n ≤ 6e9 rows) instead of the old 2^53 magnitude caveat.
+    dec = "decimal(38,0)"
+    nLd, pLd = nL.cast(dec), pL.cast(dec)
+    nd, pd = F.col("n").cast(dec), F.col("p").cast(dec)
+    nRd, pRd = nd - nLd, pd - pLd
+    qLd, qRd = nLd - pLd, nRd - pRd
+    num = nRd * (nLd * nLd - pLd * pLd - qLd * qLd) + nLd * (
+        nRd * nRd - pRd * pRd - qRd * qRd
+    )
+    den = nd * nLd * nRd
+    split = (F.lit(2.0) / F.col("n").cast("double")) * (
+        (pL * qL).cast("double") / nL.cast("double")
+        + (pR * qR).cast("double") / nR.cast("double")
+    )
     return j.select(
         F.col("c").alias("threshold_cents"),
         nL.cast("bigint").alias("n_le"),
         pL.cast("bigint").alias("pos_le"),
-        num.cast("bigint").alias("gini_num"),
-        den.cast("bigint").alias("gini_den"),
-        (num.cast("double") / den.cast("double")).alias("gini_split"),
+        num.cast(dec).alias("gini_num"),
+        den.cast(dec).alias("gini_den"),
+        split.alias("gini_split"),
     )
 
 
