@@ -87,13 +87,11 @@ def _h(b: Row, v_left: int, v_right: int):
     return F.when(side, F.lit(v_left)).otherwise(F.lit(v_right))
 
 
-def boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fit the 3-round boosted stumps and return one table: 3 stump
-    rows (round, feature, threshold, weighted totals, ±1 votes) plus
-    the ≤4-row UNWEIGHTED training confusion matrix of the final
-    sign-of-vote-sum classifier."""
-    feat = _boost_feat(spark, sf_dir)
-    df = feat.withColumn("w", F.lit(1).cast("bigint"))
+def _fit_stumps(train: DataFrame) -> list[tuple[Row, int, int]]:
+    """The 3-round boosting loop on a (x1, x2, y) frame: per round
+    one weighted argmin scan (1 collected row), votes derived from
+    that same row, misclassified weights ×K in-plan."""
+    df = train.withColumn("w", F.lit(1).cast("bigint"))
     stumps: list[tuple[Row, int, int]] = []
     for _ in range(BOOST_ROUNDS):
         b = _best_split(df, wcol="w")
@@ -106,6 +104,16 @@ def boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("w")
             ),
         ).localCheckpoint(eager=False)
+    return stumps
+
+
+def boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the 3-round boosted stumps and return one table: 3 stump
+    rows (round, feature, threshold, weighted totals, ±1 votes) plus
+    the ≤4-row UNWEIGHTED training confusion matrix of the final
+    sign-of-vote-sum classifier."""
+    feat = _boost_feat(spark, sf_dir)
+    stumps = _fit_stumps(feat)
 
     schema = (
         "round bigint, kind string, feature string, threshold bigint, "
@@ -283,3 +291,89 @@ SELECT CAST(NULL AS BIGINT), 'confusion', CAST(NULL AS VARCHAR),
 FROM conf
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Held-out evaluation (fit/EVAL symmetry — the cart_heldout_confusion /
+# recsys_als_heldout_sse discipline applied to the ensemble)
+# ---------------------------------------------------------------------------
+
+
+def boosted_heldout_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fit the 3 boosted stumps on the md5 TRAIN fold of orders
+    (cart.py's CART_EVAL_FOLDS fold on o_orderkey, fold 0 = test) and
+    score the UNSEEN test fold with the sign of the 3-stump vote sum,
+    rolled up to the held-out confusion matrix (y_true, pred,
+    n_orders) — ≤ 4 rows, exact BIGINT counts.  The stump literals
+    are the 3 collected fit rows; test scoring is a pure map-side
+    projection (no per-row driver work)."""
+    from tda596_lab02mapreduce_spark.operators.cart import _FOLD_SPARK
+
+    orders = io.load(spark, sf_dir, "orders")
+    x1 = F.floor(F.col("o_totalprice") / 30000).cast("bigint")
+    folded = orders.select(
+        x1.alias("x1"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        x1.between(3, 7).cast("bigint").alias("y"),
+        F.expr(_FOLD_SPARK).cast("bigint").alias("fold"),
+    ).localCheckpoint(eager=False)
+    train = folded.filter(F.col("fold") != 0).drop("fold")
+    test = folded.filter(F.col("fold") == 0).drop("fold")
+    stumps = _fit_stumps(train)
+    vote_sum = sum((_h(b, vl, vr) for b, vl, vr in stumps), F.lit(0))
+    return (
+        test.select(
+            F.col("y").alias("y_true"),
+            F.when(vote_sum > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("pred"),
+        )
+        .groupBy("y_true", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+def _boost_heldout_oracle_sql() -> str:
+    from tda596_lab02mapreduce_spark.operators.cart import _FOLD_DUCK
+
+    return (
+        f"""WITH featall AS MATERIALIZED (
+  SELECT CAST(FLOOR(o_totalprice / 30000) AS BIGINT) AS x1,
+         CAST(month(o_orderdate) AS BIGINT) AS x2,
+         CASE WHEN FLOOR(o_totalprice / 30000) BETWEEN 3 AND 7
+              THEN 1 ELSE 0 END AS y,
+         {_FOLD_DUCK} AS fold
+  FROM orders
+),
+feat1 AS (
+  SELECT x1, x2, y, CAST(1 AS BIGINT) AS w FROM featall WHERE fold <> 0
+),
+te AS (SELECT x1, x2, y FROM featall WHERE fold = 0),
+"""
+        + _wscan_sql(1, "feat1")
+        + ",\n"
+        + _reweight_sql(1, "feat1")
+        + ",\n"
+        + _wscan_sql(2, "feat2")
+        + ",\n"
+        + _reweight_sql(2, "feat2")
+        + ",\n"
+        + _wscan_sql(3, "feat3")
+        + f""",
+scored AS (
+  SELECT t.y,
+         {_h_sql("b1")} + {_h_sql("b2")} + {_h_sql("b3")} AS s
+  FROM te t CROSS JOIN vote1 b1 CROSS JOIN vote2 b2 CROSS JOIN vote3 b3
+)
+SELECT y AS y_true,
+       CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM scored GROUP BY 1, 2
+"""
+    )
+
+
+BOOST_HELDOUT_ORACLE = _boost_heldout_oracle_sql()

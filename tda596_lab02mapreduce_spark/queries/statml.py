@@ -1744,6 +1744,47 @@ def tree_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boosted_stumps(spark, sf_dir)
 
 
+def _boost_heldout_oracle():
+    from tda596_lab02mapreduce_spark.operators.boost import (
+        BOOST_HELDOUT_ORACLE,
+    )
+
+    return BOOST_HELDOUT_ORACLE
+
+
+@register(
+    "tree_boosted_heldout_confusion",
+    oracle=_boost_heldout_oracle,
+    doc=(
+        "Held-out EVALUATION of the boosted stumps (fit/EVAL symmetry "
+        "— the cart_heldout_confusion / recsys_als_heldout_sse "
+        "discipline applied to the ensemble): deterministic md5 fold "
+        "on o_orderkey (fold 0 = test of 5, cart.py's fold), the 3 "
+        "stumps boosted on the TRAIN fold only (weights never see "
+        "test rows), then every unseen test row scored by the sign "
+        "of the 3-stump vote sum — rolled up to the held-out "
+        "confusion matrix (y_true, pred, n_orders), ≤4 rows of exact "
+        "BIGINT counts. Test scoring is a pure map-side projection "
+        "of the 3 collected stump literals; the whole trajectory "
+        "(fold split, 3 weighted scans, 2 reweights, test routing) "
+        "replays in the unrolled-CTE oracle (operators/boost.py:"
+        "BOOST_HELDOUT_ORACLE). The interval target is deterministic "
+        "in x1, so near-perfect held-out accuracy is the honest "
+        "expectation when the train fold covers the bucket domain — "
+        "the gate grades the fold/boost/route algebra."
+    ),
+    tags=("statml", "agg", "ml"),
+)
+def tree_boosted_heldout_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tda596_lab02mapreduce_spark.operators.boost import (
+        boosted_heldout_confusion,
+    )
+
+    return boosted_heldout_confusion(spark, sf_dir)
+
+
 @register(
     "pr_curve_thresholds",
     oracle="""

@@ -189,3 +189,62 @@ def test_boost_degenerate_node_raises(spark):
     ).withColumn("w", F.lit(1).cast("bigint"))
     with pytest.raises(ValueError, match="degenerate"):
         _best_split(df, wcol="w")
+
+
+def test_boost_heldout_python_replay(spark):
+    """Full independent replay of the ensemble's held-out eval at
+    sf0.001: md5 fold in Python (hashlib), stumps boosted on the
+    train fold with the replay loop, every test row scored by the
+    vote-sum sign — the confusion matrix must match exactly, the
+    fold must be disjoint and ~1/5 test, and held-out accuracy must
+    beat the train fold's round-1 stump (the ensemble generalizes
+    the interval, one cut can't)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark import io
+    from tda596_lab02mapreduce_spark.registry import get
+
+    sf = SF
+    orders = io.load(spark, sf, "orders")
+    x1c = F.floor(F.col("o_totalprice") / 30000).cast("bigint")
+    rows = orders.select(
+        "o_orderkey",
+        x1c.alias("x1"),
+        F.month("o_orderdate").cast("bigint").alias("x2"),
+        x1c.between(3, 7).cast("bigint").alias("y"),
+    ).collect()
+
+    def fold(okey: int) -> int:
+        return int(hashlib.md5(str(okey).encode()).hexdigest()[:8], 16) % 5
+
+    train = [(int(r["x1"]), int(r["x2"]), int(r["y"]))
+             for r in rows if fold(int(r["o_orderkey"])) != 0]
+    test = [(int(r["x1"]), int(r["x2"]), int(r["y"]))
+            for r in rows if fold(int(r["o_orderkey"])) == 0]
+    assert train and test
+    assert 0.15 < len(test) / len(rows) < 0.25
+
+    stumps, _conf, accs, _w = _py_boost(train)
+    expected: dict[tuple[int, int], int] = {}
+    correct = 0
+    for r in test:
+        s = sum(
+            vl if r[0 if f == "x1" else 1] <= v else vr
+            for f, v, _n, _p, vl, vr in stumps
+        )
+        pred = 1 if s > 0 else 0
+        expected[(r[2], pred)] = expected.get((r[2], pred), 0) + 1
+        correct += pred == r[2]
+
+    got = {
+        (int(r["y_true"]), int(r["pred"])): int(r["n_orders"])
+        for r in get("tree_boosted_heldout_confusion")
+        .spark_fn(spark, sf)
+        .collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == len(test)
+    # held-out ensemble beats the train round-1 stump's accuracy
+    assert correct / len(test) > accs[0]

@@ -302,6 +302,10 @@ QUERIES = [
     # O(V×C)-row per-batch model re-read, both already measured.
     "tree_boosted_stumps",
     "tree_depth3_priority",
+    # the ensemble's held-out twin: train-fold boosting + a map-side
+    # vote-sum projection over the test fold (the r14
+    # tree_depth2_heldout_confusion precedent)
+    "tree_boosted_heldout_confusion",
 ]
 
 # SCALE_BAND=graph (round-10, VERDICT r9 #1): the bipartite iterative
