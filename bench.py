@@ -392,8 +392,11 @@ def main() -> None:
         "anchor_subset_total": anchor_total,
         "anchor_subset_n": R1_ANCHOR_N,
         "anchor_r1_total": R1_ANCHOR_TOTAL_SEC,
+        # same realpath-basename anchor detection as the outlier bands
+        # (the r14 string-parse fix applied to only one of the two
+        # anchor checks — r15 review)
         "anchor_ratio": round(anchor_total / R1_ANCHOR_TOTAL_SEC, 3)
-        if sf_val == 0.1
+        if _is_anchor_sf(sf_dir)
         else None,  # the anchor was measured at sf0.1 only
         "isolated_queries": isolated_ran,
         "isolated_fallback": isolated_fallback,

@@ -388,6 +388,18 @@ def naive_bayes_score_columns(model: dict, *, text_col: str = "text"):
 NB_SWAP_KEY_SUFFIX = "#even-docs"  # v2 = deterministic refit on even doc_ids
 
 
+def nb_swap_v2_dataset_key(sf_dir: str) -> str:
+    """The v2 sidecar's dataset key: the suffix is appended AFTER
+    path normalization (realpath of the suffixed pseudo-path would
+    defeat _norm_key's spelling-invariance — a trailing slash or
+    symlink spelling of the same dir would hash to a different v2
+    sidecar while v1 stayed stable; r15 review).  _norm_key is
+    idempotent on the result (parents are already resolved and the
+    suffixed leaf never exists), so the fit's own normalization
+    maps it to itself."""
+    return _norm_key(sf_dir) + NB_SWAP_KEY_SUFFIX
+
+
 def naive_bayes_model_rows(spark: SparkSession, model: dict) -> DataFrame:
     """The fitted model flattened to rows for the versioned store
     (sources/versioned.py): kind='w' rows carry (token, class,
@@ -469,8 +481,8 @@ def naive_bayes_swap_oracle_sql(sf_dir: str) -> str:
     that proves the mid-drain version bump switched scoring exactly
     at the micro-batch boundary."""
     models = []
-    for ver, suffix in ((1, ""), (2, NB_SWAP_KEY_SUFFIX)):
-        key = (_norm_key(sf_dir + suffix), "text", "lang", NB_TOP_V)
+    for ver, dkey in ((1, sf_dir), (2, nb_swap_v2_dataset_key(sf_dir))):
+        key = (_norm_key(dkey), "text", "lang", NB_TOP_V)
         path = _sidecar_path(key)
         if not os.path.exists(path):
             raise FileNotFoundError(

@@ -1573,9 +1573,33 @@ def decision_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pL * qL).cast("double") / nL.cast("double")
         + (pR * qR).cast("double") / nR.cast("double")
     )
+    # loud int64-product guard (cart.py's _EXACT_KEY_MAX_N contract,
+    # curve edition — this query has no driver collect to hang a check
+    # on, so the guard rides an OUTPUT column and fires per partition
+    # at scan time instead of letting pX·qX wrap silently; r15 review)
+    from tda596_lab02mapreduce_spark.operators.cart import (
+        _EXACT_KEY_MAX_N,
+    )
+
+    n_le_guarded = (
+        F.when(
+            F.col("n") > F.lit(_EXACT_KEY_MAX_N),
+            F.raise_error(
+                F.lit(
+                    "decision_split_gain: input rows exceed "
+                    f"_EXACT_KEY_MAX_N={_EXACT_KEY_MAX_N}; the "
+                    "gini_split int64 products pX*qX can overflow "
+                    "past n^2/4 = 2^63 — pre-aggregate or sample "
+                    "before the split scan (loud, never silent wrap)"
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(nL)
+        .cast("bigint")
+    )
     return j.select(
         F.col("c").alias("threshold_cents"),
-        nL.cast("bigint").alias("n_le"),
+        n_le_guarded.alias("n_le"),
         pL.cast("bigint").alias("pos_le"),
         num.cast(dec).alias("gini_num"),
         den.cast(dec).alias("gini_den"),

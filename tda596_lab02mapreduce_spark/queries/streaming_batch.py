@@ -1470,11 +1470,11 @@ def stream_nb_model_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from tda596_lab02mapreduce_spark.operators.naive_bayes import (
-        NB_SWAP_KEY_SUFFIX,
         naive_bayes_fit,
         naive_bayes_model_from_rows,
         naive_bayes_model_rows,
         naive_bayes_score_columns,
+        nb_swap_v2_dataset_key,
     )
     from tda596_lab02mapreduce_spark.sources.versioned import (
         read_manifest,
@@ -1486,11 +1486,26 @@ def stream_nb_model_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_stream,
     )
 
+    # LOUD 2-batch precondition: copies=2 / maxFilesPerTrigger=1 only
+    # yields two FULL-TABLE micro-batches when the source is a single
+    # parquet file (a multi-file staged dir would link every part
+    # separately and turn this into a per-part drain — a different
+    # query whose output could never match the batch-boundary oracle;
+    # r15 review)
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.isfile(src):
+        raise ValueError(
+            f"stream_nb_model_swap: {src} is not a single parquet "
+            "file — the copies=2/maxFilesPerTrigger=1 staging is "
+            "SEMANTIC (exactly 2 full-table micro-batches around the "
+            "version bump); run it against the single-file fixtures, "
+            "or restage the table as one file first"
+        )
     docs = io.load(spark, sf_dir, "documents")
     m1 = naive_bayes_fit(docs, dataset_key=sf_dir)
     m2 = naive_bayes_fit(
         docs.filter(F.col("doc_id") % 2 == 0),
-        dataset_key=sf_dir + NB_SWAP_KEY_SUFFIX,
+        dataset_key=nb_swap_v2_dataset_key(sf_dir),
     )
     base = nb_swap_store_base(sf_dir)
     shutil.rmtree(base, ignore_errors=True)

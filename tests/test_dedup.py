@@ -327,17 +327,20 @@ def test_pq_refine_recall_floor(spark, sf_correctness):
     max(50, 3·isqrt(n)) — the r15 ANN band measured the old fixed 50
     decaying to 0.64 at 10×; via SPARK_GRAFT_ANN_DIR this same floor
     runs against the staged corpus."""
-    import math
-
     import numpy as np
 
     from tda596_lab02mapreduce_spark import io
     from tda596_lab02mapreduce_spark.operators import similarity as sim
+    from tda596_lab02mapreduce_spark.queries.llm_pipeline import _pq_refine
 
-    emb = io.load(spark, _ann_dir(sf_correctness), "embeddings")
+    corpus_dir = _ann_dir(sf_correctness)
+    emb = io.load(spark, corpus_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     model = sim.pq_fit(emb, m=16, k=16, iters=8, n_train=4096)
-    refine = max(50, 3 * math.isqrt(emb.count()))
+    # the REGISTERED query's budget helper — importing it (instead of
+    # restating the formula) means a retune can't silently leave this
+    # floor pinning a budget the serve no longer uses (r15 review)
+    refine = _pq_refine(corpus_dir)
     got = {
         (r.query_id, r.neighbor_id)
         for r in sim.pq_topk(emb, queries, k=5, model=model, refine=refine).collect()

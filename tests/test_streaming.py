@@ -738,9 +738,9 @@ def test_stream_nb_model_swap_two_version_drain(spark, sf_correctness):
     table via the copies=2 staging), and (c) leave the versioned
     store's manifest at current=2 with both snapshots listed."""
     from tda596_lab02mapreduce_spark.operators.naive_bayes import (
-        NB_SWAP_KEY_SUFFIX,
         naive_bayes_confusion,
         naive_bayes_fit,
+        nb_swap_v2_dataset_key,
     )
     from tda596_lab02mapreduce_spark.queries.streaming_batch import (
         nb_swap_store_base,
@@ -767,7 +767,7 @@ def test_stream_nb_model_swap_two_version_drain(spark, sf_correctness):
     m1 = naive_bayes_fit(docs, dataset_key=sf_correctness)
     m2 = naive_bayes_fit(
         docs.filter(F.col("doc_id") % 2 == 0),
-        dataset_key=sf_correctness + NB_SWAP_KEY_SUFFIX,
+        dataset_key=nb_swap_v2_dataset_key(sf_correctness),
     )
     for batch_id, model in ((0, m1), (1, m2)):
         expected = {

@@ -481,7 +481,14 @@ def stage_dbscan(spark) -> None:
 # SPARK_GRAFT_ANN_DIR in tests/test_dedup.py.
 ANN_QUERIES = ["similarity_ivf_topk", "similarity_pq_topk"]
 
-OUT_ANN = os.environ.get("SPARK_GRAFT_SCALE_ANN_DIR", OUT + "-ann")
+# REPLICA-DEPENDENT path: the IVF/PQ model sidecars are keyed by
+# realpath(corpus dir), so a fixed path re-staged at a different
+# REPLICAS would silently serve the PREVIOUS staging's codebooks
+# against the new corpus (r15 review — the first 100× reading did
+# exactly that and was re-measured)
+OUT_ANN = os.environ.get(
+    "SPARK_GRAFT_SCALE_ANN_DIR", f"{OUT}-ann-x{REPLICAS}"
+)
 
 
 def stage_ann(spark) -> None:
