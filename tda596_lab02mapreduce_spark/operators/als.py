@@ -123,15 +123,20 @@ def _prepared_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     and all four half-rounds consume the pinned result.  Measured at
     sf0.1: checkpoint 2.72 s vs AQE-exchange-reuse-only 2.89 s — the
     checkpoint also cuts the 4-consumer lineage, the iterative-ops
-    discipline (components.py).  The checkpoint does erase
-    outputPartitioning metadata, so each item-solve join re-shuffles
-    the (u,i,r) triples — that re-shuffle is ratings-grain but
-    3-column-narrow, cheaper than re-deriving ratings from the fact
-    tables would be."""
+    discipline (components.py).
+
+    Order matters (optimization r16, guide §2.4): checkpoint FIRST,
+    repartition(u) IN-PLAN after it.  A checkpoint erases
+    outputPartitioning metadata, so the old repartition-then-checkpoint
+    order made every u-keyed solve/join re-shuffle the (u,i,r) triples
+    (4 ratings-grain exchanges per 2-round trajectory); with the
+    exchange inside the plan, ReuseExchange evaluates it once and both
+    user solves aggregate exchange-free while both item-solve joins
+    are already co-partitioned on u."""
     return (
         als_ratings(spark, sf_dir)
-        .repartition(F.col("u"))
         .localCheckpoint(eager=False)
+        .repartition(F.col("u"))
     )
 
 
@@ -461,14 +466,20 @@ def als_heldout_eval(
     unseen key; n_cold_test counts them.  Plan: the fold filter is a
     map-side predicate on the once-built ratings; training is the
     shared _train_loop; each error sum is one join + 1-row aggregate."""
-    full = als_ratings(spark, sf_dir).withColumn(
-        "fold", F.expr(_FOLD_SPARK).cast("bigint")
+    # ONE checkpoint of the folded ratings: train AND test filter the
+    # same pinned frame, so the 3-table join + count runs once instead
+    # of once per fold consumer; the u-repartition rides in-plan after
+    # the checkpoint so its exchange keeps partitioning metadata and is
+    # reused by every u-keyed solve (see _prepared_ratings, r16)
+    full = (
+        als_ratings(spark, sf_dir)
+        .withColumn("fold", F.expr(_FOLD_SPARK).cast("bigint"))
+        .localCheckpoint(eager=False)
     )
     train = (
         full.filter(F.col("fold") != 0)
         .select("u", "i", "r")
         .repartition(F.col("u"))
-        .localCheckpoint(eager=False)
     )
     test = full.filter(F.col("fold") == 0).select("u", "i", "r")
     x, y = _train_loop(train, rounds)

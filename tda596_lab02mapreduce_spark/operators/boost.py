@@ -93,10 +93,16 @@ def _fit_stumps(train: DataFrame) -> list[tuple[Row, int, int]]:
     that same row, misclassified weights ×K in-plan."""
     df = train.withColumn("w", F.lit(1).cast("bigint"))
     stumps: list[tuple[Row, int, int]] = []
-    for _ in range(BOOST_ROUNDS):
+    for t in range(BOOST_ROUNDS):
         b = _best_split(df, wcol="w")
         v_left, v_right = _stump_votes(b)
         stumps.append((b, v_left, v_right))
+        if t == BOOST_ROUNDS - 1:
+            # no reweight after the final round: the frame would never
+            # be scanned, and building it anyway both wasted a plan
+            # node and made the docstring's "w ∈ {1,3,9}" hold only
+            # for scanned frames (ADVICE r15 low)
+            break
         wrong = _h(b, v_left, v_right) != (2 * F.col("y") - 1)
         df = df.withColumn(
             "w",

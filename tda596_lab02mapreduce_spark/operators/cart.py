@@ -195,13 +195,104 @@ def _goes_left(best: Row):
     return F.col(best["f"]) <= F.lit(int(best["v"]))
 
 
+def _best_splits_level(feat: DataFrame, nid_col, nids: tuple[int, ...]) -> dict[int, Row]:
+    """The argmin splits of EVERY node of one tree level in ONE job
+    (optimization r16, guide §2.4: sibling nodes partition the same
+    parent frame, so their split scans are one tagged scan — the
+    per-node melt/cumsum/argmin below is _best_split's algebra
+    verbatim with ``__nid`` prepended to every key, and the per-node
+    argmin is the same (gini, f, v) total order taken as row_number 1
+    per node instead of N sequential TakeOrderedAndProject jobs).
+    Returns {nid: Row} with exactly _best_split's Row fields; raises
+    the identical degenerate/overflow errors per node."""
+    from pyspark.sql.window import Window
+
+    melt = feat.select(
+        nid_col.cast("int").alias("__nid"),
+        F.expr("stack(2, 'x1', x1, 'x2', x2) AS (f, v)"),
+        F.col("y"),
+    )
+    bv = melt.groupBy("__nid", "f", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.partitionBy("__nid", "f").orderBy("v")
+    cum = bv.select(
+        "__nid",
+        "f",
+        "v",
+        F.sum("cnt").over(w).alias("n_le"),
+        F.sum("pos").over(w).alias("pos_le"),
+    )
+    tot = feat.groupBy(nid_col.cast("int").alias("__nid")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    j = cum.join(F.broadcast(tot), "__nid").filter(F.col("n_le") < F.col("n"))
+    nL, pL = F.col("n_le"), F.col("pos_le")
+    nR = F.col("n") - nL
+    pR = F.col("p") - pL
+    qL = nL - pL
+    qR = nR - pR
+    dec = "decimal(38,0)"
+    nLd, pLd = nL.cast(dec), pL.cast(dec)
+    nd, pd = F.col("n").cast(dec), F.col("p").cast(dec)
+    nRd, pRd = nd - nLd, pd - pLd
+    qLd, qRd = nLd - pLd, nRd - pRd
+    num = nRd * (nLd * nLd - pLd * pLd - qLd * qLd) + nLd * (
+        nRd * nRd - pRd * pRd - qRd * qRd
+    )
+    den = nd * nLd * nRd
+    key = (pL * qL).cast("double") / nL.cast("double") + (
+        pR * qR
+    ).cast("double") / nR.cast("double")
+    aw = Window.partitionBy("__nid").orderBy("gini", "f", "v")
+    rows = (
+        j.select(
+            "__nid",
+            "f",
+            F.col("v").cast("bigint").alias("v"),
+            "n",
+            "p",
+            nL.cast("bigint").alias("n_le"),
+            pL.cast("bigint").alias("pos_le"),
+            num.cast(dec).alias("gini_num"),
+            den.cast(dec).alias("gini_den"),
+            key.alias("gini"),
+        )
+        .withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .collect()
+    )
+    best = {int(r["__nid"]): r for r in rows}
+    for nid in nids:
+        if nid not in best:
+            raise ValueError(
+                "cart_depth2: degenerate node (constant on both features) — "
+                "the fixture contract guarantees a valid split at every "
+                "depth-2 node; a different dataset needs a leaf-fallback "
+                "grown in BOTH engines"
+            )
+        if int(best[nid]["n"]) > _EXACT_KEY_MAX_N:
+            raise ValueError(
+                f"cart: node holds {int(best[nid]['n'])} (weighted) rows > "
+                f"_EXACT_KEY_MAX_N={_EXACT_KEY_MAX_N}; the argmin key's "
+                "int64 products pX*qX can overflow past n^2/4 = 2^63 — "
+                "partition or sample the node before growing (module "
+                "docstring: design limit is loud, never silent wrap)"
+            )
+    return best
+
+
 def _grow(feat: DataFrame) -> tuple[Row, Row, Row]:
     """Grow the three splits on a feature frame (root, left child,
-    right child) — 3 collected rows total."""
+    right child) — 3 collected rows total, TWO jobs: the root argmin,
+    then both children batched level-wise (was 3 sequential jobs)."""
     b1 = _best_split(feat)
-    left = feat.filter(_goes_left(b1))
-    right = feat.filter(~_goes_left(b1))
-    return b1, _best_split(left), _best_split(right)
+    lvl = _best_splits_level(
+        feat, F.when(_goes_left(b1), F.lit(2)).otherwise(F.lit(3)), (2, 3)
+    )
+    return b1, lvl[2], lvl[3]
 
 
 def _leaf_id(b1: Row, b2: Row, b3: Row):
@@ -420,13 +511,18 @@ def cart_depth3_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_cart.py); a degenerate grandchild raises loudly like
     every other node."""
     feat = _cart_feat(spark, sf_dir)
-    b = {1: _best_split(feat)}
-    node = {1: feat}
-    for nid in (2, 3, 4, 5, 6, 7):
-        parent = nid // 2
-        pred = _goes_left(b[parent])
-        node[nid] = node[parent].filter(pred if nid % 2 == 0 else ~pred)
-        b[nid] = _best_split(node[nid])
+    b: dict[int, Row] = {1: _best_split(feat)}
+    # level-batched growth (guide §2.4 via _best_splits_level): depth-1
+    # siblings in one job, depth-2 siblings in one job — 3 split jobs
+    # total instead of 7 sequential TakeOrderedAndProject jobs, with
+    # per-node algebra/tiebreak identical by construction
+    lvl2_nid = F.when(_goes_left(b[1]), F.lit(2)).otherwise(F.lit(3))
+    b.update(_best_splits_level(feat, lvl2_nid, (2, 3)))
+    lvl3_nid = F.when(
+        _goes_left(b[1]),
+        F.when(_goes_left(b[2]), F.lit(4)).otherwise(F.lit(5)),
+    ).otherwise(F.when(_goes_left(b[3]), F.lit(6)).otherwise(F.lit(7)))
+    b.update(_best_splits_level(feat, lvl3_nid, (4, 5, 6, 7)))
 
     def leaf_col():
         def walk(nid: int, depth: int):

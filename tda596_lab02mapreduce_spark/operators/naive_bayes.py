@@ -136,14 +136,26 @@ def naive_bayes_fit(
         F.col(label_col).alias("c"),
         F.explode(F.split(F.col(text_col), " ")).alias("t"),
     ).filter(F.length("t") > 0)
-    # Distributed vocabulary cap: top-V tokens by global corpus count,
+    # ONE token-stream pass (optimization r16, guide §1.2): the
+    # class×token counts are aggregated first (map-side-combinable —
+    # the wordcount posture; state is corpus-vocab × C rows, never the
+    # token stream), then BOTH the vocabulary cap and the capped count
+    # table derive from that small frame instead of re-scanning and
+    # re-exploding the corpus a second time.
+    counts_ct = (
+        tok.groupBy("c", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    # Distributed vocabulary cap: top-V tokens by global corpus count
+    # (= Σ over classes of the (c,t) counts — exact integers),
     # deterministic (count DESC, token ASC) tiebreak — orderBy+limit
     # plans as TakeOrderedAndProject (partial top-k merged at the
     # driver), so exactly V rows are collected however large the
     # corpus vocabulary is.
     vocab_rows = (
-        tok.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("n_tot"))
+        counts_ct.groupBy("t")
+        .agg(F.sum("n").alias("n_tot"))
         .orderBy(F.col("n_tot").desc(), F.col("t"))
         .limit(top_v)
         .collect()
@@ -152,12 +164,7 @@ def naive_bayes_fit(
     vdf = spark.createDataFrame([(t,) for t in vocab], "t string")
     # The class×token counts restricted to the capped vocabulary by a
     # broadcast semi-join: ≤ V×C exact BIGINT rows reach the driver.
-    counts = (
-        tok.join(F.broadcast(vdf), "t", "left_semi")
-        .groupBy("c", "t")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    counts = counts_ct.join(F.broadcast(vdf), "t", "left_semi").collect()
     doc_counts = (
         docs.groupBy(F.col(label_col).alias("c"))
         .agg(F.count(F.lit(1)).alias("nd"))

@@ -443,11 +443,12 @@ def recsys_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cb = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    cb = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
     )
+    # collect_set dedups — the old explicit .distinct() was a second
+    # full (ck, pk) exchange ahead of the ck exchange (optimization
+    # r16, guide §2.4; the frequent_triples_brand precedent)
     per_cust = cb.groupBy("ck").agg(
         F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
     )
@@ -717,11 +718,12 @@ def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = 4
     orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cb = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    cb = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
     )
+    # collect_set dedups — the old explicit .distinct() was a second
+    # full (ck, pk) exchange ahead of the ck exchange (optimization
+    # r16, guide §2.4; the frequent_triples_brand precedent)
     per_cust = cb.groupBy("ck").agg(
         F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
     )
@@ -979,11 +981,12 @@ def _copurchase_edges(
     callers unpersist()."""
     orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cb = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    cb = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
     )
+    # collect_set dedups — the old explicit .distinct() was a second
+    # full (ck, pk) exchange ahead of the ck exchange (optimization
+    # r16, guide §2.4; the frequent_triples_brand precedent)
     per_cust = cb.groupBy("ck").agg(
         F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
     )

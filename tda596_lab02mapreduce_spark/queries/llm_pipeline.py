@@ -2054,10 +2054,20 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = sh.select(
         "doc_id", F.posexplode("gs").alias("pos0", "g")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    # pos feeds TWO consumers (the dup aggregate and the semi-join
+    # probe); without the checkpoint the tokenize + 8-gram shingle
+    # build — the query's dominant per-row work — ran twice
+    # (optimization r16, guide §1.2 "don't compute things twice")
+    pos = pos.localCheckpoint(eager=False)
+    # "≥ 2 distinct docs" ⟺ min(doc_id) != max(doc_id): min/max are
+    # map-side-combinable, so this is ONE partial-aggregated shuffle at
+    # shingle grain where count_distinct planned a (g, doc_id) dedup
+    # exchange PLUS the count exchange (guide §2.3 "aggregate before
+    # you shuffle"; plan diff: 2 Exchanges → 1 on the dup branch)
     dup = (
         pos.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("g")
     )
     covered = pos.join(dup, "g", "left_semi").select("doc_id", "pos")

@@ -1581,29 +1581,30 @@ def decision_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         _EXACT_KEY_MAX_N,
     )
 
-    n_le_guarded = (
-        F.when(
-            F.col("n") > F.lit(_EXACT_KEY_MAX_N),
-            F.raise_error(
-                F.lit(
-                    "decision_split_gain: input rows exceed "
-                    f"_EXACT_KEY_MAX_N={_EXACT_KEY_MAX_N}; the "
-                    "gini_split int64 products pX*qX can overflow "
-                    "past n^2/4 = 2^63 — pre-aggregate or sample "
-                    "before the split scan (loud, never silent wrap)"
-                )
-            ).cast("bigint"),
-        )
-        .otherwise(nL)
-        .cast("bigint")
-    )
+    # the guard rides gini_split ITSELF — the column whose int64
+    # products it protects — so no downstream projection can prune the
+    # raise_error away from the contract (ADVICE r15 low: hanging it
+    # on n_le let a gini_split-only consumer drop the loud-overflow
+    # promise via column pruning)
+    split_guarded = F.when(
+        F.col("n") > F.lit(_EXACT_KEY_MAX_N),
+        F.raise_error(
+            F.lit(
+                "decision_split_gain: input rows exceed "
+                f"_EXACT_KEY_MAX_N={_EXACT_KEY_MAX_N}; the "
+                "gini_split int64 products pX*qX can overflow "
+                "past n^2/4 = 2^63 — pre-aggregate or sample "
+                "before the split scan (loud, never silent wrap)"
+            )
+        ).cast("double"),
+    ).otherwise(split)
     return j.select(
         F.col("c").alias("threshold_cents"),
-        n_le_guarded.alias("n_le"),
+        nL.cast("bigint").alias("n_le"),
         pL.cast("bigint").alias("pos_le"),
         num.cast(dec).alias("gini_num"),
         den.cast(dec).alias("gini_den"),
-        split.alias("gini_split"),
+        split_guarded.alias("gini_split"),
     )
 
 

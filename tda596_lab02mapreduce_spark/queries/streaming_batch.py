@@ -1429,13 +1429,19 @@ def _nb_swap_oracle():
 def nb_swap_store_base(sf_dir: str) -> str:
     """The per-SF versioned model store the swap drain publishes to —
     under the system tmp dir, REBUILT from scratch on every query run
-    (the drain's semantics depend on the manifest starting at v1)."""
+    (the drain's semantics depend on the manifest starting at v1).
+    PID-keyed (the sinks.py per-process scratch precedent): two
+    concurrent sessions draining the same sf_dir previously shared one
+    store, so one could rmtree the other's manifest/checkpoint
+    mid-drain (ADVICE r15 low)."""
     import hashlib
     import os
     import tempfile
 
     key = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"tda596-nbswap-{key}")
+    return os.path.join(
+        tempfile.gettempdir(), f"tda596-nbswap-{key}-pid{os.getpid()}"
+    )
 
 
 @register(

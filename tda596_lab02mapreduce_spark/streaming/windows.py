@@ -40,7 +40,10 @@ def _as_stream_dir(sf_dir: str, table: str, *, copies: int = 1) -> str:
     (sf_dir, table, copies) — zero data copy, works on any POSIX fs.
     ``copies > 1`` links the same file N times: a deliberate
     every-row-duplicated feed for exercising streaming dedup."""
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # realpath, not abspath: the sidecar/model-store keying uses
+    # realpath, so a symlinked spelling of the same fixture dir must
+    # resolve to the same staged feed dir too (ADVICE r15 low)
+    key = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
     sub = table if copies == 1 else f"{table}_x{copies}"
     d = os.path.join(tempfile.gettempdir(), f"tda596-stream-{key}", sub)
     src = os.path.join(sf_dir, f"{table}.parquet")
