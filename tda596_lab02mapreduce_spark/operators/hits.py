@@ -70,6 +70,12 @@ def hits(
     # sf0.1 after this + the raw-frame checkpoint below).
     norm = f"CAST((CAST({_UNIT} AS DECIMAL(38,0)) * s) div m AS BIGINT)"
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Materialize the deduped edge list ONCE before deriving the two
+    # layouts: each persist() below triggers its own materialization
+    # job, and without the checkpoint both jobs re-ran the full
+    # upstream join + distinct (optimization r16, guide §1.2 — jobs do
+    # not share un-materialized subplans).
+    e = e.localCheckpoint(eager=False)
     # Two cached layouts, one per join direction: irrelevant while the
     # score side broadcasts (fixture scale), load-bearing at the scale
     # where it doesn't — the SMJ then reuses the edge layout instead

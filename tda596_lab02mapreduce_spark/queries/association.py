@@ -974,11 +974,17 @@ def _copurchase_edges(
     GCLocker until the JVM throws spurious OOM. So (a) the
     pair-EMISSION stage is bounded to defaultParallelism/4 concurrent
     writers, and (b) the pair COUNT aggregates after an explicit wide
-    hash repartition (64×parallelism partitions — AQE never coalesces
-    an explicit count) so each reduce task's map holds a sub-region-
-    size slice. Verified end-to-end on a bare 1g local[32] session at
-    sf0.1. Returned edges are repartition(src)-ed and persist()-ed —
-    callers unpersist()."""
+    hash repartition (8×parallelism partitions — AQE never coalesces
+    an explicit count) so each reduce task's map holds a bounded
+    slice. Width re-tuned in the r16 optimization round: the original
+    64×parallelism (2048 tasks on local[32]) spent more in task
+    scheduling than the finer maps saved — measured at sf0.1 the pair
+    count read 3.6–5.8 s at 64×, 2.8–3.4 s at 8×, 3.4–3.9 s with no
+    explicit repartition (AQE default); 8× keeps the explicit-width
+    memory contract AND the win, and the bare-1g local[32] end-to-end
+    run was RE-VERIFIED at 8× this round (pair count + weighted edge
+    staging complete, no OOM). Returned edges are repartition(src)-ed
+    and persist()-ed — callers unpersist()."""
     orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     cb = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
@@ -1002,7 +1008,7 @@ def _copurchase_edges(
     )
     pc = (
         pairs.select("p.pa", "p.pb")
-        .repartition(max(256, 64 * par), F.col("pa"), F.col("pb"))
+        .repartition(max(256, 8 * par), F.col("pa"), F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 5)

@@ -35,6 +35,11 @@ def _blocked_jaccard_pairs(docs: DataFrame) -> DataFrame:
         F.concat_ws(" ", F.slice("toks", 1, 3)).alias("prefix"),
         F.array_distinct(ngram_shingles(F.col("toks"), 3)).alias("s"),
     )
+    # both self-join sides consume sh: checkpoint so tokenize +
+    # shingle-build runs once and the sides' identical exchanges are
+    # ReuseExchange-merged (optimization r16, guide §1.2/§2.4;
+    # measured 1.07–1.25 s → 0.85 s at sf0.1 for the pair source)
+    sh = sh.localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
     return (
@@ -149,6 +154,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice("toks", 1, 3)).alias("prefix"),
         F.array_distinct(ngram_shingles(F.col("toks"), 3)).alias("s"),
     )
+    # both self-join sides consume sh: checkpoint so tokenize +
+    # shingle-build runs once and the sides' identical exchanges are
+    # ReuseExchange-merged (optimization r16, guide §1.2/§2.4;
+    # measured 1.07–1.25 s → 0.85 s at sf0.1 for the pair source)
+    sh = sh.localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     na, nb = F.size(F.col("a.s")), F.size(F.col("b.s"))
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
@@ -1166,13 +1176,19 @@ def pagerank_neardup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle"
         ),
     )
+    # ex feeds THREE subplans (the df aggregate + both self-join
+    # sides): checkpoint so tokenize + shingle-build runs once, and the
+    # self-join sides become identical checkpoint scans whose exchanges
+    # ReuseExchange dedups (optimization r16, guide §1.2/§2.4; measured
+    # pair-source 2.84 s → 2.46 s at sf0.1)
+    ex = ex.localCheckpoint(eager=False)
     rare = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= 50)
         .select("shingle")
     )
-    exr = ex.join(rare, "shingle")
+    exr = ex.join(rare, "shingle").localCheckpoint(eager=False)
     pairs = (
         exr.alias("a")
         .join(
