@@ -220,40 +220,27 @@ def naive_bayes_confusion(
     """Classify every document and return the confusion matrix
     (true_lang, pred_lang, n_docs) — ≤ |classes|² rows, all exact.
 
-    Plan: tokenize → broadcast-join the V×C integer weight table →
-    one (doc, class) aggregate → per-doc argmax via min(struct(-score,
-    class)) (total order: score DESC, class ASC) → classes²-bounded
-    rollup.  Tokens outside the training vocabulary drop at the inner
-    join — identically in the oracle."""
-    spark = docs.sparkSession
-    wrows = [
-        (t, c, int(model["weights_u"][t][c]))
-        for t in model["vocab"]
-        for c in model["classes"]
-    ]
-    weights = spark.createDataFrame(wrows, "t string, c string, w_u bigint")
-    prows = [(c, int(model["priors_u"][c])) for c in model["classes"]]
-    priors = spark.createDataFrame(prows, "c string, prior_u bigint")
-
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(label_col).alias("true_lang"),
-        F.explode(F.split(F.col(text_col), " ")).alias("t"),
-    ).filter(F.length("t") > 0)
-    scores = (
-        tok.join(F.broadcast(weights), "t")
-        .groupBy("doc_id", "true_lang", "c")
-        .agg(F.sum("w_u").cast("bigint").alias("s"))
-        .join(F.broadcast(priors), "c")
-        .withColumn("score_u", F.col("s") + F.col("prior_u"))
-    )
-    pred = scores.groupBy("doc_id", "true_lang").agg(
-        F.min(F.struct((-F.col("score_u")).alias("neg"), F.col("c").alias("c")))
-        .getField("c")
-        .alias("pred_lang")
-    )
+    Plan (optimization r16, guide §2.4): the per-row stateless FOLD
+    (naive_bayes_score_columns — prior + Σ w_u over the split array
+    against literal weight maps, per-doc argmax via
+    min(struct(-score, class))), then one classes²-bounded rollup —
+    zero document-grain shuffles.  The previous explode → broadcast
+    weight join → (doc, class) aggregate shape shuffled a (doc_id,
+    class)-grain frame per run (measured 1.37–1.45 s → 0.95–1.19 s
+    serve-only at sf0.1); equivalence of the two shapes (OOV tokens
+    add 0 ⟺ inner-join drop; n_iv = 0 rows filtered ⟺ absent from the
+    join) is exactly the contract stream_nb_model_swap's
+    batch-boundary oracle already hash-proves, and the registered
+    batch oracle still scores via the join form."""
+    pred_col, n_iv = naive_bayes_score_columns(model, text_col=text_col)
     return (
-        pred.groupBy("true_lang", "pred_lang")
+        docs.select(
+            F.col(label_col).alias("true_lang"),
+            pred_col.alias("pred_lang"),
+            n_iv.alias("n_iv"),
+        )
+        .filter(F.col("n_iv") > 0)
+        .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
 

@@ -1442,11 +1442,18 @@ def _bpe_train_frames(
         ).alias("enc"),
         "freq",
     )
+    # Pin BOTH wf-derived bases before the rounds (optimization r16,
+    # guide §1.2): without these, round 2's lazy enc re-derived
+    # docs-scan → explode → word-count once more, and EVERY round's two
+    # symbol-table broadcasts (sl, sr) re-derived it again — ~8 corpus
+    # passes for a 3-round fit instead of 1.
+    enc = enc.localCheckpoint(eager=False)
     syms = (
         wf.select(F.explode(F.split("word", "")).alias("c"))
         .filter(F.col("c") != "")
         .distinct()
         .select(pad(F.expr("ascii(c)")).alias("id"), F.col("c").alias("s"))
+        .localCheckpoint(eager=False)
     )
     tops = []
     for r in range(1, rounds + 1):
