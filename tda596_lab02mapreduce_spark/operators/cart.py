@@ -34,10 +34,14 @@ Cross-engine exactness (the perceptron/logistic/ALS discipline):
   distinct rationals rounding to the same double) break
   deterministically on (feature, threshold), so both engines select
   the SAME split even when the minimum is not unique.
-- Each node's best split is a ``TakeOrderedAndProject`` (orderBy +
-  limit 1) whose single row is collected — exactly 3 driver rows for
-  the whole tree, bounded by construction (the NB V + V×C
-  discipline).  Leaves are one distributed aggregate over the
+- The ROOT's best split is a ``TakeOrderedAndProject`` (orderBy +
+  limit 1); deeper LEVELS are batched (optimization r16,
+  ``_best_splits_level``): all siblings of one level share a single
+  tagged scan and a per-node ``row_number`` argmin over the identical
+  (key, feature, threshold) total order — same selected rows, fewer
+  sequential jobs.  Exactly 2^depth − 1 driver rows are collected for
+  the whole tree (3 at depth 2), bounded by construction (the NB
+  V + V×C discipline).  Leaves are one distributed aggregate over the
   original feature frame; no per-row driver work anywhere.
 
 Degenerate nodes (no candidate threshold with n_le < n, i.e. a child

@@ -1631,9 +1631,12 @@ def _cart_oracle():
         "nodes); the argmin key is the equivalent two-term form "
         "pL*qL/nL + pR*qR/nR — int64 divisions, bit-identical "
         "cross-engine, guarded loudly at the 6e9-row design limit — "
-        "with a deterministic (feature, threshold) tiebreak, selected "
-        "via TakeOrderedAndProject — exactly 3 collected rows grow "
-        "the whole tree (the NB bounded-driver-traffic discipline). "
+        "with a deterministic (feature, threshold) tiebreak — root "
+        "via TakeOrderedAndProject, the sibling level batched into "
+        "one tagged scan with a per-node row_number argmin (r16 "
+        "optimization; identical selected rows) — exactly 3 collected "
+        "rows grow the whole tree (the NB bounded-driver-traffic "
+        "discipline). "
         "Output: the 7-row tree table (heap numbering; split rows "
         "carry feature/threshold/Gini fraction, leaf rows carry "
         "majority-class pred + counts, so accuracy = Σ max(pos, "

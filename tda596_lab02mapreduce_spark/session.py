@@ -53,6 +53,23 @@ def get_spark(
         # (floor to µs — matches DuckDB's ns→µs conversion).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # G1 region size 32m (default: heap/2048 → 4m on the 8g local
+        # driver): Spark's long-session allocation profile is dominated
+        # by multi-MB arrays (shuffle-sorter pages, broadcast relations,
+        # growing aggregate maps, Arrow buffers) that are HUMONGOUS on
+        # 4m regions (≥ half a region) and fragment the old gen — the
+        # documented heap-phasing stall class behind bench.py's
+        # isolated-JVM graph group and the main-session outlier
+        # watchlist (VERDICT r12 watch #2). 32m regions raise the
+        # humongous threshold to 16m so those buffers take the normal
+        # young-gen path. JVM-level and heap-relative, not a local[32]
+        # tune; overridable via SPARK_GRAFT_DRIVER_JAVA_OPTS.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:G1HeapRegionSize=32m"
+            ),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -663,12 +663,20 @@ def test_round10_band_plan_shapes(spark, sf_correctness):
         assert n_ex <= max_exchanges, f"{name}: {n_ex} exchanges"
 
 
-def test_naive_bayes_weight_join_broadcasts(spark, sf_correctness):
-    """The V×C weight table must reach the token stream as a broadcast
-    (model-sized), never a shuffle join — the NB serve's scale claim."""
+def test_naive_bayes_serve_is_map_side_fold(spark, sf_correctness):
+    """The NB serve's scale claim, r16 edition: the model reaches the
+    documents as LITERAL weight maps folded per row (zero joins of any
+    kind in the plan — the model never rides a shuffle OR a broadcast
+    build), and the only Exchange is the classes²-bounded confusion
+    rollup's.  (Until r16 the serve broadcast-joined the V×C weight
+    table and re-aggregated at (doc, class) grain; the fold removed
+    the document-grain shuffle entirely — OPTIMIZATION_r16.md item 5.)"""
     df = get("naive_bayes_lang_confusion").spark_fn(spark, sf_correctness)
-    assert plans.has_broadcast_join(df)
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
     assert not plans.has_operator(df, "CartesianProduct")
+    n_ex = plans.count_nodes(plans.final_plan(df), "Exchange")
+    assert n_ex <= 1, f"{n_ex} exchanges — serve must shuffle only the rollup"
 
 
 def test_dbscan_grid_join_no_cartesian(spark, sf_correctness):
