@@ -288,3 +288,51 @@ def test_cart_heldout_python_replay(spark):
     }
     assert got == expected
     assert sum(got.values()) == len(test)
+
+
+def test_batched_level_splits_equal_sequential_per_node(spark):
+    """r16 optimization pin: the level-batched split scan
+    (_best_splits_level — one tagged job per tree level) must return,
+    per node, the IDENTICAL Row the sequential per-node _best_split
+    job returns — same (feature, threshold), same counts, same exact
+    DECIMAL(38,0) impurity fraction. This is the unit-level
+    equivalence the hash gate proves only end-to-end."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark.operators.cart import (
+        _best_splits_level,
+        _cart_feat,
+        _goes_left,
+    )
+
+    feat = _cart_feat(spark, SF)
+    b1 = _best_split(feat)
+    left = feat.filter(_goes_left(b1))
+    right = feat.filter(~_goes_left(b1))
+    seq = {2: _best_split(left), 3: _best_split(right)}
+    nid_col = F.when(_goes_left(b1), F.lit(2)).otherwise(F.lit(3))
+    batched = _best_splits_level(feat, nid_col, (2, 3))
+    fields = ("f", "v", "n", "p", "n_le", "pos_le", "gini_num", "gini_den")
+    for nid in (2, 3):
+        got = tuple(batched[nid][k] for k in fields)
+        want = tuple(seq[nid][k] for k in fields)
+        assert got == want, (nid, got, want)
+
+
+def test_batched_level_splits_degenerate_node_raises(spark):
+    """A level containing a node constant on BOTH features must raise
+    the same loud degenerate error as the sequential scan — never
+    silently omit the node."""
+    from pyspark.sql import functions as F
+
+    from tda596_lab02mapreduce_spark.operators.cart import _best_splits_level
+
+    # node 2: two distinct x1 values (splittable); node 3: constant on
+    # both features (degenerate)
+    df = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 1), (9, 9, 0), (9, 9, 1)],
+        "x1 bigint, x2 bigint, y bigint",
+    )
+    nid_col = F.when(F.col("x1") < 5, F.lit(2)).otherwise(F.lit(3))
+    with pytest.raises(ValueError, match="degenerate"):
+        _best_splits_level(df, nid_col, (2, 3))
