@@ -99,18 +99,27 @@ def _cart_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
-def _best_split(node: DataFrame, wcol: str | None = None) -> Row:
-    """The argmin weighted-Gini split of ``node`` over both features:
+def _split_candidates(
+    node: DataFrame, *, nid_col=None, wcol: str | None = None
+) -> DataFrame:
+    """The SHARED split-scan algebra (ADVICE r16: one copy, not two):
     melt → (feature, value)-grain counts → per-feature prefix cumsum →
-    exact integer impurity fraction → orderBy(double-key, f, v) limit 1
-    (TakeOrderedAndProject; ONE collected row).  Returns Row(f, v, n,
-    p, n_le, pos_le, gini_num, gini_den).  With ``wcol`` (an integer
-    sample-weight column — the boosted-stumps reuse, operators/
-    boost.py) every count becomes Σw and every positive count Σw·y;
-    the algebra, key, tiebreak, and guard are identical."""
+    exact DECIMAL(38,0) impurity fraction + two-term double argmin key,
+    one row per candidate threshold with n_le < n.  With ``nid_col``
+    every grouping/window/total key is prefixed by ``__nid`` (the
+    level-batched growth); with ``wcol`` (an integer sample-weight
+    column — the boosted-stumps reuse, operators/boost.py) every count
+    becomes Σw and every positive count Σw·y.  The algebra, key,
+    tiebreak columns, and overflow posture are identical in every
+    combination; callers add their own argmin (orderBy+limit or
+    per-node row_number) so plan shapes stay as measured."""
     from pyspark.sql.window import Window
 
+    grp: list = []
     cols = [F.expr("stack(2, 'x1', x1, 'x2', x2) AS (f, v)"), F.col("y")]
+    if nid_col is not None:
+        grp = ["__nid"]
+        cols.insert(0, nid_col.cast("int").alias("__nid"))
     if wcol is not None:
         cols.append(F.col(wcol).alias("__w"))
     melt = node.select(*cols)
@@ -128,16 +137,22 @@ def _best_split(node: DataFrame, wcol: str | None = None) -> Row:
             F.sum(wcol).cast("bigint").alias("n"),
             F.sum(F.col(wcol) * F.col("y")).cast("bigint").alias("p"),
         )
-    bv = melt.groupBy("f", "v").agg(cnt_agg, pos_agg)
-    w = Window.partitionBy("f").orderBy("v")
+    bv = melt.groupBy(*grp, "f", "v").agg(cnt_agg, pos_agg)
+    w = Window.partitionBy(*grp, "f").orderBy("v")
     cum = bv.select(
+        *grp,
         "f",
         "v",
         F.sum("cnt").over(w).alias("n_le"),
         F.sum("pos").over(w).alias("pos_le"),
     )
-    tot = F.broadcast(node.agg(*tot_aggs))
-    j = cum.crossJoin(tot).filter(F.col("n_le") < F.col("n"))
+    if nid_col is None:
+        tot = F.broadcast(node.agg(*tot_aggs))
+        j = cum.crossJoin(tot)
+    else:
+        tot = node.groupBy(nid_col.cast("int").alias("__nid")).agg(*tot_aggs)
+        j = cum.join(F.broadcast(tot), "__nid")
+    j = j.filter(F.col("n_le") < F.col("n"))
     nL, pL = F.col("n_le"), F.col("pos_le")
     nR = F.col("n") - nL
     pR = F.col("p") - pL
@@ -160,37 +175,55 @@ def _best_split(node: DataFrame, wcol: str | None = None) -> Row:
     key = (pL * qL).cast("double") / nL.cast("double") + (
         pR * qR
     ).cast("double") / nR.cast("double")
-    rows = (
-        j.select(
-            "f",
-            F.col("v").cast("bigint").alias("v"),
-            "n",
-            "p",
-            nL.cast("bigint").alias("n_le"),
-            pL.cast("bigint").alias("pos_le"),
-            num.cast(dec).alias("gini_num"),
-            den.cast(dec).alias("gini_den"),
-            key.alias("gini"),
-        )
-        .orderBy("gini", "f", "v")
-        .limit(1)
-        .collect()
+    return j.select(
+        *grp,
+        "f",
+        F.col("v").cast("bigint").alias("v"),
+        "n",
+        "p",
+        nL.cast("bigint").alias("n_le"),
+        pL.cast("bigint").alias("pos_le"),
+        num.cast(dec).alias("gini_num"),
+        den.cast(dec).alias("gini_den"),
+        key.alias("gini"),
     )
-    if not rows:
+
+
+def _degenerate_error() -> ValueError:
+    return ValueError(
+        "cart_depth2: degenerate node (constant on both features) — "
+        "the fixture contract guarantees a valid split at every "
+        "depth-2 node; a different dataset needs a leaf-fallback "
+        "grown in BOTH engines"
+    )
+
+
+def _check_overflow_guard(row: Row) -> None:
+    if int(row["n"]) > _EXACT_KEY_MAX_N:
         raise ValueError(
-            "cart_depth2: degenerate node (constant on both features) — "
-            "the fixture contract guarantees a valid split at every "
-            "depth-2 node; a different dataset needs a leaf-fallback "
-            "grown in BOTH engines"
-        )
-    if int(rows[0]["n"]) > _EXACT_KEY_MAX_N:
-        raise ValueError(
-            f"cart: node holds {int(rows[0]['n'])} (weighted) rows > "
+            f"cart: node holds {int(row['n'])} (weighted) rows > "
             f"_EXACT_KEY_MAX_N={_EXACT_KEY_MAX_N}; the argmin key's "
             "int64 products pX*qX can overflow past n^2/4 = 2^63 — "
             "partition or sample the node before growing (module "
             "docstring: design limit is loud, never silent wrap)"
         )
+
+
+def _best_split(node: DataFrame, wcol: str | None = None) -> Row:
+    """The argmin weighted-Gini split of ``node`` over both features:
+    the shared candidate scan (_split_candidates) followed by
+    orderBy(double-key, f, v) limit 1 (TakeOrderedAndProject; ONE
+    collected row).  Returns Row(f, v, n, p, n_le, pos_le, gini_num,
+    gini_den)."""
+    rows = (
+        _split_candidates(node, wcol=wcol)
+        .orderBy("gini", "f", "v")
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise _degenerate_error()
+    _check_overflow_guard(rows[0])
     return rows[0]
 
 
@@ -203,66 +236,17 @@ def _best_splits_level(feat: DataFrame, nid_col, nids: tuple[int, ...]) -> dict[
     """The argmin splits of EVERY node of one tree level in ONE job
     (optimization r16, guide §2.4: sibling nodes partition the same
     parent frame, so their split scans are one tagged scan — the
-    per-node melt/cumsum/argmin below is _best_split's algebra
-    verbatim with ``__nid`` prepended to every key, and the per-node
-    argmin is the same (gini, f, v) total order taken as row_number 1
-    per node instead of N sequential TakeOrderedAndProject jobs).
-    Returns {nid: Row} with exactly _best_split's Row fields; raises
-    the identical degenerate/overflow errors per node."""
+    shared candidate algebra of _split_candidates with ``__nid``
+    prepended to every key, and the per-node argmin is the same
+    (gini, f, v) total order taken as row_number 1 per node instead
+    of N sequential TakeOrderedAndProject jobs).  Returns {nid: Row}
+    with exactly _best_split's Row fields (plus __nid); raises the
+    identical degenerate/overflow errors per node."""
     from pyspark.sql.window import Window
 
-    melt = feat.select(
-        nid_col.cast("int").alias("__nid"),
-        F.expr("stack(2, 'x1', x1, 'x2', x2) AS (f, v)"),
-        F.col("y"),
-    )
-    bv = melt.groupBy("__nid", "f", "v").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
-    )
-    w = Window.partitionBy("__nid", "f").orderBy("v")
-    cum = bv.select(
-        "__nid",
-        "f",
-        "v",
-        F.sum("cnt").over(w).alias("n_le"),
-        F.sum("pos").over(w).alias("pos_le"),
-    )
-    tot = feat.groupBy(nid_col.cast("int").alias("__nid")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("y").cast("bigint").alias("p"),
-    )
-    j = cum.join(F.broadcast(tot), "__nid").filter(F.col("n_le") < F.col("n"))
-    nL, pL = F.col("n_le"), F.col("pos_le")
-    nR = F.col("n") - nL
-    pR = F.col("p") - pL
-    qL = nL - pL
-    qR = nR - pR
-    dec = "decimal(38,0)"
-    nLd, pLd = nL.cast(dec), pL.cast(dec)
-    nd, pd = F.col("n").cast(dec), F.col("p").cast(dec)
-    nRd, pRd = nd - nLd, pd - pLd
-    qLd, qRd = nLd - pLd, nRd - pRd
-    num = nRd * (nLd * nLd - pLd * pLd - qLd * qLd) + nLd * (
-        nRd * nRd - pRd * pRd - qRd * qRd
-    )
-    den = nd * nLd * nRd
-    key = (pL * qL).cast("double") / nL.cast("double") + (
-        pR * qR
-    ).cast("double") / nR.cast("double")
     aw = Window.partitionBy("__nid").orderBy("gini", "f", "v")
     rows = (
-        j.select(
-            "__nid",
-            "f",
-            F.col("v").cast("bigint").alias("v"),
-            "n",
-            "p",
-            nL.cast("bigint").alias("n_le"),
-            pL.cast("bigint").alias("pos_le"),
-            num.cast(dec).alias("gini_num"),
-            den.cast(dec).alias("gini_den"),
-            key.alias("gini"),
-        )
+        _split_candidates(feat, nid_col=nid_col)
         .withColumn("__rn", F.row_number().over(aw))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
@@ -271,20 +255,8 @@ def _best_splits_level(feat: DataFrame, nid_col, nids: tuple[int, ...]) -> dict[
     best = {int(r["__nid"]): r for r in rows}
     for nid in nids:
         if nid not in best:
-            raise ValueError(
-                "cart_depth2: degenerate node (constant on both features) — "
-                "the fixture contract guarantees a valid split at every "
-                "depth-2 node; a different dataset needs a leaf-fallback "
-                "grown in BOTH engines"
-            )
-        if int(best[nid]["n"]) > _EXACT_KEY_MAX_N:
-            raise ValueError(
-                f"cart: node holds {int(best[nid]['n'])} (weighted) rows > "
-                f"_EXACT_KEY_MAX_N={_EXACT_KEY_MAX_N}; the argmin key's "
-                "int64 products pX*qX can overflow past n^2/4 = 2^63 — "
-                "partition or sample the node before growing (module "
-                "docstring: design limit is loud, never silent wrap)"
-            )
+            raise _degenerate_error()
+        _check_overflow_guard(best[nid])
     return best
 
 

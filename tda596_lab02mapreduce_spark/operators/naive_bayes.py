@@ -215,7 +215,6 @@ def naive_bayes_confusion(
     *,
     text_col: str = "text",
     label_col: str = "lang",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Classify every document and return the confusion matrix
     (true_lang, pred_lang, n_docs) — ≤ |classes|² rows, all exact.

@@ -1433,15 +1433,41 @@ def nb_swap_store_base(sf_dir: str) -> str:
     PID-keyed (the sinks.py per-process scratch precedent): two
     concurrent sessions draining the same sf_dir previously shared one
     store, so one could rmtree the other's manifest/checkpoint
-    mid-drain (ADVICE r15 low)."""
+    mid-drain (ADVICE r15 low). The current PID's stores are removed
+    at interpreter exit, and stores left by DEAD pids are swept here
+    (ADVICE r16 low: PID-keying removed the only cleanup path, so
+    exited sessions' stores accumulated in tmp forever)."""
+    import atexit
+    import glob
     import hashlib
     import os
+    import shutil
     import tempfile
 
     key = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), f"tda596-nbswap-{key}-pid{os.getpid()}"
-    )
+    tmp = tempfile.gettempdir()
+    base = os.path.join(tmp, f"tda596-nbswap-{key}-pid{os.getpid()}")
+    if base not in _NBSWAP_CLEANUP:
+        _NBSWAP_CLEANUP.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # sweep sibling stores whose owning PID no longer exists (their
+    # atexit never ran — killed session / crashed interpreter)
+    for d in glob.glob(os.path.join(tmp, "tda596-nbswap-*-pid*")):
+        pid_s = d.rsplit("-pid", 1)[-1]
+        if d == base or not pid_s.isdigit():
+            continue
+        try:
+            os.kill(int(pid_s), 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except (PermissionError, OSError):
+            pass  # pid alive (or unknowable): leave its store alone
+    return base
+
+
+# stores this process has registered an atexit cleanup for (register
+# once per path — atexit has no dedup of its own)
+_NBSWAP_CLEANUP: set[str] = set()
 
 
 @register(

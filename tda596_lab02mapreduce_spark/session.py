@@ -63,12 +63,17 @@ def get_spark(
         # watchlist (VERDICT r12 watch #2). 32m regions raise the
         # humongous threshold to 16m so those buffers take the normal
         # young-gen path. JVM-level and heap-relative, not a local[32]
-        # tune; overridable via SPARK_GRAFT_DRIVER_JAVA_OPTS.
+        # tune. SPARK_GRAFT_DRIVER_JAVA_OPTS is APPENDED after the G1
+        # flag (ADVICE r16: substitution silently dropped the tune for
+        # users exporting an unrelated flag); HotSpot takes the LAST
+        # occurrence of a repeated -XX flag, so exporting your own
+        # -XX:G1HeapRegionSize=... still overrides.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:G1HeapRegionSize=32m"
-            ),
+            (
+                "-XX:G1HeapRegionSize=32m "
+                + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+            ).strip(),
         )
     )
     if extra_conf:
