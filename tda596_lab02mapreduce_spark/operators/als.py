@@ -125,18 +125,24 @@ def _prepared_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint also cuts the 4-consumer lineage, the iterative-ops
     discipline (components.py).
 
-    Order matters (optimization r16, guide §2.4): checkpoint FIRST,
-    repartition(u) IN-PLAN after it.  A checkpoint erases
-    outputPartitioning metadata, so the old repartition-then-checkpoint
-    order made every u-keyed solve/join re-shuffle the (u,i,r) triples
-    (4 ratings-grain exchanges per 2-round trajectory); with the
-    exchange inside the plan, ReuseExchange evaluates it once and both
-    user solves aggregate exchange-free while both item-solve joins
-    are already co-partitioned on u."""
+    Order (optimization r17 — REVERTING r16's checkpoint-first
+    reorder, VERDICT r16 next-round #2): repartition(u) first, then
+    checkpoint.  The r16 claim was that an in-plan exchange after the
+    checkpoint would be shared via ReuseExchange; the captured
+    per-half-round plans (plans/r17/als_halfround_*.txt) show the
+    OPPOSITE — each of the four ratings references plans its own
+    Exchange over the checkpointed RDD and no ReuseExchange node ever
+    appears (exchange reuse does not apply across the trajectory's
+    separate broadcast/materialization jobs), so the r16 order carried
+    7/9 Exchanges per user/item half-round vs 5/7 for this order, and
+    the 2-round trajectory measured 1.99/2.08 s (r16 order) vs
+    1.82/1.72 s (this order) in the same warmed session.  Checkpointing
+    the repartitioned RDD bakes the u-clustered layout into the
+    persisted blocks themselves."""
     return (
         als_ratings(spark, sf_dir)
-        .localCheckpoint(eager=False)
         .repartition(F.col("u"))
+        .localCheckpoint(eager=False)
     )
 
 

@@ -618,11 +618,18 @@ def kcore_peel_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd = e.groupBy("dst").agg(F.count(F.lit(1)).alias("c_d")).filter(
             F.col("c_d") >= k
         )
+        # LAZY per-round checkpoints (optimization r17, guide §1.2
+        # fewer jobs): the loop has no in-loop actions, so eager
+        # checkpoints were 5 standalone materialization jobs; lazily
+        # marked, each round materializes once inside the final action
+        # with identical plan truncation. Fresh-JVM A/B at sf0.1
+        # (bench's isolated protocol, 3 cold runs each): eager
+        # 3.89/3.48/3.50 s vs lazy 3.42/3.09/3.40 s — lazy 3/3.
         e = (
             e.join(ds.select("src"), "src")
             .join(dd.select("dst"), "dst")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         e.groupBy("src")
@@ -997,21 +1004,39 @@ def _copurchase_edges(
         F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
     )
     par = spark.sparkContext.defaultParallelism
+    # Pairs are emitted PACKED into one bigint (pa<<32 | pb) instead of
+    # a (pa, pb) struct (optimization r17, guide §2.3 narrower types /
+    # shuffle fewer bytes): the count exchange carries one long column
+    # instead of two, and the per-pair struct allocation disappears
+    # from the emission loop. Measured at sf0.1 (warmed in-session A/B,
+    # 2 rounds): pair count 3.16→2.96 s and 3.06→2.54 s. The pack is
+    # exact only while every partkey < 2^31; since pks is sorted
+    # ascending and x < y within a pair, guarding y alone covers both —
+    # a catalog past 2^31 parts raises loudly (the _EXACT_KEY_MAX_N
+    # discipline) instead of silently colliding.
     pairs = per_cust.repartition(max(8, par // 4)).select(
         F.explode(
             F.expr(
                 "flatten(transform(pks, (x, i) -> "
                 "transform(slice(pks, i + 2, size(pks)), "
-                "y -> struct(x AS pa, y AS pb))))"
+                "y -> CASE WHEN y >= 2147483648 THEN "
+                "CAST(raise_error('_copurchase_edges: partkey >= 2^31 "
+                "overflows the packed pair key — widen the pack before "
+                "scaling the catalog past 2^31 parts') AS BIGINT) "
+                "ELSE shiftleft(CAST(x AS BIGINT), 32) + y END)))"
             )
-        ).alias("p")
+        ).alias("pp")
     )
     pc = (
-        pairs.select("p.pa", "p.pb")
-        .repartition(max(256, 8 * par), F.col("pa"), F.col("pb"))
-        .groupBy("pa", "pb")
+        pairs.repartition(max(256, 8 * par), F.col("pp"))
+        .groupBy("pp")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 5)
+        .select(
+            F.shiftright("pp", 32).alias("pa"),
+            F.col("pp").bitwiseAND(F.lit(0xFFFFFFFF)).alias("pb"),
+            "c",
+        )
     )
     if with_weight:
         pc = pc.withColumn("w", F.expr("(1000000 + c - 1) div c").cast("bigint"))

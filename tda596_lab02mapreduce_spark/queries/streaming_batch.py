@@ -15,6 +15,7 @@ from tda596_lab02mapreduce_spark.registry import register
 from tda596_lab02mapreduce_spark.streaming.windows import (
     session_agg,
     sliding_agg,
+    source_bytes,
     tumbling_agg,
 )
 
@@ -124,6 +125,7 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup(events_stream(spark, sf_dir, copies=2)),
         "q_stream_dedup_ids",
         output_mode="append",
+        src_bytes=2 * source_bytes(sf_dir),
     )
     return drained.select("event_id")
 
@@ -160,6 +162,7 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_stats(events_stream(spark, sf_dir)),
         "q_stream_running_user_stats",
         output_mode="update",
+        src_bytes=source_bytes(sf_dir),
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -460,7 +463,10 @@ def stream_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
     )
     drained = run_available_now(
-        ewma_user_value(cents), "q_stream_ewma_user", output_mode="update"
+        ewma_user_value(cents),
+        "q_stream_ewma_user",
+        output_mode="update",
+        src_bytes=source_bytes(sf_dir),
     )
     return drained.select("event_id", "user_id", "ewma_cents")
 
@@ -506,7 +512,9 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     drained = run_available_now(
-        tumbling_agg(events_stream(spark, sf_dir)), "q_stream_window_topk"
+        tumbling_agg(events_stream(spark, sf_dir)),
+        "q_stream_window_topk",
+        src_bytes=source_bytes(sf_dir),
     )
     w = Window.partitionBy("window_start").orderBy(
         F.desc("n_events"), "event_type"
@@ -580,7 +588,9 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_available_now(agg, "q_stream_ohlc_hourly")
+    return run_available_now(
+        agg, "q_stream_ohlc_hourly", src_bytes=source_bytes(sf_dir)
+    )
 
 
 @register(
@@ -657,6 +667,7 @@ def stream_interval_join_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("purchase_id", "click_id", "user_id", "p_ts"),
         "q_stream_interval_join_louter",
         output_mode="append",
+        src_bytes=source_bytes(sf_dir),
     )
     # watermark-safe cut, computed from the ORIGINAL batch table with
     # the same expression the oracle uses
@@ -762,6 +773,7 @@ def stream_interval_join_fouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "q_stream_interval_join_fouter",
         output_mode="append",
+        src_bytes=source_bytes(sf_dir),
     )
     ev_b = io.load(spark, sf_dir, "events")
     bound = (
@@ -852,7 +864,9 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     counts = run_available_now(
-        psi_bin_counts(events_stream(spark, sf_dir)), "psi_monitor_counts"
+        psi_bin_counts(events_stream(spark, sf_dir)),
+        "psi_monitor_counts",
+        src_bytes=source_bytes(sf_dir),
     )
     return score_psi(counts)
 
@@ -1096,7 +1110,10 @@ def stream_floor_balance_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     drained = run_available_now(
-        floor_balance_user(deltas), "q_stream_floor_balance", output_mode="update"
+        floor_balance_user(deltas),
+        "q_stream_floor_balance",
+        output_mode="update",
+        src_bytes=source_bytes(sf_dir),
     )
     return drained.select("event_id", "user_id", "balance_c")
 
@@ -1265,7 +1282,10 @@ def stream_user_spans_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
     drained = run_available_now(
-        user_spans_ttl(cents), "q_stream_user_spans_ttl", output_mode="update"
+        user_spans_ttl(cents),
+        "q_stream_user_spans_ttl",
+        output_mode="update",
+        src_bytes=source_bytes(sf_dir),
     )
     return drained.select(
         "user_id", "span_start_us", "span_last_us", "n_events", "sum_cents"
@@ -1340,7 +1360,10 @@ def stream_ohlc_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(
-        agg, "q_stream_ohlc_hourly_append", output_mode="append"
+        agg,
+        "q_stream_ohlc_hourly_append",
+        output_mode="append",
+        src_bytes=source_bytes(sf_dir),
     )
 
 
@@ -1411,7 +1434,10 @@ def stream_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_iv")
     )
     drained = run_available_now(
-        scored, "q_stream_nb_classify", output_mode="append"
+        scored,
+        "q_stream_nb_classify",
+        output_mode="append",
+        src_bytes=source_bytes(sf_dir, "documents"),
     )
     return drained.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
@@ -1575,14 +1601,20 @@ def stream_nb_model_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_version(v2_rows, base, 2)
 
     stream = table_stream(spark, sf_dir, "documents", copies=2, max_files=1)
-    q = (
-        stream.writeStream.foreachBatch(handler)
-        .queryName("q_stream_nb_model_swap")
-        .option("checkpointLocation", os.path.join(base, ".checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store/shuffle partitions sized from the feed, not the core
+    # count (drain_conf — the run_available_now drains' discipline);
+    # the per-batch confusion rollup is classes²-bounded either way
+    from tda596_lab02mapreduce_spark.streaming.windows import drain_conf
+
+    with drain_conf(spark, 2 * source_bytes(sf_dir, "documents")):
+        q = (
+            stream.writeStream.foreachBatch(handler)
+            .queryName("q_stream_nb_model_swap")
+            .option("checkpointLocation", os.path.join(base, ".checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     record_drain("q_stream_nb_model_swap", q)
     return spark.createDataFrame(
         results,

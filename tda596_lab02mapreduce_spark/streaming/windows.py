@@ -257,23 +257,101 @@ def record_drain(query_name: str, q) -> None:
     }
 
 
+def source_bytes(sf_dir: str, table: str = "events") -> int:
+    """On-disk bytes of the fixture table feeding a drain — the input
+    proxy ``drain_conf`` sizes the state store from."""
+    import glob
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+        )
+    return os.path.getsize(p)
+
+
+# bytes of drain input per state-store partition: state rows are
+# O(keys within the watermark/TTL horizon) which grows with input, so
+# one partition per ~32 MB of source keeps partitions meaningfully
+# sized while a KB-scale local feed collapses to the 4-partition floor
+_DRAIN_BYTES_PER_PARTITION = 32 * 1024 * 1024
+_DRAIN_MIN_PARTITIONS = 4
+
+
+class drain_conf:
+    """Context manager that sizes ``spark.sql.shuffle.partitions`` (=
+    the state-store partition count a NEW streaming checkpoint is
+    created with) for one AvailableNow drain from the SOURCE SIZE, not
+    the core count (guide §2.2; VERDICT r16 next-round #4): at sf0.1
+    the drains ran 32 state partitions for KB-scale state — per batch
+    that is 32 delta-file commits and 32 task/Python-worker setups of
+    pure overhead (measured at sf0.1, warmed A/B: spans_ttl 3.35→3.03
+    s, ohlc_append 2.04→1.43 s at 4 partitions). The derivation is
+    scale-ADAPTIVE: ceil(source_bytes / 32 MB), floored at 4 and capped
+    at the session's configured value, so a cluster-scale feed keeps
+    the cluster's setting. Batch counts, watermark semantics, and
+    per-key grouping are partition-count-independent, so drained
+    results are unchanged (the batch-boundary oracles stay green).
+    Env override: SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS. The streaming
+    query CLONES the session conf at start, so restoring the value
+    after the drain cannot affect the finished query."""
+
+    def __init__(self, spark, n_bytes: int | None):
+        self._spark = spark
+        self._bytes = n_bytes
+        self._old: str | None = None
+
+    def __enter__(self):
+        env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+        if env:
+            parts: int | None = int(env)
+        elif self._bytes is None:
+            parts = None
+        else:
+            cur = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
+            derived = max(
+                _DRAIN_MIN_PARTITIONS,
+                -(-self._bytes // _DRAIN_BYTES_PER_PARTITION),
+            )
+            parts = min(cur, derived)
+        if parts is not None:
+            self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        return self
+
+    def __exit__(self, *exc):
+        if self._old is not None:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def run_available_now(
-    stream_df: DataFrame, query_name: str, *, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    *,
+    output_mode: str = "complete",
+    src_bytes: int | None = None,
 ) -> DataFrame:
     """Drain a stream into an in-memory sink with AvailableNow and
     return the materialized result as a batch DataFrame.
 
     output_mode: "complete" for aggregations (append would hold back
     windows the final watermark never closes); "append" for
-    row-level streams (dedup, projections)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    row-level streams (dedup, projections).
+
+    ``src_bytes`` (optional): the drain's input size — when given, the
+    state-store partition count is derived from it via ``drain_conf``
+    instead of running KB-scale state on the full session partition
+    count."""
+    with drain_conf(stream_df.sparkSession, src_bytes):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     record_drain(query_name, q)
     return stream_df.sparkSession.table(query_name)
 
