@@ -723,37 +723,20 @@ JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
 )
 def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = 4
-    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cb = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
-        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
-    )
-    # collect_set dedups — the old explicit .distinct() was a second
-    # full (ck, pk) exchange ahead of the ck exchange (optimization
-    # r16, guide §2.4; the frequent_triples_brand precedent)
-    per_cust = cb.groupBy("ck").agg(
-        F.slice(F.array_sort(F.collect_set("pk")), 1, 128).alias("pks")
-    )
-    # equi-self-join pair enumeration (see recsys_item_cosine_topk —
-    # measured 2.6x over the higher-order-function explode)
-    capped = per_cust.select("ck", F.explode("pks").alias("pk"))
-    capped = capped.repartition("ck").localCheckpoint(eager=False)
-    pc = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 5)
-    )
-    e = (
-        pc.selectExpr("pa AS src", "pb AS dst")
-        .unionAll(pc.selectExpr("pb AS src", "pa AS dst"))
-        .repartition("src")
-        .persist()
-    )
+    # The edge source IS _copurchase_edges (same capped baskets, same
+    # pair count, same support >= 5 — ppr's docstring has called it
+    # "the LPA edge source" since r11); LPA built its own equi-self-
+    # join copy of it until r17. Sharing the operator inherits the
+    # packed-pair-key count (guide §2.3, measured on the shared
+    # source: 3.16→2.96 / 3.06→2.54 s) and leaves ONE implementation
+    # of the pair algebra. Fresh-JVM A/B of the full query (bench's
+    # isolated protocol, 3 cold runs each): self-join source
+    # 7.69/5.39/4.21 s vs shared source 3.96/4.05/4.41 s — shared
+    # wins 3/3; identical results, hash-green side-by-side. (The SAME
+    # swap measured ~25% SLOWER on recsys_item_cosine_topk, whose
+    # c>=3 graph feeds a heavy scoring tail — its self-join shape is
+    # kept; plans/r17/ab/ab_cosine_results.txt.)
+    e = _copurchase_edges(spark, sf_dir)
     lab = e.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     ).localCheckpoint()
