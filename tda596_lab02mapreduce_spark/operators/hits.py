@@ -32,6 +32,16 @@ Scale notes (100 TB posture, mirrors pagerank.py):
   lineage stacking, zero driver decisions in the loop;
 - integer sums are order-independent, so AQE/skew-split re-plans
   cannot change the result.
+
+Retention note (ADVICE r16): the lazily-checkpointed frames created
+here (the deduped edge list, the per-half-round raw sums) are NOT
+unpersisted before return — the consuming action runs after this
+function returns (the query-builder contract), so no caller boundary
+exists inside it. The blocks are score/edge-sized, bounded per query,
+and evicted LRU by the block manager; a long-lived session that wants
+them gone eagerly can unpersist the returned frame's lineage or cycle
+the session. The explicit persist() layers (e_src/e_dst) ARE released
+before return.
 """
 
 from __future__ import annotations

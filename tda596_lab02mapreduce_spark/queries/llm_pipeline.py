@@ -6,6 +6,14 @@ quality scoring, token counting, fingerprinting).
 The documents corpus is the Spark-era analogue of the reference's
 pg-*.txt Gutenberg inputs (FIXTURES.md §1.1); tokenization keeps the
 exact wc.go letter-run semantics throughout.
+
+Retention note (ADVICE r16): the lazily-checkpointed shared frames in
+this module (the shingle/pair sources, BPE's initial encoding) are
+not unpersisted inside the query builders — the consuming action runs
+AFTER the builder returns, so no caller boundary exists where an
+unpersist would be safe. Blocks are bounded per query and evicted LRU
+by the block manager; a long-lived session wanting eager release can
+unpersist through the returned frame's lineage or cycle the session.
 """
 
 from __future__ import annotations
