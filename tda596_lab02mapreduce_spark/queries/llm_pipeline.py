@@ -1188,15 +1188,27 @@ def pagerank_neardup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides): checkpoint so tokenize + shingle-build runs once, and the
     # self-join sides become identical checkpoint scans whose exchanges
     # ReuseExchange dedups (optimization r16, guide §1.2/§2.4; measured
-    # pair-source 2.84 s → 2.46 s at sf0.1)
-    ex = ex.localCheckpoint(eager=False)
+    # pair-source 2.84 s → 2.46 s at sf0.1). Storage is DISK_ONLY
+    # (optimization r17, guide §5): a doc×shingle EXPLODED stream held
+    # deserialized on the heap is exactly the humongous-allocation
+    # profile behind the documented bimodal stall (this query read
+    # 5.77 s and 13.88 s on identical code in the r17 session
+    # baselines); serialized disk blocks take that pressure off the
+    # old gen. Fresh-JVM A/B (bench's isolated protocol, 3 cold runs):
+    # heap 7.38/5.83/7.52 s vs disk 6.25/6.31/6.72 s — disk 2/3 and
+    # the better mean (6.43 vs 6.91 s).
+    from pyspark.storagelevel import StorageLevel
+
+    ex = ex.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     rare = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= 50)
         .select("shingle")
     )
-    exr = ex.join(rare, "shingle").localCheckpoint(eager=False)
+    exr = ex.join(rare, "shingle").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     pairs = (
         exr.alias("a")
         .join(
